@@ -773,6 +773,331 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (BASELINE.json: dedup, similarity search,
+# text analysis) — oracle-checked end to end, including MinHash/SimHash,
+# which share an md5-derived hash with the SQL twin.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS_CTE = """
+toks AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS shl
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc, unnest(list_distinct(shl)) AS shingle FROM sh0),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+jaccard_pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         round(count(*) * 1.0 /
+               (any_value(sa.n) + any_value(sb.n) - count(*)), 6) AS jaccard
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  JOIN sizes sa ON a.doc = sa.doc
+  JOIN sizes sb ON b.doc = sb.doc
+  GROUP BY a.doc, b.doc
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import dedup as D
+
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import dedup as D
+
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.1
+    )
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_TOKS_CTE}
+SELECT id_a, id_b, jaccard FROM jaccard_pairs WHERE jaccard >= 0.1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import dedup as D
+
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.1
+    )
+
+
+_SQL_MINHASH_LSH = f"""
+WITH {_SQL_TOKS_CTE},
+xs AS (
+  SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+  FROM sh
+),
+hs AS (
+  SELECT doc, perm,
+         ((('0x' || substr(md5('perm-a-' || perm), 1, 15))::BIGINT % 1000000006 + 1)
+            * x
+          + ('0x' || substr(md5('perm-b-' || perm), 1, 15))::BIGINT % 1000000007)
+         % 1000000007 AS h
+  FROM xs, range(16) r(perm)
+),
+sigs AS (SELECT doc, perm, min(h) AS minhash FROM hs GROUP BY doc, perm),
+bands AS (
+  SELECT doc, perm // 2 AS band,
+         array_to_string(list_sort(list(perm || ':' || minhash)), '-') AS band_sig
+  FROM sigs GROUP BY doc, perm // 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM candidates c JOIN jaccard_pairs j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import dedup as D
+
+    return D.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+hashes AS (
+  SELECT doc, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM hashes, range(60) r(bit)
+  GROUP BY doc, bit
+),
+fp AS (
+  SELECT doc,
+         sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+  FROM bits GROUP BY doc
+)
+SELECT a.doc AS id_a, b.doc AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a, fp b
+WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_bruteforce(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+_SQL_COSINE_TOPK = """
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  )
+) WHERE rn <= 5
+"""
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=8
+    )
+
+
+_SQL_COSINE_TOPK_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                        ELSE 0::BIGINT END FOR i IN range(1, 9)]) AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine
+    FROM b q JOIN b c ON q.bucket = c.bucket
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  )
+) WHERE rn <= 5
+"""
+
+
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    return SIM.embedding_near_dupes(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=0
+    )
+
+
+_SQL_EMBEDDING_NEAR_DUPES = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]+')) AS n_bpeish,
+       length(text) AS n_chars_seen
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_QUALITY_SCORE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digits * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len(t) > 0 THEN
+           len(list_filter(t, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x)))
+           * 1.0 / len(t) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(t) > 0 THEN
+           list_sum(list_transform(t, x -> length(x)::DOUBLE)) / len(t)
+         ELSE 0.0 END AS mean_tok_len,
+         n_chars
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(0.3 * least(n_chars / 500.0, 1.0)
+           + 0.3 * least(stop_ratio * 5, 1.0)
+           + 0.2 * (1 - least(punct_ratio * 10, 1.0))
+           + 0.2 * (1 - least(digit_ratio * 10, 1.0)), 6) AS quality
+FROM stats
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.langid(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_LANGID = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) * 1.0 / len(toks), 6)
+      ELSE 0.0 END AS s_de,
+    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(toks), 6)
+      ELSE 0.0 END AS s_en,
+    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','en','un','es','se','no'], x))) * 1.0 / len(toks), 6)
+      ELSE 0.0 END AS s_es,
+    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains(
+      ['le','la','les','de','et','un','une','est','que','pour'], x))) * 1.0 / len(toks), 6)
+      ELSE 0.0 END AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            ELSE 'de' END AS pred_lang,
+       greatest(s_de, s_en, s_es, s_fr) AS pred_score
+FROM scores
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+       ('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+                       1, 15))::BIGINT AS fp_int
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -807,6 +1132,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
+    # LLM-data-pipeline extensions
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "simhash": (q_simhash, _SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
+    "cosine_topk_lsh": (q_cosine_topk_lsh, _SQL_COSINE_TOPK_LSH),
+    "embedding_near_dupes": (q_embedding_near_dupes, _SQL_EMBEDDING_NEAR_DUPES),
+    "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
+    "langid": (q_langid, _SQL_LANGID),
+    "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
 }
 
 

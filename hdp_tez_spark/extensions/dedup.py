@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extension (BASELINE.json): the reference engine has no
+dedup surface at all; these are the operators a 100 TB corpus pipeline
+needs, each built from shuffle/join primitives the engine already has
+(SURVEY §2.3-2.7) so they inherit AQE sizing and skew handling.
+
+Cross-engine determinism: every hash is derived from md5 of the input
+string — identical in Spark and any ANSI-SQL oracle — never from
+engine-private hash functions (Spark's xxhash64 and DuckDB's hash()
+disagree by construction).
+
+Scale design notes (100 TB):
+- exact: one shuffle keyed by content hash; the md5 key keeps shuffle
+  rows small (16 bytes + id) instead of moving document bodies.
+- minhash-LSH: shingle explosion is map-side; signatures reduce by
+  (doc, perm) — rows out == docs × perms, independent of doc length;
+  banding turns all-pairs into an equi-join on band keys (only
+  colliding docs meet); final jaccard verification touches only
+  candidate pairs. No stage is quadratic in corpus size.
+- simhash: one 64-bit fingerprint per doc; banding (4 × 15-bit bands)
+  guarantees recall for hamming distance <= 3 by pigeonhole, again an
+  equi-join instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared modulus for minhash permutations: large prime, small enough that
+# a*x never overflows int64 (a, x < P -> a*x < 1e18 < 2^63).
+MINHASH_P = 1_000_000_007
+DEFAULT_NUM_PERMS = 16
+DEFAULT_BAND_ROWS = 2  # 16 perms / 2 rows = 8 bands
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits signed int64
+SIMHASH_BANDS = 4  # 15 bits per band; recall guaranteed for hamming <= 3
+
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+
+def _md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, reproducible in any
+    SQL engine as ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+
+
+def _shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as strings."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id document per exact content hash.
+
+    Output: (keep_id, dup_count) per distinct content. Shuffles md5 keys,
+    not document bodies.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated table itself: first row (by id) per content hash."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact similarity on shingle sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with word-k-gram Jaccard >= threshold.
+
+    Candidate generation is the shingle equi-join (pairs must share at
+    least one shingle) — never an all-pairs cross join. Output:
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+) -> DataFrame:
+    """(doc, perm, minhash) — one row per doc per permutation.
+
+    Permutation i is h_i(x) = (a_i*x + b_i) mod P with a_i, b_i derived
+    from md5 of the permutation index — fully reproducible in SQL.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    ).withColumn("x", _md5_long(F.col("shingle")) % MINHASH_P)
+    perms = sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))))
+    a_i = _md5_long(F.concat(F.lit("perm-a-"), F.col("perm"))) % (MINHASH_P - 1) + 1
+    b_i = _md5_long(F.concat(F.lit("perm-b-"), F.col("perm"))) % MINHASH_P
+    return (
+        perms.withColumn("h", (a_i * F.col("x") + b_i) % MINHASH_P)
+        .groupBy("doc", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard on the candidate set.
+
+    Banding: perms are grouped into num_perms/band_rows bands; a pair is a
+    candidate iff it agrees on every row of at least one band — an
+    equi-join on (band, band-signature), never all-pairs. Candidates are
+    then verified with the exact shingle Jaccard, so the output is
+    deterministic (no probabilistic false positives survive).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, k)
+    bands = (
+        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                "-", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash")))
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0).withColumnRenamed(
+        "jaccard", "jaccard_exact"
+    )
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard_exact") >= threshold)
+        .select("id_a", "id_b", F.col("jaccard_exact").alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document over unigram tokens (with multiplicity).
+
+    Bit b of the fingerprint is the majority vote of bit b across all
+    token hashes (+1 if set, -1 if not; > 0 wins). Output: (doc, simhash).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", _md5_long(F.col("tok")))
+    bits = toks.withColumn(
+        "bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+    ).withColumn(
+        # expr(): the shift amount is a column, which the python
+        # shiftright() helper does not accept
+        "vote",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    bitvals = (
+        bits.groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .withColumn(
+            "bitval",
+            F.expr("CASE WHEN votes > 0 THEN shiftleft(1L, bit) ELSE 0L END"),
+        )
+    )
+    return bitvals.groupBy("doc").agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming, found by band
+    equi-join (4 bands x 15 bits): any pair within distance 3 must agree
+    exactly on >= 1 band (pigeonhole), so recall is 100% without an
+    all-pairs scan. Output: (id_a, id_b, hamming).
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banding guarantees recall only for hamming < {SIMHASH_BANDS}"
+        )
+    fp = simhash_fingerprints(df, id_col, text_col)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    banded = fp.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

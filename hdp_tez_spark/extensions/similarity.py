@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference extension (BASELINE.json). Two paths:
+
+- `cosine_topk_bruteforce`: exact top-k by cosine — the correctness
+  baseline. The candidate side streams; the (small) query side is
+  broadcast, so cost is |queries| x |corpus| dot products with no
+  shuffle of the corpus. Viable when |queries| is small; at 100 TB with
+  large query sets use the bucketed variant.
+- `cosine_topk_lsh`: sign-projection LSH — queries and corpus are
+  bucketed by the sign pattern of the first `n_planes` coordinates
+  (axis-aligned random projection; deterministic and oracle-friendly),
+  candidates meet through a bucket equi-join, top-k within bucket.
+  Trades recall for turning all-pairs into an equi-join.
+
+All arithmetic is done in float64 after casting from float32 so results
+are reproducible against SQL oracles; cosine is rounded to 6 decimals and
+ties broken by id so rankings are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, float64, unrounded."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self).
+
+    Output: (query_id, neighbor_id, cosine, rn). The query side is
+    broadcast; ranking uses the per-group heap path (WindowGroupLimit),
+    so no full sort of the |q|x|corpus| cross product materializes.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def _sign_bucket(vec: Column, n_planes: int) -> Column:
+    """Bucket id from the sign bits of the first n_planes coordinates.
+
+    The 2**i weights are plain literals (n_planes <= 32, well inside
+    exact-integer range), sidestepping column-valued shift amounts.
+    """
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket join is an equi-join, so the corpus shuffles once by
+    bucket id regardless of query count — the 100 TB-safe shape. Recall
+    is traded for n_planes (more planes = smaller buckets).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold),
+    bucket-prefiltered with the same sign-LSH. Output (id_a, id_b, cosine).
+
+    Note: sign-LSH prefiltering can miss near-dup pairs straddling a
+    hyperplane; for exhaustive dedup run with n_planes=0 (single bucket)
+    at correspondingly higher cost.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (
+            _sign_bucket(F.col(vec_col), n_planes)
+            if n_planes > 0
+            else F.lit(0)
+        ).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("cosine", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            "cosine",
+        )
+    )

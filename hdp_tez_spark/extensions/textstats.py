@@ -1,0 +1,130 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Beyond-reference extension (BASELINE.json). Everything is built from
+JVM-side expressions (no Python UDFs) so the operators stay inside
+whole-stage codegen and scale linearly with corpus size; each has an
+exact SQL twin for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+# words + punctuation runs — a BPE-ish segmentation; POSIX classes only so
+# the same pattern works in Java regex and RE2.
+BPE_ISH_REGEX = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Scoring = fraction of tokens that are stopwords of each
+# language; argmax wins (ties broken by language code order).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace-ish tokens + BPE-ish segment count.
+
+    Output: (id, n_tokens, n_bpeish, n_chars_seen).
+    """
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)).alias(
+            "n_bpeish"
+        ),
+        F.length(text_col).alias("n_chars_seen"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, digit
+    density, stopword ratio, mean token length; combined into score in
+    [0, 1]. All components are exposed so downstream filters can pick
+    their own thresholds.
+    """
+    toks = _tokens(F.col(text_col))
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
+    n_digits = n_chars - F.length(F.regexp_replace(text_col, "[0-9]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        0.3 * length_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + 0.2 * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID. Output: (id, pred_lang, pred_score).
+
+    Score per language = fraction of tokens found in that language's
+    stopword list; argmax with language-code tiebreak. A real deployment
+    swaps the lists for n-gram profiles; the operator shape (explode ->
+    broadcast-join wordlist -> pivot-free argmax) is the scalable part.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        wl = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        frac = F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0))
+        scores.append(F.struct(F.round(frac, 6).alias("score"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs: max score, then max lang code —
+    # deterministic; mirror the same tiebreak in the oracle.
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("pred_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    plus a 60-bit integer form for compact storage/joins."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )
