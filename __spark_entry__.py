@@ -1098,6 +1098,187 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Time-window queries (batch twins of the Structured Streaming operators;
+# streaming forms are exercised in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    return WIN.tumbling_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+    )
+
+
+_SQL_TUMBLING_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS cnt, round(sum(value), 4) AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    return WIN.sliding_agg(
+        ev,
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+    )
+
+
+_SQL_SLIDING_WINDOW = """
+SELECT ws AS window_start, ws + INTERVAL '2 hours' AS window_end,
+       event_type, count(*) AS cnt, round(sum(value), 4) AS total
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    return WIN.session_agg(
+        ev,
+        ts_col="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+    )
+
+
+_SQL_SESSION_WINDOW = """
+WITH ev AS (
+  -- truncate to microseconds: the engine stores microsecond timestamps
+  -- (Spark has no nanos type), so the oracle must compare at the same
+  -- precision
+  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts
+  FROM events
+),
+e AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+i AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 4) AS total
+FROM i
+GROUP BY user_id, island
+"""
+
+
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming dropDuplicates: first event per
+    (user_id, event_type)."""
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    return WIN.first_event_dedup(
+        ev, keys=["user_id", "event_type"], ts_col="ts", tiebreak=["event_id"]
+    ).select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+
+
+_SQL_EVENT_DEDUP = """
+SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode is a deterministic fake — container has no
+# media libs; the mapInPandas schema/batching is the real surface)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    return MM.decode_meta(MM.attach_payload(docs, "text"))
+
+
+_SQL_MULTIMODAL_META = """
+WITH h AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ('0x' || substr(md5(text), 1, 2))::INT AS h0,
+         ('0x' || substr(md5(text), 3, 2))::INT AS h1,
+         ('0x' || substr(md5(text), 5, 2))::INT AS h2
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       16 * (1 + h0 % 120) AS width,
+       16 * (1 + h1 % 68)  AS height,
+       1 + h2 % 240        AS n_frames,
+       CASE h0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS modality
+FROM h
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_payload(docs, "text"), every_nth=30)
+
+
+_SQL_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id, text,
+         1 + ('0x' || substr(md5(text), 5, 2))::INT % 240 AS n_frames
+  FROM documents
+)
+SELECT doc_id, i AS frame_idx, md5(text || i) AS frame_md5
+FROM meta, unnest(range(0, n_frames, 30)) t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1144,6 +1325,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
     "langid": (q_langid, _SQL_LANGID),
     "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    # time-window / event queries (streaming batch-twins)
+    "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
+    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
+    "session_window": (q_session_window, _SQL_SESSION_WINDOW),
+    "event_dedup": (q_event_dedup, _SQL_EVENT_DEDUP),
+    # multimodal plumbing
+    "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
 }
 
 

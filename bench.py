@@ -40,6 +40,16 @@ HEADLINE = [
     "window_running",
     "union_grouped",
     "cube",
+    # LLM-pipeline extensions
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "token_stats",
+    "quality_score",
+    # streaming batch-twins
+    "tumbling_window",
+    "session_window",
 ]
 
 

@@ -25,6 +25,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,23 @@ def _md5_long(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string, reproducible in any
     SQL engine as ('0x' || substr(md5(x),1,15))::BIGINT."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_long_py(s: str) -> int:
+    """Python twin of _md5_long for driver-side constants."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's default parallelism before
+    expression-heavy per-row work. Small dimension-style files arrive as a
+    single split (one task does everything); at real scale the source
+    already has many splits and this is a near-no-op reshuffle guarded by
+    the partition count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _tokens(col: Column) -> Column:
@@ -112,7 +131,7 @@ def ngram_jaccard_pairs(
     least one shingle) — never an all-pairs cross join. Output:
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
-    sh = df.select(
+    sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -159,15 +178,26 @@ def minhash_signatures(
     Permutation i is h_i(x) = (a_i*x + b_i) mod P with a_i, b_i derived
     from md5 of the permutation index — fully reproducible in SQL.
     """
-    sh = df.select(
+    sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
     ).withColumn("x", _md5_long(F.col("shingle")) % MINHASH_P)
-    perms = sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))))
-    a_i = _md5_long(F.concat(F.lit("perm-a-"), F.col("perm"))) % (MINHASH_P - 1) + 1
-    b_i = _md5_long(F.concat(F.lit("perm-b-"), F.col("perm"))) % MINHASH_P
+    # permutation coefficients are 16 driver-side constants (same md5
+    # derivation the SQL oracle uses) — not per-row hash calls
+    params = [
+        F.struct(
+            F.lit(i).alias("perm"),
+            F.lit(_md5_long_py(f"perm-a-{i}") % (MINHASH_P - 1) + 1).alias("a"),
+            F.lit(_md5_long_py(f"perm-b-{i}") % MINHASH_P).alias("b"),
+        )
+        for i in range(num_perms)
+    ]
+    perms = sh.select(
+        "doc", "x", F.explode(F.array(*params)).alias("p")
+    )
     return (
-        perms.withColumn("h", (a_i * F.col("x") + b_i) % MINHASH_P)
+        perms.withColumn("h", (F.col("p.a") * F.col("x") + F.col("p.b")) % MINHASH_P)
+        .select("doc", F.col("p.perm").alias("perm"), "h")
         .groupBy("doc", "perm")
         .agg(F.min("h").alias("minhash"))
     )
@@ -213,13 +243,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0).withColumnRenamed(
-        "jaccard", "jaccard_exact"
+    # Exact-Jaccard verification restricted to the candidate set: join the
+    # per-doc shingle arrays onto each pair and intersect in-place. Cost is
+    # O(|candidates| * shingles-per-doc) — never the all-pairs shingle join
+    # (candidates are the whole point of LSH).
+    shingle_sets = df.select(
+        F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
     )
+    sa = shingle_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .where(F.col("jaccard_exact") >= threshold)
-        .select("id_a", "id_b", F.col("jaccard_exact").alias("jaccard"))
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -234,17 +280,20 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Bit b of the fingerprint is the majority vote of bit b across all
     token hashes (+1 if set, -1 if not; > 0 wins). Output: (doc, simhash).
     """
-    toks = df.select(
+    toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", _md5_long(F.col("tok")))
-    bits = toks.withColumn(
+    # collapse repeated tokens before the 60-way bit explosion: the bit
+    # rows scale with |distinct tokens|, not |tokens|
+    tok_counts = toks.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = tok_counts.withColumn(
         "bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
     ).withColumn(
         # expr(): the shift amount is a column, which the python
         # shiftright() helper does not accept
         "vote",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END"),
     )
     bitvals = (
         bits.groupBy("doc", "bit")

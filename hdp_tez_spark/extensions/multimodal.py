@@ -1,0 +1,179 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas iterators.
+
+Beyond-reference extension (BASELINE.json). The pattern for a 100 TB
+multimodal corpus:
+
+- payloads travel as a `binary` column next to typed metadata columns —
+  never exploded into rows, never through Python row-at-a-time UDFs;
+- decode / feature-extract / resize / frame-sample run via
+  `mapInPandas`: Arrow ships whole record batches to Python once per
+  batch, the worker loops in C-speed pandas, and the schema is declared
+  up front so Catalyst can prune/push around the op;
+- real codec work (PIL/ffmpeg/soundfile) is STUBBED here — the
+  container has no media libraries — behind `_require_codec()`, with a
+  deterministic md5-based fake so the plumbing (schema, batching,
+  partitioning) is fully testable and oracle-checkable.
+
+The fake "decode" derives width/height/frames from the payload's md5,
+reproducible in SQL: width = 16*(1 + h0 % 120) with
+h0 = ('0x' || substr(md5(payload),1,2))::INT, etc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HAVE_REAL_CODECS = False  # flipped when PIL / soundfile / av are present
+
+
+def _require_codec(name: str) -> None:
+    if not HAVE_REAL_CODECS:
+        raise NotImplementedError(
+            f"real {name} decoding needs a media library not present in this "
+            "environment; the deterministic fake decode path is the testable "
+            "surface (see fake_decode_meta)"
+        )
+
+
+def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
+    """Stand-in payload ingestion: utf-8 bytes of a text column as the
+    opaque binary. In production this is the parquet/tar reader emitting
+    real image/audio bytes; everything downstream is identical."""
+    return df.withColumn(payload_col, F.encode(F.col(text_col), "utf-8"))
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("modality", StringType()),
+    ]
+)
+
+
+def _fake_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic pseudo-decode from the payload digest (SQL-reproducible)."""
+    digest = hashlib.md5(payload).hexdigest()
+    h0 = int(digest[0:2], 16)
+    h1 = int(digest[2:4], 16)
+    h2 = int(digest[4:6], 16)
+    width = 16 * (1 + h0 % 120)
+    height = 16 * (1 + h1 % 68)
+    n_frames = 1 + h2 % 240
+    modality = ("image", "audio", "video")[h0 % 3]
+    return width, height, n_frames, modality
+
+
+def decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Extract typed metadata from binary payloads via mapInPandas.
+
+    Arrow-batched: each python worker receives whole record batches; the
+    loop below is per-batch pandas, not per-row Spark. Output schema is
+    declared (META_SCHEMA) so downstream ops prune columns normally.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[payload_col].map(_fake_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "width": metas.map(lambda m: m[0]).astype("int32"),
+                    "height": metas.map(lambda m: m[1]).astype("int32"),
+                    "n_frames": metas.map(lambda m: m[2]).astype("int32"),
+                    "modality": metas.map(lambda m: m[3]),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stub: raises until a real imaging library is present.
+
+    The mapInPandas wiring (schema, batch iteration, target size capture)
+    is the real, reviewable part; only the pixel work is stubbed.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _require_codec("image")
+        for pdf in batches:  # pragma: no cover - unreachable until codecs exist
+            yield pdf
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 30,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling (1 row out per sampled frame — a flat-map).
+
+    Uses the deterministic fake: frame i's digest is md5(payload || i).
+    With a real container parser only `_frames_of` changes; the 1->N
+    mapInPandas shape stays.
+    """
+
+    def _frames_of(doc_id: int, payload: bytes) -> list[tuple[int, int, str]]:
+        _, _, n_frames, _ = _fake_meta(payload)
+        out = []
+        for i in range(0, n_frames, every_nth):
+            digest = hashlib.md5(payload + str(i).encode()).hexdigest()
+            out.append((doc_id, i, digest))
+        return out
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, str]] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows.extend(_frames_of(int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"]).astype(
+                {"doc_id": "int64", "frame_idx": "int32"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, FRAME_SCHEMA)

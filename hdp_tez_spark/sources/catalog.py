@@ -78,7 +78,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div`, not `/`: float division of >2^53 nanos loses ULPs
+        # and can round *up* across a microsecond boundary
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

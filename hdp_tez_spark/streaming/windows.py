@@ -1,0 +1,153 @@
+"""Time-window operators: tumbling / sliding / session windows, watermarked
+streaming aggregation, and streaming dedup.
+
+Beyond-reference extension: streaming is explicitly unsupported in the
+reference (`tez-api/.../dag/api/EdgeProperty.java:71-102` —
+`DataSourceType.EPHEMERAL` and `SchedulingType.CONCURRENT` are @Unstable
+"not supported yet"; SURVEY §2.9). The engine exposes the idiomatic
+Structured Streaming surface instead, with batch twins of each window
+shape so results are oracle-checkable.
+
+Each operator has two forms:
+- a *batch* form over a static DataFrame (deterministic, SQL-oracled);
+- a *streaming* form taking a streaming DataFrame and adding the
+  watermark — same logical aggregation, incremental state store
+  execution. The batch/stream parity is exactly Spark's unified-model
+  guarantee, tested in tests/test_streaming.py with availableNow.
+
+Scale notes: windowed aggregations shuffle by (window, keys) — state is
+bounded by watermark eviction; session windows merge in the state store
+per key. Skewed keys (one hot user) are the classic hazard — sub-key
+salting before a second-stage merge is the mitigation if a key's session
+state outgrows an executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _flatten_window(df: DataFrame, start_name: str, end_name: str) -> DataFrame:
+    """Replace the struct `w` produced by window()/session_window() grouping
+    with two plain timestamp columns."""
+    return (
+        df.withColumn(start_name, F.col("w.start"))
+        .withColumn(end_name, F.col("w.end"))
+        .drop("w")
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Fixed non-overlapping windows: one row per (window, keys).
+
+    Output includes window_start / window_end as plain timestamp columns.
+    """
+    w = F.window(F.col(ts_col), duration)
+    return _flatten_window(
+        df.groupBy(w.alias("w"), *keys).agg(*aggs), "window_start", "window_end"
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return _flatten_window(
+        df.groupBy(w.alias("w"), *keys).agg(*aggs), "window_start", "window_end"
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Session windows: a session closes after `gap` of inactivity per key;
+    session end = last event + gap (Spark session_window semantics)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return _flatten_window(
+        df.groupBy(w.alias("w"), *keys).agg(*aggs), "session_start", "session_end"
+    )
+
+
+def first_event_dedup(
+    df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak: Sequence[str]
+) -> DataFrame:
+    """Batch twin of streaming dropDuplicates: keep the first event per key
+    by (ts, *tiebreak). Deterministic under timestamp ties."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming forms
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming tumbling aggregation with late-data watermark. State for a
+    window is dropped once the watermark passes window_end."""
+    return tumbling_agg(
+        sdf.withWatermark(ts_col, watermark), ts_col, duration, keys, aggs
+    )
+
+
+def stream_session_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows (state-store session merge per key)."""
+    return session_agg(
+        sdf.withWatermark(ts_col, watermark), ts_col, gap, keys, aggs
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming dedup on keys. With `within_watermark`, duplicates are only
+    suppressed inside the watermark horizon (bounded state — the 100 TB
+    shape); otherwise state grows with distinct keys."""
+    wdf = sdf.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wdf.dropDuplicatesWithinWatermark(list(keys))
+    return wdf.dropDuplicates([*keys])

@@ -1,0 +1,85 @@
+"""Structured Streaming forms match their batch twins (Spark's unified
+model, exercised end-to-end with availableNow over the events table)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.sources.catalog import load_table
+from hdp_tez_spark.streaming import windows as WIN
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    """The events table re-materialized as a file-source stream."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    # several files so the stream has multiple input splits
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    schema = ev.schema
+    return spark.readStream.schema(schema).parquet(d), ev
+
+
+def _run_stream(sdf, mode="complete"):
+    d = tempfile.mkdtemp(prefix="sink_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(f"q_{abs(hash(d))}"
+        )
+        .outputMode(mode)
+        .option("checkpointLocation", d)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    name = q.name
+    return name
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, event_stream):
+    sdf, ev = event_stream
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total")]
+    streamed = WIN.stream_tumbling_agg(
+        sdf, "ts", "1 hour", ["event_type"], aggs, watermark="2 hours"
+    )
+    name = _run_stream(streamed, mode="complete")
+    batch = WIN.tumbling_agg(ev, "ts", "1 hour", ["event_type"], aggs)
+    assert _rows(spark, name) == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_session_matches_batch(spark, event_stream):
+    sdf, ev = event_stream
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    streamed = WIN.stream_session_agg(
+        sdf, "ts", "30 minutes", ["user_id"], aggs, watermark="2 hours"
+    )
+    name = _run_stream(streamed, mode="complete")
+    batch = WIN.session_agg(ev, "ts", "30 minutes", ["user_id"], aggs)
+    assert _rows(spark, name) == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_dedup_matches_batch(spark, event_stream):
+    sdf, ev = event_stream
+    streamed = WIN.stream_dedup(sdf, ["user_id", "event_type"], "ts", watermark="2 hours")
+    name = _run_stream(streamed, mode="append")
+    got = spark.table(name).groupBy("user_id", "event_type").count()
+    # streaming dropDuplicates keeps exactly one row per key (which row is
+    # arrival-order dependent; the *set of keys* is the deterministic part)
+    assert got.where(F.col("count") > 1).count() == 0
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    stream_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.table(name).select("user_id", "event_type").collect()
+    }
+    assert stream_keys == batch_keys
