@@ -1098,6 +1098,254 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Collection / JSON surface, cogroup, subqueries, skew-safe join
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (events.props) + aggregation."""
+    from hdp_tez_spark.functions import collections as C
+
+    ev = _t(spark, sf_dir, "events")
+    with_k = C.with_json_fields(ev, "props", {"k": "$.k"}).withColumn(
+        "k", F.col("k").cast("int")
+    )
+    return (
+        with_k.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type, count(*) AS cnt,
+       sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+       min(json_extract_string(props, '$.k')::INT) AS min_k,
+       max(json_extract_string(props, '$.k')::INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column."""
+    from hdp_tez_spark.functions import collections as C
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.array_stats(emb, "embedding", "vec_id")
+
+
+_SQL_ARRAY_STATS = """
+SELECT vec_id,
+       len(embedding) AS n,
+       round(list_min(embedding::DOUBLE[]), 6) AS amin,
+       round(list_max(embedding::DOUBLE[]), 6) AS amax,
+       round(list_sum(embedding::DOUBLE[]), 6) AS asum,
+       round(embedding[1]::DOUBLE, 6) AS first_el,
+       round(list_sum((embedding::DOUBLE[])[1:8]), 6) AS head_sum
+FROM embeddings
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-comparator semantics as data: first 3 quantities per
+    supplier in (linenumber, orderkey) order."""
+    from hdp_tez_spark.functions import collections as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return C.collect_sorted_list(
+        li,
+        keys=["l_suppkey"],
+        sort_cols=["l_linenumber", "l_orderkey"],
+        value_col="l_quantity",
+        limit=3,
+        out="first_qtys",
+    )
+
+
+_SQL_COLLECT_SORTED = """
+SELECT l_suppkey,
+       (list(l_quantity ORDER BY l_linenumber, l_orderkey, l_quantity))[1:3]
+         AS first_qtys
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OrderedGroupedMergedKVInput parity: one co-located pass over both
+    sides' groups via cogroup + applyInPandas.
+
+    Scalable shape: cogroup on a coarse *bucket* of keys (not the raw key)
+    so the Python function runs once per bucket over an Arrow batch and
+    does a vectorized pandas groupby inside — thousands of keys per
+    invocation instead of one call per key. This is the difference
+    between 35s and ~2s at sf0.01, and between feasible and not at 100 TB.
+    """
+    from hdp_tez_spark.operators.setops import cogroup_apply
+
+    n_buckets = 64
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % n_buckets).alias("bucket"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        (F.col("l_orderkey") % n_buckets).alias("bucket"),
+        "l_quantity",
+    )
+
+    def merge(left, right):
+        import pandas as pd
+
+        lg = left.groupby("key").size().rename("n_orders")
+        rg = right.groupby("key").agg(
+            n_lines=("key", "size"), sum_qty=("l_quantity", "sum")
+        )
+        out = pd.concat([lg, rg], axis=1).fillna(0).reset_index()
+        out["sum_qty"] = out["sum_qty"].astype(float).round(2)
+        return out[["key", "n_orders", "n_lines", "sum_qty"]].astype(
+            {"key": "int64", "n_orders": "int64", "n_lines": "int64"}
+        )
+
+    return cogroup_apply(
+        orders,
+        li,
+        keys=["bucket"],
+        func=merge,
+        schema="key long, n_orders long, n_lines long, sum_qty double",
+    )
+
+
+_SQL_COGROUP = """
+WITH o AS (SELECT o_orderkey AS key, count(*) AS n_orders FROM orders GROUP BY 1),
+     l AS (SELECT l_orderkey AS key, count(*) AS n_lines,
+                  round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY 1)
+SELECT coalesce(o.key, l.key) AS key,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(sum_qty, 0.0) AS sum_qty
+FROM o FULL OUTER JOIN l ON o.key = l.key
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with a late line item, per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "leftsemi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_EXISTS_SUBQUERY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style NOT IN: parts never shipped in large quantity, per brand."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return (
+        part.join(big, "p_partkey", "leftanti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("part_cnt"))
+        .orderBy("p_brand")
+    )
+
+
+_SQL_NOT_IN_SUBQUERY = """
+SELECT p_brand, count(*) AS part_cnt
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style correlated scalar subquery: revenue of small-quantity
+    orders relative to each part's average, via broadcast agg join."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"))
+    )
+
+
+_SQL_SCALAR_SUBQUERY = """
+SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue
+FROM lineitem l
+JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: l_returnflag is a 3-value hot key; the salt
+    spreads each key over 8 reducers. Output equals the plain join, so the
+    oracle is salt-free SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag-"), F.col("l_returnflag")))
+    )
+    joined = J.salted_join(li, dim, on=["l_returnflag"], salt_buckets=8)
+    return (
+        joined.groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("flag_label")
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT 'flag-' || l_returnflag AS flag_label, count(*) AS cnt,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag_label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-window queries (batch twins of the Structured Streaming operators;
 # streaming forms are exercised in tests/test_streaming.py)
 # ---------------------------------------------------------------------------
@@ -1325,6 +1573,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
     "langid": (q_langid, _SQL_LANGID),
     "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    # collections / subqueries / cogroup / skew
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
+    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
+    "cogroup": (q_cogroup, _SQL_COGROUP),
+    "exists_subquery": (q_exists_subquery, _SQL_EXISTS_SUBQUERY),
+    "not_in_subquery": (q_not_in_subquery, _SQL_NOT_IN_SUBQUERY),
+    "scalar_subquery": (q_scalar_subquery, _SQL_SCALAR_SUBQUERY),
+    "salted_join": (q_salted_join, _SQL_SALTED_JOIN),
     # time-window / event queries (streaming batch-twins)
     "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),

@@ -118,6 +118,35 @@ def range_join(
     return left.join(right, on=condition, how=how)
 
 
+def salted_join(
+    left_skewed: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the skewed (left) side gets a random salt
+    in [0, salt_buckets); the right side is exploded across every salt
+    value, so each hot key's rows spread over `salt_buckets` reducers.
+
+    This is the manual fallback for skew AQE can't fix (e.g. a single key
+    larger than an executor). Results are identical to a plain join; cost
+    is `salt_buckets`x replication of the right side — keep it for
+    genuinely small-ish right sides or pre-filter to the hot keys.
+    Tez analogue: a custom EdgeManagerPlugin routing
+    (`tez-api/.../dag/api/EdgeManagerPlugin.java:36-143`) — here it is
+    pure column algebra.
+    """
+    keys = list(on)
+    l = left_skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,

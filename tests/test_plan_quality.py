@@ -1,0 +1,106 @@
+"""Physical-plan quality gates: the plans the engine promises at 100 TB.
+
+These assert on `.explain()` output, not results: predicate/column
+pushdown into the parquet scan, broadcast strategy for small dims,
+whole-stage codegen coverage, AQE enabled, and salted-join equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from hdp_tez_spark.operators.joins import salted_join
+from hdp_tez_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = E.queries()["filter_project"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(l_discount)" in plan or "GreaterThan(l_discount" in plan
+
+
+def test_column_pruning(spark):
+    df = E.queries()["filter_project"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    # ReadSchema in the scan must not include unprojected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_comment" not in read_schema[0]
+    assert "l_tax" not in read_schema[0]
+
+
+def test_broadcast_join_strategy(spark):
+    df = E.queries()["broadcast_hash_join"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_sortmerge_join_strategy(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    j = li.hint("MERGE").join(orders, li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in _plan(j)
+
+
+def test_shuffle_hash_join_strategy(spark):
+    df = E.queries()["shuffle_hash_join"](spark, SF_SMOKE)
+    assert "ShuffledHashJoin" in _plan(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    df = E.queries()["topk"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = E.queries()["tpch_q1"](spark, SF_SMOKE)
+    df.collect()  # AQE shows codegen spans only in the final (executed) plan
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the simpleString form
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_partial_aggregation_present(spark):
+    """Combiner parity: map-side partial agg before the exchange."""
+    df = E.queries()["mrr_group_order"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "label", F.concat(F.lit("x-"), F.col("l_returnflag"))
+    )
+    plain = (
+        li.join(dim, "l_returnflag")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    salted = (
+        salted_join(li, dim, on=["l_returnflag"], salt_buckets=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_global_sort_no_single_partition_window(spark):
+    """global_sort must not funnel all rows through one window task."""
+    df = E.queries()["global_sort"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # the ranked implementation partitions by __pid — a Window over an
+    # empty partition spec would show 'Window [...] []' with no partition
+    assert "partitionBy" not in plan or "__pid" in plan
+    assert df.count() > 0

@@ -1,0 +1,102 @@
+"""Source/sink surface: MRInput/MROutput parity (SURVEY §2.1).
+
+Round-trips through parquet / csv / json / orc, partitioned writes, and
+bucketed tables with a shuffle-free join — the Spark equivalents of
+Tez's MRInput (`tez-mapreduce/.../input/MRInput.java:84`) over arbitrary
+InputFormats and MROutput commit semantics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.sources.catalog import load_table, write_parquet
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return load_table(spark, SF_SMOKE, "nation")
+
+
+def _roundtrip(spark, df, fmt: str, **read_opts):
+    d = tempfile.mkdtemp(prefix=f"sink_{fmt}_")
+    df.write.mode("overwrite").format(fmt).save(d)
+    back = spark.read.format(fmt).options(**read_opts).load(d)
+    return back
+
+
+def test_parquet_roundtrip(spark, nation):
+    d = tempfile.mkdtemp(prefix="sink_parquet_")
+    write_parquet(nation, d)
+    back = spark.read.parquet(d)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_csv_roundtrip(spark, nation):
+    d = tempfile.mkdtemp(prefix="sink_csv_")
+    nation.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(d)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_json_roundtrip(spark, nation):
+    back = _roundtrip(spark, nation, "json")
+    assert back.count() == nation.count()
+    got = {(r.n_nationkey, r.n_name) for r in back.collect()}
+    assert got == {(r.n_nationkey, r.n_name) for r in nation.collect()}
+
+
+def test_orc_roundtrip(spark, nation):
+    back = _roundtrip(spark, nation, "orc")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_partitioned_write_prunes(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    d = tempfile.mkdtemp(prefix="sink_part_")
+    write_parquet(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"),
+        d,
+        partition_by=["l_returnflag"],
+    )
+    back = spark.read.parquet(d).where(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan reads only the matching directory
+    assert back.count() == li.where(F.col("l_returnflag") == "R").count()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or "l_returnflag#" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Pre-bucketed co-located join: both sides bucketed by the key ->
+    SortMergeJoin with no Exchange (the Tez 'persisted partitioned edge'
+    reuse pattern, and the 100 TB answer for repeated big-big joins)."""
+    import shutil
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("b_lineitem")
+    # MERGE hint: at this tiny SF Catalyst would otherwise broadcast and
+    # bypass the bucketing entirely; on real data SMJ is the default
+    j = spark.table("b_lineitem").hint("MERGE").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
