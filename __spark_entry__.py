@@ -1527,6 +1527,415 @@ FROM meta, unnest(range(0, n_frames, 30)) t(i)
 
 
 # ---------------------------------------------------------------------------
+# Round-1 widening: grouping sets, outer/as-of joins, UDAF surface, and
+# additional TPC-H-ish queries (adapted to the available columns)
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over lineitem flags with grouping() markers
+    (SURVEY §2.6 — absent in Tez; beyond-reference surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.grouping_sets_agg(
+        li,
+        sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-customer order counts vs per-user event counts
+    (SURVEY §2.7 — Tez examples only build inner/semi joins)."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    o = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("order_cnt"))
+    e = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("event_cnt"))
+    j = J.full_outer_join(o, e, on=o.o_custkey == e.user_id)
+    return j.select(
+        F.coalesce(F.col("o_custkey"), F.col("user_id")).alias("custkey"),
+        F.coalesce(F.col("order_cnt"), F.lit(0)).alias("order_cnt"),
+        F.coalesce(F.col("event_cnt"), F.lit(0)).alias("event_cnt"),
+    )
+
+
+_SQL_FULL_OUTER_JOIN = """
+SELECT coalesce(o.k, e.k) AS custkey,
+       coalesce(o.order_cnt, 0) AS order_cnt,
+       coalesce(e.event_cnt, 0) AS event_cnt
+FROM (SELECT o_custkey AS k, count(*) AS order_cnt FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id AS k, count(*) AS event_cnt FROM events GROUP BY 1) e
+ON o.k = e.k
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest purchase by the same user at
+    or before the click, plus a running purchase count. Implemented as a
+    single-shuffle union+window (operators/joins.py asof_join) — no
+    quadratic range-join blowup at scale."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("last_purchase_ts")
+    )
+    return J.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        values=["last_purchase_ts"],
+        count_name="purchases_so_far",
+    )
+
+
+_SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, e.ts,
+       max(p.ts)   AS last_purchase_ts,
+       count(p.ts) AS purchases_so_far
+FROM events e
+LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+WHERE e.event_type = 'click'
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+def q_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (SURVEY §2.10: the Spark twin of Tez's
+    reduce-side user loops / Combiner). Exact per-group median."""
+    from hdp_tez_spark.functions import udafs as U
+
+    orders = _t(spark, sf_dir, "orders")
+    med = U.group_median(
+        orders, ["o_orderpriority"], "o_totalprice", out="median_price"
+    )
+    return med.select(
+        "o_orderpriority", F.round("median_price", 2).alias("median_price")
+    )
+
+
+_SQL_MEDIAN_UDAF = """
+SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles via the built-in JVM `percentile`
+    (preferred over any UDAF — stays in codegen)."""
+    from hdp_tez_spark.functions import udafs as U
+
+    li = _t(spark, sf_dir, "lineitem")
+    # no rounding: both engines use the same percentile_cont interpolation,
+    # and rounding would amplify sub-ulp differences across a .005 boundary
+    return li.groupBy("l_returnflag").agg(
+        U.percentile_exact("l_extendedprice", 0.5).alias("p50"),
+        U.percentile_exact("l_extendedprice", 0.9).alias("p90"),
+    )
+
+
+_SQL_PERCENTILE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-ish volume shipping between two nations. Dims filtered before the
+    fact join so only matching supplier/customer keys reach the big join;
+    nation maps broadcast."""
+    n1, n2 = "NATION_1", "NATION_2"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(n1, n2))
+    supplier = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    )
+    customer = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    )
+    joined = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-ish returned-item revenue: top 20 customers by revenue lost to
+    returns in one quarter."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    # revenue summed as integer cents: order-independent exact arithmetic,
+    # so Spark and the oracle agree bit-for-bit regardless of partitioning
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-ish customer order-count distribution (left outer join with an
+    extra join predicate, double aggregation)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_outer"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-ish promo revenue share for one month (conditional aggregation
+    over a broadcast dimension join)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-ish small-quantity-order revenue: lineitems below 20% of their
+    part's average quantity, for one brand. The correlated subquery is
+    decorrelated by hand: pre-aggregate per-part averages once, broadcast
+    them back — at 100 TB this is one scan + one broadcast instead of a
+    per-row subquery."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"))
+    avgs = li_b.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_b.join(
+            F.broadcast(avgs.withColumnRenamed("l_partkey", "ak")),
+            li_b.l_partkey == F.col("ak"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-ish large-volume customers: orders whose lineitems sum past a
+    quantity threshold (semi-join-by-aggregate pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(t.s, 2) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS s
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-ish: well-funded customers with no urgent orders, per nation.
+    Scalar subquery (global avg) broadcast + anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("abal"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_TPCH_Q22 = """
+WITH a AS (SELECT avg(c_acctbal) AS abal FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > a.abal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1561,6 +1970,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, _SQL_TPCH_Q10),
+    "tpch_q13": (q_tpch_q13, _SQL_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
+    "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
+    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
+    "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
+    "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
+    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
+    "percentile": (q_percentile, _SQL_PERCENTILE),
     # LLM-data-pipeline extensions
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),

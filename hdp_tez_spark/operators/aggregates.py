@@ -74,3 +74,19 @@ def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Data
 def count_by_key(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:
     """WordCount-style (key, count) aggregation (`WordCount.java:113-140`)."""
     return df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """GROUPING SETS over explicit key subsets (beyond-reference surface;
+    SURVEY §2.6 — Tez has no expression layer, so rollup/cube/sets live
+    only in its clients). One pass over the input; Spark expands the sets
+    with a single Expand node before the aggregation, so the shuffle still
+    carries partial states only."""
+    return df.groupingSets([list(s) for s in sets], *[F.col(k) for k in keys]).agg(
+        *aggs
+    )

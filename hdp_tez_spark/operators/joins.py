@@ -147,6 +147,78 @@ def salted_join(
     return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    values: Sequence[str],
+    count_name: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to every left row the `values` columns of the
+    *latest* right row with ``right_ts <= left_ts`` in the same key group
+    (backward direction; a right row exactly at left_ts matches).
+
+    Absent in the reference (Tez 0.7 has no temporal operators at all —
+    SURVEY §2.7 lists theta/range/as-of as "Absent"); included as
+    beyond-reference surface for time-series workloads.
+
+    Implementation is the scale-correct one: instead of an exploding
+    range join (left x all-earlier-right, then max), both sides are
+    tagged and unioned, shuffled ONCE on the key, sorted by (ts, tag)
+    within partitions, and the right-row values are carried forward with
+    `last(..., ignorenulls=True)` over a running window. Cost is one
+    shuffle of |left|+|right| rows — no quadratic blowup on hot keys,
+    which is what makes this viable on 100 TB of events.
+
+    `count_name`, if given, adds a running count of matched right rows
+    (how many right events precede each left row).
+
+    Left/`values` column names must be disjoint. Right rows that tie on
+    (key, right_ts) make the attached values order-dependent — dedup the
+    right side first if ties are possible.
+    """
+    from pyspark.sql import Window
+
+    keys = list(on)
+    lcols = left.columns
+    l = left.withColumn("__tag", F.lit(1)).withColumn("__t", F.col(left_ts))
+    for v in values:
+        l = l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    r = right.select(*keys, F.col(right_ts).alias("__t"), *values).withColumn(
+        "__tag", F.lit(0)
+    )
+    for c in lcols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r)
+    # right rows (tag 0) sort before left rows at the same timestamp, so an
+    # exactly-simultaneous right row is visible to the left row
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in values:
+        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    if count_name is not None:
+        u = u.withColumn(
+            count_name, F.sum(F.when(F.col("__tag") == 0, 1).otherwise(0)).over(w)
+        )
+    return u.where(F.col("__tag") == 1).drop("__tag", "__t")
+
+
+def full_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+) -> DataFrame:
+    """Full outer join — rows from both sides, nulls where unmatched.
+    Beyond-reference surface (Tez examples only build inner/semi joins)."""
+    return left.join(right, on=on, how="full_outer")
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,
