@@ -166,6 +166,41 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _perm_coeffs(num_perms: int) -> list[tuple[int, int]]:
+    """Permutation i is h_i(x) = (a_i*x + b_i) mod P with a_i, b_i derived
+    from md5 of the permutation index — fully reproducible in SQL."""
+    return [
+        (
+            _md5_long_py(f"perm-a-{i}") % (MINHASH_P - 1) + 1,
+            _md5_long_py(f"perm-b-{i}") % MINHASH_P,
+        )
+        for i in range(num_perms)
+    ]
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, xs: array<long>) — per-doc shingle hashes, all map-side."""
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            _shingles(F.col(text_col), k), lambda s: _md5_long(s) % MINHASH_P
+        ).alias("xs"),
+    )
+
+
+def _minhash_cols(num_perms: int) -> list[Column]:
+    """min over the shingle-hash array under each permutation — a pure
+    projection (no shuffle): the whole signature is computed where the
+    document already lives, and only (doc, 16 longs) ever moves."""
+    def perm_fn(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(F.col("xs"), perm_fn(a, b)))
+        for a, b in _perm_coeffs(num_perms)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -175,31 +210,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, perm, minhash) — one row per doc per permutation.
 
-    Permutation i is h_i(x) = (a_i*x + b_i) mod P with a_i, b_i derived
-    from md5 of the permutation index — fully reproducible in SQL.
+    Computed entirely map-side from the per-doc shingle array (see
+    `_minhash_cols`); the exploded shape exists only for the consumer.
     """
-    sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
-    ).withColumn("x", _md5_long(F.col("shingle")) % MINHASH_P)
-    # permutation coefficients are 16 driver-side constants (same md5
-    # derivation the SQL oracle uses) — not per-row hash calls
-    params = [
-        F.struct(
-            F.lit(i).alias("perm"),
-            F.lit(_md5_long_py(f"perm-a-{i}") % (MINHASH_P - 1) + 1).alias("a"),
-            F.lit(_md5_long_py(f"perm-b-{i}") % MINHASH_P).alias("b"),
-        )
+    mh = _minhash_cols(num_perms)
+    entries = [
+        F.struct(F.lit(i).alias("perm"), mh[i].alias("minhash"))
         for i in range(num_perms)
     ]
-    perms = sh.select(
-        "doc", "x", F.explode(F.array(*params)).alias("p")
-    )
     return (
-        perms.withColumn("h", (F.col("p.a") * F.col("x") + F.col("p.b")) % MINHASH_P)
-        .select("doc", F.col("p.perm").alias("perm"), "h")
-        .groupBy("doc", "perm")
-        .agg(F.min("h").alias("minhash"))
+        _shingle_hashes(df, id_col, text_col, k)
+        .select("doc", F.explode(F.array(*entries)).alias("s"))
+        .select("doc", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash"))
     )
 
 
@@ -221,15 +243,25 @@ def minhash_lsh_pairs(
     then verified with the exact shingle Jaccard, so the output is
     deterministic (no probabilistic false positives survive).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, k)
-    bands = (
-        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                "-", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash")))
-            ).alias("band_sig")
+    # band signatures straight from the map-side signature columns — the
+    # first shuffle in the whole pipeline is the band self-join below
+    mh = _minhash_cols(num_perms)
+    band_entries = []
+    for band in range(num_perms // band_rows):
+        parts = [
+            F.concat_ws(":", F.lit(p), mh[p])
+            for p in range(band * band_rows, (band + 1) * band_rows)
+        ]
+        band_entries.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws("-", F.array_sort(F.array(*parts))).alias("band_sig"),
+            )
         )
+    bands = (
+        _shingle_hashes(df, id_col, text_col, k)
+        .select("doc", F.explode(F.array(*band_entries)).alias("bs"))
+        .select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -246,7 +278,11 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification restricted to the candidate set: join the
     # per-doc shingle arrays onto each pair and intersect in-place. Cost is
     # O(|candidates| * shingles-per-doc) — never the all-pairs shingle join
-    # (candidates are the whole point of LSH).
+    # (candidates are the whole point of LSH). Joins are left declarative:
+    # AQE converts them to broadcast-hash at runtime when the candidate set
+    # is small (the usual case), and falls back to shuffle joins when a
+    # pathological corpus makes it large — forcing broadcast by hand would
+    # serialize the two corpus-side shingle scans behind each other.
     shingle_sets = df.select(
         F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
     )
@@ -284,26 +320,25 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.col(id_col).alias("doc"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", _md5_long(F.col("tok")))
-    # collapse repeated tokens before the 60-way bit explosion: the bit
-    # rows scale with |distinct tokens|, not |tokens|
-    tok_counts = toks.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("cnt"))
-    bits = tok_counts.withColumn(
-        "bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
-    ).withColumn(
-        # expr(): the shift amount is a column, which the python
-        # shiftright() helper does not accept
-        "vote",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END"),
+    # one aggregation with 60 vote columns instead of a 60-way bit explode:
+    # partial (map-side) aggregation reduces each doc to 60 longs per map
+    # partition, so the shuffle carries |docs| x 60 longs — not
+    # |tokens| x 60 rows
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bitvals = (
-        bits.groupBy("doc", "bit")
-        .agg(F.sum("vote").alias("votes"))
-        .withColumn(
-            "bitval",
-            F.expr("CASE WHEN votes > 0 THEN shiftleft(1L, bit) ELSE 0L END"),
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return bitvals.groupBy("doc").agg(F.sum("bitval").alias("simhash"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
