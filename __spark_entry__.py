@@ -1935,6 +1935,67 @@ GROUP BY c_nationkey
 """
 
 
+# The same ANSI text runs verbatim on Spark SQL and the DuckDB oracle —
+# the passthrough surface is Catalyst itself (hdp_tez_spark/sql.py).
+# Per-customer spend is summed as integer cents so ranking ties cannot
+# flip between engines.
+_SQL_PASSTHROUGH_TEXT = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_mktsegment, c_custkey, total_spend, rnk FROM (
+  SELECT c_custkey, c_mktsegment, total_spend,
+         rank() OVER (PARTITION BY c_mktsegment
+                      ORDER BY total_spend DESC, c_custkey) AS rnk
+  FROM spend
+) ranked
+WHERE rnk <= 3
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to a click by the same user within the prior
+    10 minutes — the batch twin of the watermarked stream-stream join
+    (streaming/windows.py interval_join)."""
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    j = WIN.interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "p_ts", "10 minutes"
+    )
+    return j.select("click_id", clicks["user_id"], "click_ts", "p_ts", "value")
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.ts AS p_ts, p.value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 10 MINUTE
+ AND p.ts <= c.ts
+"""
+
+
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql entry point: top-3 spenders per market segment (CTE +
+    join + window), same text the oracle runs."""
+    from hdp_tez_spark import sql as SQL
+
+    SQL.register_tables(spark, sf_dir, ["customer", "orders"])
+    return SQL.sql(spark, _SQL_PASSTHROUGH_TEXT)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1982,6 +2043,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "percentile": (q_percentile, _SQL_PERCENTILE),
+    "sql_passthrough": (q_sql_passthrough, _SQL_PASSTHROUGH_TEXT),
+    "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
     # LLM-data-pipeline extensions
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),

@@ -137,6 +137,32 @@ def stream_session_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    max_lag: str,
+) -> DataFrame:
+    """Equi-key join where the right event must fall within
+    [left_ts - max_lag, left_ts] — e.g. "purchase attributed to a click in
+    the last 10 minutes". Works identically on batch and streaming inputs
+    (the unified-model guarantee).
+
+    Streaming form: apply `withWatermark` to BOTH inputs before calling;
+    the time bound lets Spark evict join state once the watermark passes
+    (unbounded state otherwise — the stream-stream join hazard at scale).
+    """
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {max_lag}")
+    cond = cond & (F.col(right_ts) >= lo) & (F.col(right_ts) <= F.col(left_ts))
+    return left.join(right, cond)
+
+
 def stream_dedup(
     sdf: DataFrame,
     keys: Sequence[str],

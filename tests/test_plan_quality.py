@@ -104,3 +104,47 @@ def test_global_sort_no_single_partition_window(spark):
     # empty partition spec would show 'Window [...] []' with no partition
     assert "partitionBy" not in plan or "__pid" in plan
     assert df.count() > 0
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join promises exactly one hash-partitioned exchange (the window
+    shuffle) — no range-join explosion, no cartesian product."""
+    df = E.queries()["asof_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    """Signatures are a pure projection: no hash-partitioned exchange
+    before the signature columns exist (only the optional round-robin
+    spread of a single-split input)."""
+    from hdp_tez_spark.extensions import dedup as D
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    assert "Exchange hashpartitioning" not in _plan(sigs)
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS compiles to one Expand + one aggregation pass, not a
+    union of per-set scans."""
+    df = E.queries()["grouping_sets"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Expand") == 1, plan
+
+
+def test_tpch_q7_broadcasts_dims(spark):
+    """Filtered dim joins must be broadcast; the only shuffle join allowed
+    is lineitem-orders."""
+    df = E.queries()["tpch_q7"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_decorrelated_q17_no_cartesian(spark):
+    df = E.queries()["tpch_q17"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

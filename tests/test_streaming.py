@@ -83,3 +83,31 @@ def test_stream_dedup_matches_batch(spark, event_stream):
         for r in spark.table(name).select("user_id", "event_type").collect()
     }
     assert stream_keys == batch_keys
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream):
+    """Watermarked stream-stream interval join produces exactly the batch
+    join's pairs (bounded state via the time-range condition)."""
+    sdf, ev = event_stream
+    def split(df, typ, ts_name, extra):
+        out = df.where(F.col("event_type") == typ).select(
+            F.col("event_id").alias(f"{typ}_id"),
+            F.col("user_id").alias(f"{typ}_user"),
+            F.col("ts").alias(ts_name),
+            *extra,
+        )
+        return out
+
+    s_clicks = split(sdf, "click", "click_ts", []).withWatermark("click_ts", "1 hour")
+    s_purch = split(sdf, "purchase", "p_ts", ["value"]).withWatermark("p_ts", "1 hour")
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("p_ts") <= F.col("click_ts"))
+    )
+    streamed = s_clicks.join(s_purch, cond).select("click_id", "purchase_id")
+    name = _run_stream(streamed, mode="append")
+    b_clicks = split(ev, "click", "click_ts", [])
+    b_purch = split(ev, "purchase", "p_ts", ["value"])
+    batch = b_clicks.join(b_purch, cond).select("click_id", "purchase_id")
+    assert _rows(spark, name) == {tuple(r) for r in batch.collect()}
