@@ -28,7 +28,11 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
     "mrr_group_order",
+    "asof_join",
     "broadcast_hash_join",
     "sortmerge_join",
     "shuffle_hash_join",
