@@ -1987,6 +1987,73 @@ JOIN events p
 """
 
 
+def q_sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User code over sorted groups (Tez grouping-comparator semantics):
+    per customer, days since the previous order, computed imperatively in
+    pandas over the date-ordered group."""
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        prev = pdf["o_orderdate"].shift(1)
+        days = (pdf["o_orderdate"] - prev).dt.days
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "gap_days": days.astype("Int64"),
+            }
+        )
+
+    return SRT.sorted_group_apply(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        gaps,
+        "o_custkey long, o_orderkey long, gap_days long",
+    )
+
+
+_SQL_SORTED_GROUP_APPLY = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: n-gram Jaccard pairs -> iterative connected
+    components -> (doc, representative). The iterative half of every
+    dedup pipeline; oracle is a recursive-CTE transitive closure."""
+    from hdp_tez_spark.extensions import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, "doc_id", "text", threshold=0.1)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_TOKS_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jaccard_pairs WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM jaccard_pairs WHERE jaccard >= 0.1
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+rep AS (SELECT src AS doc, min(dst) AS m FROM reach GROUP BY src)
+SELECT d.doc_id,
+       CAST(least(coalesce(r.m, d.doc_id), d.doc_id) AS BIGINT) AS rep
+FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc
+"""
+
+
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.sql entry point: top-3 spenders per market segment (CTE +
     join + window), same text the oracle runs."""
@@ -2045,6 +2112,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentile": (q_percentile, _SQL_PERCENTILE),
     "sql_passthrough": (q_sql_passthrough, _SQL_PASSTHROUGH_TEXT),
     "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
+    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
+    "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     # LLM-data-pipeline extensions
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),

@@ -306,6 +306,91 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, label) for every node in `edges`, where label is the minimum
+    node id in the node's connected component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup graphs are shallow — a handful of rounds).
+    `localCheckpoint` truncates the lineage every round so the plan does
+    not grow unboundedly — the standard requirement for iterative
+    DataFrame algorithms (use a reliable `checkpoint` dir on a real
+    cluster for fault tolerance across a long job).
+
+    This is the missing half of every near-dup pipeline: pair lists
+    (minhash/simhash/jaccard) become keep/drop decisions only after
+    transitive closure groups them into clusters.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, rep): every document labeled with its near-dup cluster
+    representative (min doc id of the component; singletons represent
+    themselves). Keep rows where rep == id to deduplicate the corpus."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    cc = connected_components(pairs)
+    return df.select(F.col(id_col)).join(
+        cc, df[id_col] == cc.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("label"), F.col(id_col)).alias("rep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

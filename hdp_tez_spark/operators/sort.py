@@ -107,6 +107,38 @@ def secondary_sort_ranked(
     return df.withColumn(rank_name, fn.over(w))
 
 
+def sorted_group_apply(
+    df: DataFrame,
+    partition_key: str | Sequence[str],
+    secondary: Sequence[str],
+    func,
+    schema,
+) -> DataFrame:
+    """Grouping-comparator parity (SURVEY §4.6 item 2): run arbitrary user
+    code over each group with the group's rows presented in secondary-key
+    order — exactly what a Tez reduce processor sees from a grouped
+    `KeyValuesReader` under a secondary comparator
+    (`SecondarySort.java:148-163,229`, `TezRuntimeConfiguration.java:361`).
+
+    `func(pdf: pandas.DataFrame) -> pandas.DataFrame` receives one group,
+    already sorted by `secondary` (stable sort, so input order breaks any
+    remaining ties deterministically only if the caller's secondary key is
+    total — include a tiebreaker column otherwise).
+
+    Scale: one shuffle by the group key; each group must fit an executor's
+    Arrow batch (same constraint as any applyInPandas). For huge groups
+    use `secondary_sort` + `mapInPandas` over pre-sorted partitions
+    instead.
+    """
+    keys = [partition_key] if isinstance(partition_key, str) else list(partition_key)
+    sec = list(secondary)
+
+    def wrapped(pdf):
+        return func(pdf.sort_values(sec, kind="mergesort", ignore_index=True))
+
+    return df.groupBy(*keys).applyInPandas(wrapped, schema)
+
+
 def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     """ORDER BY ... LIMIT k == TakeOrderedAndProject (heap per partition,
     merge of k at the driver)."""
