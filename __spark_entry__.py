@@ -1987,6 +1987,54 @@ JOIN events p
 """
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with IVF cells: map-side centroid assignment, probe 2 cells."""
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_ivf(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=2
+    )
+
+
+_SQL_COSINE_TOPK_IVF = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cvec::DOUBLE[]), 6) DESC,
+                    c.cid) AS rn
+  FROM embeddings e, cent c
+),
+cells AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cid AS cell
+  FROM scored_cells WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cid AS cell
+  FROM scored_cells WHERE rn <= 2 AND vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT p.query_id, c.neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[], c.cvec::DOUBLE[]), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(p.qvec::DOUBLE[],
+                                                 c.cvec::DOUBLE[]), 6) DESC,
+                    c.neighbor_id) AS rn
+  FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.neighbor_id <> p.query_id
+) t
+WHERE rn <= 5
+"""
+
+
 def q_sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User code over sorted groups (Tez grouping-comparator semantics):
     per customer, days since the previous order, computed imperatively in
@@ -2121,6 +2169,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash": (q_simhash, _SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "cosine_topk_lsh": (q_cosine_topk_lsh, _SQL_COSINE_TOPK_LSH),
+    "cosine_topk_ivf": (q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
     "embedding_near_dupes": (q_embedding_near_dupes, _SQL_EMBEDDING_NEAR_DUPES),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),

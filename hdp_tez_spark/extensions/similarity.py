@@ -134,6 +134,87 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into Voronoi
+    cells around seed centroids; each query probes only its `n_probe`
+    nearest cells.
+
+    Seeds are deterministic (the n_centroids lowest-id vectors) instead of
+    trained k-means so results are exactly reproducible; swap in trained
+    centroids for better recall without touching the plan shape.
+
+    Scale design: centroids are tiny metadata — they are collected to the
+    driver once and baked into the assignment expression, so cell
+    assignment is a pure map-side projection over the corpus (zero
+    shuffle). The only shuffle is the (cell) equi-join between probed
+    queries and corpus cells, ∝ corpus size — never corpus × queries.
+    Cosines are rounded to 6dp *before* ranking with an id tiebreak, so
+    ranking is engine-independent.
+    """
+    cent_rows = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[id_col])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def cos_to(c: Column, vec: Column) -> Column:
+        return F.round(cosine(vec, c), 6)
+
+    def cells_of(vec: Column, n: int) -> Column:
+        """The n nearest centroid ids (cos desc, cid asc) as an array."""
+        ranked = F.array_sort(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    (-cos_to(c.cvec, vec)).alias("neg_cos"), c.cid.alias("cid")
+                ),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s.cid)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(cells_of(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(cells_of(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str = "vec_id",

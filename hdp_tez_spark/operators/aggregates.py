@@ -76,6 +76,33 @@ def count_by_key(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:
     return df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))
 
 
+def approx_distinct(
+    df: DataFrame, keys: Sequence[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per group (HyperLogLog++). At 100 TB an
+    exact distinct is a full shuffle of every distinct value; the sketch
+    shuffles a fixed-size register set per group instead. `rsd` is the
+    target relative standard deviation."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd).alias("approx_distinct")
+    )
+
+
+def hll_sketches(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Mergeable HLL sketches per group (Apache DataSketches binary) — the
+    pre-aggregation pattern: persist per-partition/day sketches once, then
+    answer any rollup by unioning sketches (`hll_union_agg`) without
+    touching the raw 100 TB again."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("sketch"))
+
+
+def hll_rollup(sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Union pre-built sketches down to a coarser grouping and estimate."""
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
+    )
+
+
 def grouping_sets_agg(
     df: DataFrame,
     sets: Sequence[Sequence[str]],

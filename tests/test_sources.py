@@ -100,3 +100,14 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan, plan
     assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_text_roundtrip(spark, nation):
+    """TextInputFormat parity (`MRInput.java:84` with TextInputFormat):
+    line-oriented text in/out."""
+    d = tempfile.mkdtemp(prefix="sink_text_")
+    nation.select("n_name").write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    assert {r.value for r in back.collect()} == {
+        r.n_name for r in nation.collect()
+    }
