@@ -1717,6 +1717,144 @@ GROUP BY 1, 2, 3
 """
 
 
+def _cents(expr: F.Column) -> F.Column:
+    """Sum-safe integer cents: exact, associative, engine-independent."""
+    return F.round(expr * 100).cast("long")
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-ish national market share: NATION_3's share of STANDARD-part
+    revenue into EUROPE customers, per order year. Both sums as integer
+    cents so the ratio is engine-independent."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust_n = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume_c"),
+            F.col("supp_nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume_c")).otherwise(0))
+            / F.sum("volume_c"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_SQL_TPCH_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume_c ELSE 0 END)
+             * 1.0 / sum(volume_c), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_c,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+) t
+GROUP BY o_year
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-ish top supplier by quarterly revenue (revenue view + scalar
+    max subquery, exact-cents arithmetic so the max comparison is exact)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(supplier, rev.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-ish disjunctive brand/size/quantity predicates over the
+    lineitem-part join (predicate pushdown across an OR of conjuncts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+        .alias("revenue")
+    )
+
+
+_SQL_TPCH_Q19 = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-ish returned-item revenue: top 20 customers by revenue lost to
     returns in one quarter."""
@@ -2147,10 +2285,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
     "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, _SQL_TPCH_Q8),
     "tpch_q10": (q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q13": (q_tpch_q13, _SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, _SQL_TPCH_Q15),
     "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),

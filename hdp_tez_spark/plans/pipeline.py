@@ -55,6 +55,48 @@ class _Edge:
     num_partitions: int | None = None
 
 
+class ObjectRegistry:
+    """Cross-query cached-object registry — parity with Tez's in-executor
+    `ObjectRegistry` (`tez-api/.../runtime/api/ObjectRegistry.java:37-61`,
+    impl `tez-runtime-internals/.../objectregistry/ObjectRegistryImpl.java`):
+    Tez lets tasks stash objects scoped to VERTEX / DAG / SESSION so later
+    tasks in the same container reuse them. The Spark equivalent of "keep
+    this hot across jobs" is a persisted DataFrame (executor-resident
+    blocks) — this registry names and scopes them.
+
+    Scope is advisory bookkeeping (clear('dag') between pipelines ≈ Tez
+    DAG-scope eviction); storage is Spark's block manager either way.
+    """
+
+    def __init__(self) -> None:
+        self._entries: dict[str, tuple[DataFrame, str]] = {}
+
+    def cache(self, name: str, df: DataFrame, scope: str = "session") -> DataFrame:
+        """Register and persist (MEMORY_AND_DISK). Returns the cached df."""
+        if scope not in ("vertex", "dag", "session"):
+            raise ValueError(f"unknown scope {scope!r}")
+        if name in self._entries:
+            raise ValueError(f"duplicate registry entry {name!r}")
+        cached = df.persist()
+        self._entries[name] = (cached, scope)
+        return cached
+
+    def get(self, name: str) -> DataFrame | None:
+        entry = self._entries.get(name)
+        return entry[0] if entry else None
+
+    def drop(self, name: str) -> None:
+        df, _ = self._entries.pop(name)
+        df.unpersist()
+
+    def clear(self, scope: str | None = None) -> None:
+        """Evict everything in `scope` (or everything)."""
+        for name in [
+            n for n, (_, s) in self._entries.items() if scope in (None, s)
+        ]:
+            self.drop(name)
+
+
 class Pipeline:
     """Composable DAG of named vertices (Tez DAG.create parity).
 

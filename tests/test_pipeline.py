@@ -99,3 +99,23 @@ def test_bad_edge_validation(spark):
         p.edge("x", "y", movement="teleport")
     with pytest.raises(ValueError, match="keys"):
         p.edge("x", "y", movement=SCATTER_GATHER)
+
+
+def test_object_registry_scopes(spark):
+    """ObjectRegistry parity: named persisted entries, scope eviction."""
+    from hdp_tez_spark.plans.pipeline import ObjectRegistry
+    from hdp_tez_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    reg = ObjectRegistry()
+    nation = load_table(spark, SF_SMOKE, "nation")
+    cached = reg.cache("dim_nation", nation, scope="session")
+    assert cached.count() == nation.count()
+    assert cached.storageLevel.useMemory
+    reg.cache("tmp", nation.limit(5), scope="dag")
+    assert reg.get("tmp") is not None
+    reg.clear("dag")
+    assert reg.get("tmp") is None
+    assert reg.get("dim_nation") is not None
+    reg.clear()
+    assert not cached.storageLevel.useMemory
