@@ -58,8 +58,11 @@ def _spread(df: DataFrame) -> DataFrame:
     single split (one task does everything); at real scale the source
     already has many splits and this is a near-no-op reshuffle guarded by
     the partition count."""
+    # JVM-side partition probe: df._jdf.rdd() avoids the Python-RDD
+    # conversion (serializer setup + plan translation) that plain df.rdd
+    # pays on every call
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df._jdf.rdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -367,6 +370,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop ran out of rounds while labels were still moving: the
+        # labeling is only partially propagated (long-chain components keep
+        # several labels). Returning it silently would hand callers wrong
+        # clusters — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the component diameter "
+            f"exceeds max_iter — raise max_iter (rounds needed ~ graph diameter)"
+        )
     return labels
 
 

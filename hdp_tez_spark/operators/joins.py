@@ -136,15 +136,37 @@ def salted_join(
     Tez analogue: a custom EdgeManagerPlugin routing
     (`tez-api/.../dag/api/EdgeManagerPlugin.java:36-143`) — here it is
     pure column algebra.
+
+    The salt is a *deterministic* hash of the whole left row — never
+    ``F.rand``: a random salt is recomputed on task retry, and if the
+    upstream shuffle replays rows in a different order the same row can
+    land in a different bucket, silently dropping or duplicating join
+    output on a real cluster.
+
+    Only left-preserving joins are allowed. With 'right'/'full_outer',
+    an unmatched right row would be emitted once per salt bucket
+    (the explode replicates it `salt_buckets` times), breaking the
+    plain-join equivalence this wrapper promises.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join preserves plain-join semantics only for {sorted(allowed)}; "
+            f"got how={how!r} (unmatched right rows would be duplicated "
+            f"{salt_buckets}x by the salt explode)"
+        )
     keys = list(on)
     l = left_skewed.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left_skewed.columns]),
+               F.lit(salt_buckets)).cast("int"),
     )
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")
+    joined = l.join(r, on=[*keys, "__salt"], how=how)
+    return joined.drop("__salt")
 
 
 def asof_join(
@@ -178,21 +200,24 @@ def asof_join(
     Left/`values` column names must be disjoint. Right rows that tie on
     (key, right_ts) make the attached values order-dependent — dedup the
     right side first if ties are possible.
+
+    The attached values ride in ONE non-null marker struct per right row,
+    so the latest matching right row wins even when some (or all) of its
+    `values` columns are NULL — per-column `last(v, ignorenulls=True)`
+    would skip a genuine NULL and carry a stale older value forward, and
+    could even mix columns from *different* right rows.
     """
     from pyspark.sql import Window
 
     keys = list(on)
-    lcols = left.columns
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(v) for v in values]).alias("__vals"),
+    ).withColumn("__tag", F.lit(0))
     l = left.withColumn("__tag", F.lit(1)).withColumn("__t", F.col(left_ts))
-    for v in values:
-        l = l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
-    r = right.select(*keys, F.col(right_ts).alias("__t"), *values).withColumn(
-        "__tag", F.lit(0)
-    )
-    for c in lcols:
-        if c not in keys:
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.unionByName(r)
+    # unionByName fills each side's missing columns with typed NULLs
+    u = l.unionByName(r, allowMissingColumns=True)
     # right rows (tag 0) sort before left rows at the same timestamp, so an
     # exactly-simultaneous right row is visible to the left row
     w = (
@@ -200,13 +225,14 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))
     for v in values:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+        u = u.withColumn(v, F.col("__vals").getField(v))
     if count_name is not None:
         u = u.withColumn(
             count_name, F.sum(F.when(F.col("__tag") == 0, 1).otherwise(0)).over(w)
         )
-    return u.where(F.col("__tag") == 1).drop("__tag", "__t")
+    return u.where(F.col("__tag") == 1).drop("__tag", "__t", "__vals")
 
 
 def full_outer_join(

@@ -135,16 +135,42 @@ def test_grouping_sets_single_expand(spark):
     assert plan.count("Expand") == 1, plan
 
 
-def test_tpch_q7_broadcasts_dims(spark):
-    """Filtered dim joins must be broadcast; the only shuffle join allowed
-    is lineitem-orders."""
+def test_tpch_q7_broadcasts_dims_via_aqe(spark):
+    """At small SF, AQE must still pick broadcast for the dim-filtered
+    joins — without the forced hints the engine no longer applies to
+    fact-scaled inputs. Checked on the final adaptive plan (post-collect)."""
     df = E.queries()["tpch_q7"](spark, SF_SMOKE)
+    df.collect()
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
 def test_decorrelated_q17_no_cartesian(spark):
     df = E.queries()["tpch_q17"](spark, SF_SMOKE)
+    df.collect()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_forced_broadcast_of_fact_scaled_inputs(spark):
+    """Scale gate: a hard `F.broadcast` on anything whose size grows with
+    the data (customer/supplier/part or fact-derived aggregates) bypasses
+    AQE's size check and OOMs the driver at cluster scale. These queries
+    must carry NO broadcast hint at all — broadcast selection is AQE's
+    call (the Tez contrast: HashJoinExample.java:78-103 makes the user
+    choose; Catalyst decides better)."""
+    for name in ("tpch_q3", "tpch_q17", "scalar_subquery", "tpch_q14", "tpch_q19"):
+        df = E.queries()[name](spark, SF_SMOKE)
+        assert "ResolvedHint" not in _analyzed(df), name
+
+
+def test_q7_broadcast_hints_only_on_nation(spark):
+    """q7 keeps exactly its two nation-projection hints (25-row bounded
+    dims) and nothing else."""
+    df = E.queries()["tpch_q7"](spark, SF_SMOKE)
+    assert _analyzed(df).count("ResolvedHint") == 2
