@@ -2277,6 +2277,371 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# TPC-H completion set. The synthetic schema has no partsupp table, no
+# l_shipmode, and no commit/receipt dates, so q2/q9/q11/q12/q16/q20/q21 are
+# adapted: each preserves the official query's STRUCTURAL shape (correlated
+# min subquery, HAVING over a scalar subquery, EXISTS/NOT-EXISTS self-join,
+# distinct-count with NOT IN exclusion) on the columns that exist, with
+# lineitem standing in for partsupp as the part<->supplier link.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): for each STANDARD size-15 part,
+    the EUROPE supplier(s) with the region-minimum account balance among
+    those who shipped it. The correlated MIN subquery decorrelates into a
+    per-part window min — one shuffle on p_partkey, no re-join of the agg."""
+    from pyspark.sql import Window
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.join(sn, pairs.l_suppkey == sn.s_suppkey)
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q2 = """
+WITH pairs AS (
+  SELECT DISTINCT p_partkey, p_name, l_suppkey
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+), sn AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM (SELECT pairs.*, sn.*, min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM pairs JOIN sn ON l_suppkey = s_suppkey) t
+WHERE s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation/year): 4-way join
+    lineitem-part-supplier-nation(-orders for the year), profit summed in
+    integer cents for engine-exact arithmetic. Cost proxy replaces
+    ps_supplycost (no partsupp): 10% of p_retailprice per unit."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity") * 100
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit_cents.alias("profit_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit_c") / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100
+                      - p_retailprice * 0.1 * l_quantity * 100) AS BIGINT)) / 100.0
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part shipped value from region-2
+    suppliers, keeping parts above a fraction of the region total — the
+    HAVING-over-scalar-subquery shape. The total is a second aggregation
+    of the same pre-aggregated (small) per-part frame, then a broadcast-
+    size single-row cross join — not a rescan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value_c = F.round(F.col("l_extendedprice") * F.col("l_quantity") / 1000).cast("long")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", value_c.alias("v"))
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value_k"))
+    )
+    total = per_part.agg(F.sum("value_k").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_k") > 0.001 * F.col("grand_total"))
+        .select("l_partkey", "value_k")
+        .orderBy(F.desc("value_k"), "l_partkey")
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * l_quantity / 1000) AS BIGINT)) AS value_k
+  FROM lineitem
+  JOIN (SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 2) s
+    ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_k
+FROM per_part
+WHERE value_k > 0.001 * (SELECT sum(value_k) FROM per_part)
+ORDER BY value_k DESC, l_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (late shipments by mode -> by return flag): orders whose
+    line shipped > 60 days after the order date, split into high/low
+    priority counts per flag (conditional aggregation after an equi-join;
+    l_returnflag stands in for the missing l_shipmode)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier count by part descriptor): distinct suppliers
+    per (brand, type, size) from the lineitem link, excluding one brand and
+    excluding suppliers matched by a NOT IN subquery (low-balance stand-in
+    for the official complaints filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 500).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (excess-inventory suppliers): suppliers in region 1 who
+    shipped more than 150 units of 'rod' parts during 1997 — the nested
+    correlated-quantity subquery becomes a pre-aggregation, then a semi
+    join carries only supplier keys back to the supplier table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rods = _t(spark, sf_dir, "part").where(F.col("p_name").contains("rod")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(rods, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 150)
+        .select("l_suppkey")
+    )
+    nation1 = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == shipped.l_suppkey, "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 1
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%rod%'
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 150)
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): suppliers with a
+    returned line in a multi-supplier order where NO other supplier's line
+    was returned — the EXISTS / NOT-EXISTS pair of self-joins on lineitem,
+    expressed as leftsemi + leftanti with a different-supplier predicate.
+    Both self-joins are equi-joins on l_orderkey (one shuffle key)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = li.where(F.col("l_returnflag") == "R")
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_returned = returned.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    waiting = (
+        returned.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "leftsemi",
+        )
+        .join(
+            other_returned,
+            (F.col("l_orderkey") == F.col("r_key"))
+            & (F.col("l_suppkey") != F.col("r_supp")),
+            "leftanti",
+        )
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: return-flag quantities rotated into columns per line status.
+    The explicit value list compiles to single-pass conditional
+    aggregation — no distinct-discovery job (operators/aggregates.py
+    pivot_agg)."""
+    from hdp_tez_spark.operators.aggregates import pivot_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pivot_agg(
+        li,
+        keys=["l_linestatus"],
+        pivot_col="l_returnflag",
+        pivot_values=["A", "N", "R"],
+        agg=F.round(F.sum("l_quantity"), 2),
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    ).orderBy("l_linestatus")
+
+
+_SQL_PIVOT = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle, so the prefix carries
 #: (a) the LLM-pipeline / extensions surface (round-1 had no driver rows
@@ -2342,8 +2707,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
-    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "pivot": (q_pivot, _SQL_PIVOT),
     # ------------------- driver-checked prefix ends here (50) -------------------
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "distinct": (q_distinct, _SQL_DISTINCT),
     "cube": (q_cube, _SQL_CUBE),
@@ -2369,6 +2735,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
+    # TPC-H completion set (schema-adapted; see the comment block above)
+    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
 }
 
 

@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
-from hdp_tez_spark.session import get_session
+from hdp_tez_spark.metrics import TaskMetricsCollector
+from hdp_tez_spark.session import get_session, warm_up
 
 # Headline set: one per operator family (SURVEY §2) + the TPC-H-ish bench
 # queries. Kept in sync with _REGISTRY as coverage widens.
@@ -54,6 +55,10 @@ HEADLINE = [
     # streaming batch-twins
     "tumbling_window",
     "session_window",
+    # iterative / cogroup / interval paths (added round 2 per BASELINE §C)
+    "dedup_clusters",
+    "cogroup",
+    "interval_join",
 ]
 
 
@@ -70,15 +75,29 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM/codegen paths once (excluded from timings).
+    warm_up(spark)
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    collector = TaskMetricsCollector(spark)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        collector.measure(
+            name,
+            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save(),
+        )
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # per-query shuffle/spill bytes (BASELINE §C: byte counters via the
+    # status store) — shuffle_bytes = read side; spill = memory+disk
+    counters = {
+        name: {
+            "shuffle_bytes": c["shuffle_read_bytes"],
+            "spilled_bytes": c["memory_spill_bytes"] + c["disk_spill_bytes"],
+        }
+        for name, c in collector.counters.items()
+    }
     print(
         json.dumps(
             {
@@ -86,6 +105,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "counters": counters,
                 "sf": sf,
             }
         )

@@ -8,22 +8,32 @@ per vertex/DAG. The Spark equivalents:
 - record-level counters -> `df.observe(Observation, exprs...)`, computed
   inline with the plan (CollectMetricsExec — zero extra passes over the
   data) and pulled after the action completes;
-- byte/spill/shuffle counters -> Spark's own task metrics (status store /
-  SparkListener), which the engine does not re-implement.
+- byte/spill/shuffle counters -> `TaskMetricsCollector`, which reads
+  Spark's app-status store (the same store the UI renders) around an
+  action and records the per-action deltas — SHUFFLE_BYTES
+  (`TaskCounter.java:154`) and SPILLED_RECORDS-class byte counters
+  (`TaskCounter.java:57`) without re-implementing Spark's metric plumbing.
 
 Usage:
     reg = CounterRegistry()
     df = reg.observed(df, "load", input_records=F.count(F.lit(1)))
     df....collect()            # any action
     reg.get("load")["input_records"]
+
+    tm = TaskMetricsCollector(spark, registry=reg)
+    rows = tm.measure("q1", lambda: df.collect())
+    reg.get("q1")["shuffle_read_bytes"]
 """
 
 from __future__ import annotations
 
 import threading
-from typing import Any
+from collections.abc import Callable
+from typing import Any, TypeVar
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+
+T = TypeVar("T")
 
 
 class CounterRegistry:
@@ -32,6 +42,7 @@ class CounterRegistry:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._observations: dict[str, Observation] = {}
+        self._recorded: dict[str, dict[str, Any]] = {}
 
     def observed(self, df: DataFrame, name: str, **metrics: Column) -> DataFrame:
         """Attach named metric expressions to a DataFrame. They are computed
@@ -44,14 +55,103 @@ class CounterRegistry:
             self._observations[name] = obs
         return out
 
+    def record(self, name: str, **values: Any) -> None:
+        """Store externally-computed counters (e.g. TaskMetricsCollector
+        byte deltas) under a name, merged with any same-name observation."""
+        with self._lock:
+            self._recorded.setdefault(name, {}).update(values)
+
     def get(self, name: str) -> dict[str, Any]:
-        """Metric values for an observation; blocks until the action that
-        executed the observed DataFrame has completed."""
+        """Metric values for a name: observe() metrics (blocks until the
+        observed DataFrame's action completes) merged with record()ed ones."""
         with self._lock:
             obs = self._observations.get(name)
-        if obs is None:
-            raise KeyError(f"no observation named {name!r}")
-        return dict(obs.get)
+            rec = dict(self._recorded.get(name, {}))
+        if obs is None and not rec:
+            raise KeyError(f"no observation or recording named {name!r}")
+        out = dict(obs.get) if obs is not None else {}
+        out.update(rec)
+        return out
+
+
+class TaskMetricsCollector:
+    """Byte-level counter parity with Tez's `TaskCounter` (SHUFFLE_BYTES
+    `TaskCounter.java:154`, SPILLED_RECORDS-class spill metrics `:57`):
+    snapshots the driver's app-status store (`AppStatusStore.stageList`,
+    the exact data the Spark UI renders) before and after an action and
+    records the stage-metric deltas.
+
+    Works identically on local mode and a 1000-executor cluster — the
+    status store lives on the driver and aggregates executor heartbeats,
+    so no extra listener traffic or executor-side plumbing is added.
+    Caveat: deltas are computed over the store's retained stages
+    (`spark.ui.retainedStages`, default 1000); an eviction between the two
+    snapshots of one short action is effectively impossible, but counters
+    are clamped at >= 0 anyway.
+    """
+
+    #: status-store field -> engine counter name (Tez analogue in comment)
+    FIELDS = {
+        "inputBytes": "input_bytes",               # INPUT bytes read
+        "outputBytes": "output_bytes",             # OUTPUT_BYTES
+        "shuffleReadBytes": "shuffle_read_bytes",  # SHUFFLE_BYTES (:154)
+        "shuffleWriteBytes": "shuffle_write_bytes",  # OUTPUT_BYTES_PHYSICAL
+        "memoryBytesSpilled": "memory_spill_bytes",  # SPILLED_RECORDS (:57)
+        "diskBytesSpilled": "disk_spill_bytes",    # ADDITIONAL_SPILLS_BYTES_*
+        "executorRunTime": "executor_run_ms",
+        "numCompleteTasks": "tasks_completed",
+    }
+
+    def __init__(self, spark: SparkSession, registry: CounterRegistry | None = None):
+        self._spark = spark
+        self._registry = registry
+        self.counters: dict[str, dict[str, int]] = {}
+        # metrics of COMPLETE stages are immutable — cache them so repeated
+        # snapshots pay py4j round-trips only for stages created since the
+        # last call, keeping measure() overhead flat across a long run
+        self._done_stages: dict[tuple[int, int], dict[str, int]] = {}
+
+    def _snapshot(self) -> dict[str, int]:
+        sc = self._spark.sparkContext
+        jsc = sc._jsc.sc()
+        try:  # flush pending listener events so the store is consistent
+            jsc.listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
+        gw = sc._gateway
+        store = jsc.statusStore()
+        empty_quantiles = gw.new_array(gw.jvm.double, 0)
+        empty_list = gw.jvm.java.util.ArrayList()
+        stages = store.stageList(empty_list, False, False, empty_quantiles, empty_list)
+        totals = dict.fromkeys(self.FIELDS, 0)
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            key = (sd.stageId(), sd.attemptId())
+            cached = self._done_stages.get(key)
+            if cached is None:
+                vals = {field: getattr(sd, field)() for field in self.FIELDS}
+                if sd.status().toString() == "COMPLETE":
+                    self._done_stages[key] = vals
+            else:
+                vals = cached
+            for field in self.FIELDS:
+                totals[field] += vals[field]
+        return totals
+
+    def measure(self, name: str, action: Callable[[], T]) -> T:
+        """Run `action` (any Spark action) and record the byte/spill/shuffle
+        deltas it caused under `name`."""
+        before = self._snapshot()
+        result = action()
+        after = self._snapshot()
+        delta = {
+            out: max(0, after[field] - before[field])
+            for field, out in self.FIELDS.items()
+        }
+        self.counters[name] = delta
+        if self._registry is not None:
+            self._registry.record(name, **delta)
+        return result
 
 
 # Mapping of the reference's TaskCounter names (TaskCounter.java:28-202) to
@@ -59,8 +159,8 @@ class CounterRegistry:
 TASK_COUNTER_MAP = {
     "INPUT_RECORDS_PROCESSED": "observe(count) on the source DataFrame",
     "OUTPUT_RECORDS": "observe(count) on the sink DataFrame",
-    "SPILLED_RECORDS": "Spark task metrics: memoryBytesSpilled/diskBytesSpilled",
-    "SHUFFLE_BYTES": "Spark task metrics: shuffleRead/WriteBytes",
+    "SPILLED_RECORDS": "TaskMetricsCollector: memory/disk_spill_bytes",
+    "SHUFFLE_BYTES": "TaskMetricsCollector: shuffle_read/write_bytes",
     "COMBINE_INPUT_RECORDS": "partial-aggregation rows (Spark SQL metrics)",
     "REDUCE_INPUT_GROUPS": "post-shuffle groups (Spark SQL metrics)",
 }

@@ -71,6 +71,26 @@ def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Data
     return df.cube(*keys).agg(*aggs)
 
 
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """PIVOT: rotate `pivot_col`'s values into columns, one `agg` per cell
+    (beyond-reference surface; SURVEY §2.6 — Tez has no pivot operator).
+
+    `pivot_values` is REQUIRED, not optional, as a scale rule: without an
+    explicit value list Spark first runs a distinct job over `pivot_col`
+    to discover the columns — an extra full pass over the data at 100 TB
+    (and a nondeterministic schema if values drift). With the list given,
+    the pivot compiles to one pass of conditional aggregation — the same
+    plan as manual `sum(when(col = v, x))` columns.
+    """
+    return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
 def count_by_key(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:
     """WordCount-style (key, count) aggregation (`WordCount.java:113-140`)."""
     return df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))

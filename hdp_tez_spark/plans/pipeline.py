@@ -15,7 +15,18 @@ Edge movement types map per SURVEY §1.3:
 - ONE_TO_ONE       -> plain DataFrame hand-off (narrow; same stage)
 - BROADCAST        -> F.broadcast() wrapping of the producer output
 - SCATTER_GATHER   -> repartition(n, keys) hash shuffle
+- RANGE            -> repartitionByRange(n, keys) (total-order routing —
+                      the EdgeManagerPlugin range-partitioner use-case,
+                      `tez-api/.../dag/api/EdgeManagerPlugin.java:36-143`)
+- CUSTOM           -> user movement fn DataFrame -> DataFrame (the full
+                      EdgeManagerPlugin escape hatch: any routing that is
+                      expressible as a repartitioning transformation)
 - (VertexGroup)    -> unionByName of the member outputs
+
+Multi-sink commit: `sink()` + `run_and_commit()` give a DAG with several
+file outputs all-or-nothing visibility — parity with Tez committing every
+VertexGroup output only at DAG success (`tez-dag/.../dag/impl/DAGImpl.java`
+`commitOrAbortOutputs`, pinned by `tez-tests/.../TestTezJobs.java:932,965`).
 
 A vertex's `fn` receives a dict of named upstream DataFrames (the Tez
 LogicalInput map — `LogicalIOProcessorRuntimeTask.java:421-427`) and
@@ -24,6 +35,7 @@ returns a DataFrame (its LogicalOutput).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass, field
 from typing import Any
@@ -34,8 +46,11 @@ from pyspark.sql import functions as F
 ONE_TO_ONE = "one_to_one"
 BROADCAST = "broadcast"
 SCATTER_GATHER = "scatter_gather"
+RANGE = "range"
+CUSTOM = "custom"
 
 VertexFn = Callable[[Mapping[str, DataFrame]], DataFrame]
+MovementFn = Callable[[DataFrame], DataFrame]
 
 
 @dataclass
@@ -53,6 +68,15 @@ class _Edge:
     movement: str = ONE_TO_ONE
     keys: Sequence[str] = ()
     num_partitions: int | None = None
+    movement_fn: MovementFn | None = None
+
+
+@dataclass
+class _Sink:
+    vertex: str
+    path: str
+    fmt: str = "parquet"
+    mode: str = "overwrite"
 
 
 class ObjectRegistry:
@@ -113,6 +137,7 @@ class Pipeline:
         self.name = name
         self._vertices: dict[str, _Vertex] = {}
         self._edges: list[_Edge] = []
+        self._sinks: list[_Sink] = []
 
     # -- graph assembly (DAG.addVertex / addEdge / createVertexGroup) ------
 
@@ -132,12 +157,34 @@ class Pipeline:
         movement: str = ONE_TO_ONE,
         keys: Sequence[str] = (),
         num_partitions: int | None = None,
+        movement_fn: MovementFn | None = None,
     ) -> "Pipeline":
-        if movement not in (ONE_TO_ONE, BROADCAST, SCATTER_GATHER):
+        if movement not in (ONE_TO_ONE, BROADCAST, SCATTER_GATHER, RANGE, CUSTOM):
             raise ValueError(f"unknown movement {movement!r}")
-        if movement == SCATTER_GATHER and not keys:
-            raise ValueError("scatter_gather edges need partition keys")
-        self._edges.append(_Edge(src, dst, movement, tuple(keys), num_partitions))
+        if movement in (SCATTER_GATHER, RANGE) and not keys:
+            raise ValueError(f"{movement} edges need partition keys")
+        if movement == CUSTOM and movement_fn is None:
+            raise ValueError("custom edges need a movement_fn")
+        if movement != CUSTOM and movement_fn is not None:
+            raise ValueError("movement_fn is only valid with CUSTOM movement")
+        self._edges.append(
+            _Edge(src, dst, movement, tuple(keys), num_partitions, movement_fn)
+        )
+        return self
+
+    def sink(
+        self,
+        vertex: str,
+        path: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+    ) -> "Pipeline":
+        """Register a file output for `vertex`, committed all-or-nothing by
+        `run_and_commit` (MROutput + DAG-success commit parity). `mode` is
+        'overwrite' or 'error' (fail if the target already exists)."""
+        if mode not in ("overwrite", "error"):
+            raise ValueError(f"sink mode must be 'overwrite' or 'error', got {mode!r}")
+        self._sinks.append(_Sink(vertex, path, fmt, mode))
         return self
 
     def vertex_group(self, name: str, members: Sequence[str]) -> "Pipeline":
@@ -209,8 +256,75 @@ class Pipeline:
                 elif e.movement == SCATTER_GATHER:
                     parts = [e.num_partitions] if e.num_partitions else []
                     df = df.repartition(*parts, *[F.col(k) for k in e.keys])
+                elif e.movement == RANGE:
+                    parts = [e.num_partitions] if e.num_partitions else []
+                    df = df.repartitionByRange(*parts, *[F.col(k) for k in e.keys])
+                elif e.movement == CUSTOM:
+                    df = e.movement_fn(df)
                 inputs[e.src] = df
             if v.fn is None:
                 raise ValueError(f"vertex {name!r} has neither fn nor source")
             results[name] = v.fn(inputs)
         return results
+
+    def run_and_commit(self) -> dict[str, str]:
+        """Execute the DAG and materialize every registered sink with
+        all-or-nothing visibility — Tez parity: outputs commit only when the
+        whole DAG succeeds (`DAGImpl.commitOrAbortOutputs`; behavior pinned
+        by `TestTezJobs.java:932,965` with two MROutputs and one commit
+        decision).
+
+        Protocol: every sink writes to a hidden staging directory next to
+        its target; only after ALL writes succeed are the stagings renamed
+        into place. A failure in any write aborts the DAG: stagings are
+        deleted and no target is created or replaced. Renames go through
+        the Hadoop FileSystem API, so on HDFS the publish step is a pure
+        metadata operation per sink (the same visibility window Tez's
+        sequential output commit has; on S3-class stores use a
+        rename-free table format for the final hop).
+
+        Returns {vertex: final_path} for the committed sinks.
+        """
+        if not self._sinks:
+            raise ValueError("run_and_commit needs at least one sink()")
+        results = self.run()
+        missing = [s.vertex for s in self._sinks if s.vertex not in results]
+        if missing:
+            raise ValueError(f"sink references unknown vertices {missing}")
+        spark = results[self._sinks[0].vertex].sparkSession
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+
+        def fs_for(path: str):
+            return HPath(path).getFileSystem(hconf)
+
+        # pre-flight: 'error' sinks must not clobber existing targets,
+        # checked before any byte is written
+        for s in self._sinks:
+            if s.mode == "error" and fs_for(s.path).exists(HPath(s.path)):
+                raise FileExistsError(f"sink target already exists: {s.path}")
+
+        token = uuid.uuid4().hex[:12]
+        staged = [(s, f"{s.path.rstrip('/')}.__staging-{token}") for s in self._sinks]
+        try:
+            for s, staging in staged:
+                results[s.vertex].write.format(s.fmt).mode("overwrite").save(staging)
+        except Exception:
+            # abort: remove every staging dir, including the partially
+            # written one the failing job left behind
+            for _, staging in staged:
+                fs = fs_for(staging)
+                if fs.exists(HPath(staging)):
+                    fs.delete(HPath(staging), True)
+            raise
+        committed: dict[str, str] = {}
+        for s, staging in staged:
+            fs = fs_for(s.path)
+            target = HPath(s.path)
+            if s.mode == "overwrite" and fs.exists(target):
+                fs.delete(target, True)
+            if not fs.rename(HPath(staging), target):
+                raise IOError(f"commit rename failed: {staging} -> {s.path}")
+            committed[s.vertex] = s.path
+        return committed

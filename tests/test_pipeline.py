@@ -101,6 +101,121 @@ def test_bad_edge_validation(spark):
         p.edge("x", "y", movement=SCATTER_GATHER)
 
 
+def test_range_edge_total_order(spark):
+    """RANGE movement produces a range-partitioned (total-order) DAG —
+    EdgeManagerPlugin range-routing parity."""
+    from hdp_tez_spark.plans.pipeline import RANGE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = Pipeline("range_sort")
+    p.source("li", li)
+    p.vertex(
+        "sorted",
+        lambda ins: ins["li"].sortWithinPartitions("l_quantity").select(
+            "l_orderkey", "l_quantity"
+        ),
+    )
+    p.edge("li", "sorted", movement=RANGE, keys=["l_quantity"], num_partitions=4)
+    out = p.run()["sorted"]
+    assert "rangepartitioning" in out._jdf.queryExecution().toString().lower()
+    # per-partition maxima must be globally non-decreasing across partitions
+    import pandas as pd
+
+    parts = out.withColumn("pid", F.spark_partition_id()).groupBy("pid").agg(
+        F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")
+    ).orderBy("pid").collect()
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev.hi <= cur.lo
+
+
+def test_custom_edge_movement_fn(spark):
+    from hdp_tez_spark.plans.pipeline import CUSTOM
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = Pipeline("custom_route")
+    p.source("li", li)
+    p.vertex("agg", lambda ins: ins["li"].groupBy("l_returnflag").count())
+    p.edge(
+        "li", "agg", movement=CUSTOM,
+        movement_fn=lambda df: df.repartition(6, F.col("l_returnflag")),
+    )
+    rows = p.run()["agg"].collect()
+    assert {r.l_returnflag for r in rows} == {
+        r.l_returnflag for r in li.select("l_returnflag").distinct().collect()
+    }
+    with pytest.raises(ValueError, match="movement_fn"):
+        Pipeline("bad").edge("a", "b", movement=CUSTOM)
+
+
+def test_multi_sink_commit_success(spark, tmp_path):
+    """Both sinks become visible, atomically, after run_and_commit."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    p = Pipeline("two_sinks")
+    p.source("orders", orders)
+    p.vertex("hi", lambda ins: ins["orders"].where(F.col("o_totalprice") > 100000))
+    p.vertex("lo", lambda ins: ins["orders"].where(F.col("o_totalprice") <= 100000))
+    p.edge("orders", "hi")
+    p.edge("orders", "lo")
+    hi_path, lo_path = str(tmp_path / "hi"), str(tmp_path / "lo")
+    p.sink("hi", hi_path).sink("lo", lo_path)
+    committed = p.run_and_commit()
+    assert set(committed) == {"hi", "lo"}
+    n_hi = spark.read.parquet(hi_path).count()
+    n_lo = spark.read.parquet(lo_path).count()
+    assert n_hi + n_lo == orders.count()
+    # no staging residue
+    assert not [d for d in tmp_path.iterdir() if "__staging" in d.name]
+
+
+def test_multi_sink_commit_all_or_nothing(spark, tmp_path):
+    """If the second sink's write fails, the first sink must NOT appear —
+    DAGImpl.commitOrAbortOutputs parity (TestTezJobs.java:932,965)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def boom(ins):
+        from pyspark.sql.types import LongType
+        from pyspark.sql.functions import udf
+
+        fail = udf(lambda x: 1 // 0, LongType())  # divides by zero at write time
+        return ins["orders"].select(fail(F.col("o_orderkey")).alias("x"))
+
+    p = Pipeline("failing")
+    p.source("orders", orders)
+    p.vertex("good", lambda ins: ins["orders"].limit(10))
+    p.vertex("bad", boom)
+    p.edge("orders", "good")
+    p.edge("orders", "bad")
+    good_path, bad_path = str(tmp_path / "good"), str(tmp_path / "bad")
+    p.sink("good", good_path).sink("bad", bad_path)
+    with pytest.raises(Exception):
+        p.run_and_commit()
+    import os
+
+    assert not os.path.exists(good_path)
+    assert not os.path.exists(bad_path)
+    assert not [d for d in tmp_path.iterdir() if "__staging" in d.name]
+
+
+def test_sink_mode_error_preflight(spark, tmp_path):
+    """mode='error' refuses to clobber an existing target before any write."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    target = tmp_path / "out"
+    target.mkdir()
+    p = Pipeline("noclobber")
+    p.source("orders", orders)
+    p.sink("orders", str(target), mode="error")
+    with pytest.raises(FileExistsError):
+        p.run_and_commit()
+
+
+def test_session_warm_up(spark):
+    """PreWarmVertex parity: warm_up runs a no-op shuffle and returns the
+    session."""
+    from hdp_tez_spark.session import warm_up
+
+    assert warm_up(spark) is spark
+
+
 def test_object_registry_scopes(spark):
     """ObjectRegistry parity: named persisted entries, scope eviction."""
     from hdp_tez_spark.plans.pipeline import ObjectRegistry
