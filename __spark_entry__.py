@@ -2273,6 +2273,121 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQL.sql(spark, _SQL_PASSTHROUGH_TEXT)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: every event labeled with its per-user
+    session index (30-minute inactivity gap). One shuffle on user_id;
+    both window passes ride the same sorted run
+    (operators/window.py sessionize)."""
+    from hdp_tez_spark.operators.window import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, keys=["user_id"], ts_col="ts", gap="30 minutes", tiebreak=["event_id"]
+    ).select("event_id", "user_id", "event_type", "session_idx")
+
+
+_SQL_SESSIONIZE = """
+SELECT event_id, user_id, event_type,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) flagged
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split of the document corpus: 90% train by
+    md5-bucket of doc_id — retry-stable and engine-reproducible, unlike
+    randomSplit (extensions/splits.py)."""
+    from hdp_tez_spark.extensions.splits import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id", train_frac=0.9).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+_SQL_TRAIN_TEST_SPLIT = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000 < 900
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: per near-dup cluster, keep the
+    highest-quality member (extensions/dedup.py dedup_keep_best). Oracle
+    composes the recursive-CTE transitive closure with the quality-score
+    formula and ranks inside each cluster."""
+    from hdp_tez_spark.extensions import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_keep_best(docs, "doc_id", "text", threshold=0.1)
+
+
+_SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_TOKS_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jaccard_pairs WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM jaccard_pairs WHERE jaccard >= 0.1
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+rep AS (SELECT src AS doc, min(dst) AS m FROM reach GROUP BY src),
+clusters AS (
+  SELECT d.doc_id,
+         CAST(least(coalesce(r.m, d.doc_id), d.doc_id) AS BIGINT) AS rep
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc
+),
+qbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         round(0.3 * least(n_chars / 500.0, 1.0)
+             + 0.3 * least((CASE WHEN len(t) > 0 THEN
+                 len(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x)))
+                 * 1.0 / len(t) ELSE 0.0 END) * 5, 1.0)
+             + 0.2 * (1 - least((CASE WHEN n_chars > 0
+                 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 10, 1.0))
+             + 0.2 * (1 - least((CASE WHEN n_chars > 0
+                 THEN n_digits * 1.0 / n_chars ELSE 0.0 END) * 10, 1.0)), 6)
+           AS quality
+  FROM qbase
+)
+SELECT rep AS cluster_rep, doc_id AS keep_id, quality
+FROM (
+  SELECT c.rep, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.rep
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+) ranked
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2735,6 +2850,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
+    # round-2 LLM-pipeline additions (rotate into the checked prefix next round)
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
+    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
     # TPC-H completion set (schema-adapted; see the comment block above)
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
     "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),

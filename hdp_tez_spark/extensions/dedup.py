@@ -330,10 +330,18 @@ def connected_components(
     DataFrame algorithms (use a reliable `checkpoint` dir on a real
     cluster for fault tolerance across a long job).
 
+    ONE job per round: the convergence check rides the checkpoint job as
+    an `observe` metric (changed-label count computed inline while the
+    round's labels materialize) instead of a second compare-old-vs-new
+    join + count job — at cluster scale that second pass per round was
+    the same cost as the propagation itself.
+
     This is the missing half of every near-dup pipeline: pair lists
     (minhash/simhash/jaccard) become keep/drop decisions only after
     transitive closure groups them into clusters.
     """
+    from pyspark.sql import Observation
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -345,28 +353,32 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(nbr, labels.node == nbr.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("__old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("__old")
+            .localCheckpoint()  # eager: runs the round's one job
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = obs.get["changed"]
         labels = new_labels
         if changed == 0:
             break
@@ -400,6 +412,44 @@ def dedup_clusters(
     ).select(
         F.col(id_col),
         F.coalesce(F.col("label"), F.col(id_col)).alias("rep"),
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(cluster_rep, keep_id, quality): for every near-dup cluster, the
+    single document to KEEP — the highest-quality member (textstats
+    quality score; ties broken by min id). This closes the dedup loop the
+    way production corpus curation actually does it: clustering alone says
+    which documents are duplicates, this says which copy survives — and
+    "lowest doc id" (plain `dedup_clusters`) is usually the wrong answer
+    when one copy is a cleaner extraction of the same content.
+
+    Cost on top of dedup_clusters: one map-side quality projection over
+    the corpus, one equi-join on doc id, one window shuffle keyed by the
+    cluster rep. No additional pass over text bodies.
+    """
+    from hdp_tez_spark.extensions.textstats import quality_score
+
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(df, id_col, text_col, k=k, threshold=threshold)
+    quality = quality_score(df, id_col, text_col).select(id_col, "quality")
+    joined = clusters.join(quality, id_col)
+    w = Window.partitionBy("rep").orderBy(F.desc("quality"), F.col(id_col))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("rep").alias("cluster_rep"),
+            F.col(id_col).alias("keep_id"),
+            "quality",
+        )
     )
 
 

@@ -1,0 +1,53 @@
+"""Dataset splitting for training pipelines.
+
+Beyond-reference surface (Tez has no expression layer, SURVEY §2.8): the
+split-assignment operators a large-scale training-data pipeline needs.
+The design constraint at 100 TB is that a split must be a *pure map-side
+projection* — deterministic per row, no shuffle, no sampling state — so
+the same document lands in the same split on every run, on any cluster,
+after any retry. `df.randomSplit` fails all of that (rand() is
+recomputed on task retry); a content hash fails none of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.dedup import _md5_long
+
+
+def hash_bucket(col: Column, buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, buckets): md5-derived 60-bit integer of
+    the column's string form, mod buckets. Reproducible in any SQL engine
+    as ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT % buckets."""
+    return F.pmod(_md5_long(col.cast("string")), F.lit(buckets)).cast("int")
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    buckets: int = 1000,
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test' by a deterministic hash of its id.
+
+    The id (not rand) drives the assignment, so: (a) task retries and
+    re-runs produce identical splits; (b) the split survives re-partitioning
+    and incremental re-processing — new data joins the same global split
+    without touching old rows; (c) train/test never leak into each other
+    across pipeline versions. Resolution is `1/buckets` (default 0.1%).
+
+    Zero shuffle: both columns are map-side expressions; the plan stays in
+    whole-stage codegen.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    bucket = hash_bucket(F.col(id_col), buckets)
+    cutoff = int(round(train_frac * buckets))
+    return df.withColumn(bucket_col, bucket).withColumn(
+        split_col,
+        F.when(F.col(bucket_col) < cutoff, F.lit("train")).otherwise(F.lit("test")),
+    )

@@ -74,3 +74,36 @@ def with_moving(
     """Sliding row-frame aggregate (moving average etc.)."""
     w = spec(partition_by, order_by).rowsBetween(-preceding, following)
     return df.withColumn(name, agg.over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str,
+    session_col: str = "session_idx",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a per-key session index to every row: a new session starts
+    when the gap to the previous event exceeds `gap` (an INTERVAL string,
+    e.g. '30 minutes'). The row-level twin of the session *aggregate*
+    (streaming/windows.py session_agg): that collapses sessions to one row,
+    this labels every event — what a training-data pipeline needs to group
+    interaction logs into conversations without losing the events.
+
+    Cost: ONE shuffle on `keys` feeding two streaming window passes over
+    the same sorted run (lag + running sum — no frame materialization).
+    Timestamps are compared natively (no epoch truncation): a new session
+    iff ts > prev_ts + gap, strict, so sub-second data is handled exactly.
+    `tiebreak` columns order same-timestamp events deterministically.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = spec(keys, order)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    run = spec(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__new", is_new).withColumn(
+        session_col, F.sum("__new").over(run)
+    ).drop("__new")
