@@ -2388,6 +2388,175 @@ WHERE rn = 1
 """
 
 
+# DuckDB twin of splits.hash_bucket — md5-derived 60-bit integer mod N.
+def _sql_bucket(col: str, buckets: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 3-gram with
+    the held-out split are flagged (extensions/curation.py decontaminate).
+    Split is the deterministic md5 90/10; the join carries 8-byte shingle
+    hashes, never text."""
+    from hdp_tez_spark.extensions.curation import decontaminate
+    from hdp_tez_spark.extensions.splits import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = train_test_split(docs, "doc_id", train_frac=0.9)
+    train = s.where(F.col("split") == "train").select("doc_id", "text")
+    test = s.where(F.col("split") == "test").select("doc_id", "text")
+    return decontaminate(train, test, "doc_id", "text", k=3)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH {_SQL_TOKS_CTE},
+split AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_bucket('doc_id', 1000)} < 900
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+te AS (
+  SELECT DISTINCT shingle
+  FROM sh JOIN split ON sh.doc = split.doc_id
+  WHERE split.split = 'test'
+),
+hits AS (
+  SELECT sh.doc, count(*) AS n_hits
+  FROM sh
+  JOIN split ON sh.doc = split.doc_id
+  JOIN te USING (shingle)
+  WHERE split.split = 'train'
+  GROUP BY sh.doc
+)
+SELECT s.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM split s LEFT JOIN hits h ON s.doc_id = h.doc
+WHERE s.split = 'train'
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per language, picked by md5 order of doc_id —
+    deterministic per-stratum sampling (curation.stratified_sample_exact)."""
+    from hdp_tez_spark.extensions.curation import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "doc_id", "lang", 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) x WHERE rn <= 10
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-mixing: per-language keep fractions applied as a pure
+    map-side hash filter (curation.stratified_sample_fraction) — zero
+    shuffle, retry-stable membership."""
+    from hdp_tez_spark.extensions.curation import stratified_sample_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    fracs = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.5, "zh": 0.1}
+    return stratified_sample_fraction(docs, "doc_id", "lang", fracs).select(
+        "doc_id", "lang"
+    )
+
+
+_SQL_CORPUS_MIX = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sql_bucket('doc_id', 1000)} <
+      CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'es' THEN 250
+                WHEN 'fr' THEN 500 WHEN 'zh' THEN 100 ELSE 0 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: documents laid end-to-end in md5 order
+    within 8 hash buckets, cut every 256 tokens; each doc labeled with its
+    (bucket, pack_idx, pack_offset) (curation.pack_sequences over
+    textstats.token_stats)."""
+    from hdp_tez_spark.extensions.curation import pack_sequences
+    from hdp_tez_spark.extensions.textstats import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return pack_sequences(toks, "doc_id", "n_tokens", budget=256, num_buckets=8)
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+nt AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens FROM toks),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST({_sql_bucket('doc_id', 8)} AS INTEGER) AS bucket
+  FROM nt
+),
+c AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS pos
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       pos // 256 AS pack_idx, pos % 256 AS pack_offset
+FROM c
+"""
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: assignment hashes the near-dup
+    cluster representative so no cluster straddles the boundary
+    (extensions/splits.py cluster_split)."""
+    from hdp_tez_spark.extensions.splits import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_split(docs, "doc_id", "text", train_frac=0.9, threshold=0.1)
+
+
+_SQL_CLUSTER_SPLIT = f"""
+WITH RECURSIVE {_SQL_TOKS_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jaccard_pairs WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM jaccard_pairs WHERE jaccard >= 0.1
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+rep AS (SELECT src AS doc, min(dst) AS m FROM reach GROUP BY src),
+clusters AS (
+  SELECT d.doc_id,
+         CAST(least(coalesce(r.m, d.doc_id), d.doc_id) AS BIGINT) AS rep
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc
+)
+SELECT doc_id, rep,
+       CASE WHEN {_sql_bucket('rep', 1000)} < 900
+            THEN 'train' ELSE 'test' END AS split
+FROM clusters
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2854,6 +3023,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
     "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
     # TPC-H completion set (schema-adapted; see the comment block above)
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
     "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),

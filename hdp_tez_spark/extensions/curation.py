@@ -1,0 +1,183 @@
+"""Corpus-curation operators: eval-set decontamination, deterministic
+stratified sampling, and sequence packing.
+
+Beyond-reference extension (the reference engine has no data-curation
+surface; SURVEY §2.8 lists the expression layer as absent) — these are
+the remaining operators a 100 TB training-data pipeline runs between
+dedup and tokenization.
+
+Shared design rules (same as dedup.py / splits.py):
+- every hash is md5-derived so any ANSI-SQL oracle reproduces it
+  exactly; never engine-private hash functions.
+- every assignment (sample membership, pack id) is a pure function of
+  row content — task retries, re-partitioning, and incremental re-runs
+  cannot move a row, which is what makes the outputs usable as stable
+  dataset versions.
+- nothing is quadratic in corpus size and nothing collects to the
+  driver; shuffles carry ids + 8-byte hashes, not document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.dedup import _md5_long, _shingles
+from hdp_tez_spark.extensions.splits import hash_bucket
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Flag training documents that share any word k-gram with an
+    eval/test corpus — the standard benchmark-decontamination pass run
+    before every pretraining job (eval questions leaking into training
+    data inflate scores).
+
+    Output: (id, n_hits, contaminated) for every train row, where
+    n_hits counts the *distinct* shared k-grams and contaminated is
+    0/1. Filter `contaminated = 0` to get the clean corpus.
+
+    Scale: both sides explode to distinct shingles map-side, then meet
+    in ONE equi-join on an 8-byte md5-derived hash — shuffle volume is
+    (train shingles + test shingles) x 16 bytes, never text bodies, and
+    never |train| x |test|. The test side is deduplicated to distinct
+    shingles first, so a popular eval n-gram costs one row. If the test
+    corpus is small (the usual case), AQE turns the join into a
+    broadcast automatically — unforced, so a 10 TB "test" side still
+    works.
+    """
+    t_sh = train.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), k)).alias("__sh")
+    ).select(F.col(id_col), _md5_long(F.col("__sh")).alias("__h"))
+    e_sh = (
+        test.select(F.explode(_shingles(F.col(text_col), k)).alias("__sh"))
+        .select(_md5_long(F.col("__sh")).alias("__h"))
+        .distinct()
+    )
+    hits = (
+        t_sh.join(e_sh, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def stratified_sample_fraction(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its id's
+    hash bucket falls under the stratum's cutoff. The curation knob for
+    re-weighting a corpus mix (e.g. keep 100% of books, 10% of web).
+
+    Pure map-side filter — zero shuffle, stays in whole-stage codegen,
+    and the kept set is a stable function of (id, stratum): re-running
+    on a grown corpus keeps exactly the previously-kept rows plus new
+    ones, so incremental pipelines don't churn.
+
+    `fracs` maps stratum value -> fraction in [0, 1]; unlisted strata
+    get `default_frac`. Resolution is 1/buckets.
+    """
+    for s, f in fracs.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    b = hash_bucket(F.col(id_col), buckets)
+    cutoff = F.lit(int(round(default_frac * buckets)))
+    for s, f in sorted(fracs.items()):
+        cutoff = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(round(f * buckets)))
+        ).otherwise(cutoff)
+    return df.where(b < cutoff)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, picked by md5 order
+    of the id — a deterministic stand-in for per-stratum random sampling
+    (md5 order is uncorrelated with any data attribute, so it behaves
+    like a fixed random permutation shared by every engine).
+
+    One shuffle on the stratum key; the per-stratum window is a
+    streaming rank over the sorted run. Skewed strata are bounded by
+    early rank cutoff under AQE; for a stratum too hot for one task,
+    pre-filter with `stratified_sample_fraction` to ~10n first.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk packing assignment: lay documents end-to-end (in
+    md5 order of id, within `num_buckets` independent hash buckets) and
+    cut every `budget` tokens — the layout LLM pretraining uses to fill
+    fixed-length context windows without padding.
+
+    Output per doc: (id, n_tokens, bucket, pack_idx, pack_offset) —
+    the doc's bytes start at `pack_offset` tokens into pack
+    (bucket, pack_idx); a doc whose span crosses a cut continues into
+    the next pack, exactly like run-on pretraining chunks. Global pack
+    identity is the (bucket, pack_idx) pair.
+
+    Scale: ONE shuffle on the bucket (corpus/num_buckets rows per
+    partition — size buckets so a bucket's (id, n_tokens) pairs fit a
+    task, ~10-100M docs each; the window never materializes text). The
+    assignment is a pure function of (id, n_tokens), so retries and
+    re-partitioning reproduce it bit-for-bit.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = hash_bucket(F.col(id_col), num_buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens_col).over(w)
+    before = (cum - F.col(n_tokens_col)).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(n_tokens_col))
+        .withColumn("bucket", b)
+        .withColumn("__before", before)
+        # integer DIV, not floor(double /): token offsets past 2^53 per
+        # bucket would lose exactness under float division
+        .withColumn("pack_idx", F.expr(f"__before DIV {int(budget)}"))
+        .withColumn("pack_offset", F.col("__before") % budget)
+        .drop("__before")
+    )

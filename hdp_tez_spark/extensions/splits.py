@@ -51,3 +51,38 @@ def train_test_split(
         split_col,
         F.when(F.col(bucket_col) < cutoff, F.lit("train")).otherwise(F.lit("test")),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_frac: float = 0.9,
+    buckets: int = 1000,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage-safe split: hash the near-dup *cluster representative*, not
+    the document id, so all near-duplicates of a document land in the
+    same split. A plain id-hash split silently leaks — two 95%-identical
+    copies of one page can straddle train/test, and the model is then
+    evaluated on (a paraphrase of) its own training data. This is the
+    split a dedup-aware pipeline actually ships.
+
+    Output: (id, rep, split). Cost on top of `dedup_clusters` (whose
+    shuffles dominate): one map-side hash of the rep column — the split
+    assignment itself adds zero shuffles.
+    """
+    from hdp_tez_spark.extensions.dedup import dedup_clusters
+
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    clusters = dedup_clusters(df, id_col, text_col, k=k, threshold=threshold)
+    cutoff = int(round(train_frac * buckets))
+    return clusters.select(
+        F.col(id_col),
+        F.col("rep"),
+        F.when(hash_bucket(F.col("rep"), buckets) < cutoff, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

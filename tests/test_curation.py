@@ -1,0 +1,142 @@
+"""Curation operators: decontamination, stratified sampling, sequence
+packing, leakage-safe splits — behavioral invariants beyond the
+registry's oracle match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.curation import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample_exact,
+    stratified_sample_fraction,
+)
+from hdp_tez_spark.extensions.splits import cluster_split
+from hdp_tez_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    """A train doc containing a test doc's 3-gram is flagged; a disjoint
+    doc is not."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear here instead"),
+        ],
+        "id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "id long, text string"
+    )
+    got = {r.id: (r.n_hits, r.contaminated) for r in
+           decontaminate(train, test, "id", "text").collect()}
+    assert got[1][1] == 1 and got[1][0] >= 1  # shares "the quick brown"
+    assert got[2] == (0, 0)
+    # every train row present exactly once
+    assert len(got) == 2
+
+
+def test_decontaminate_counts_distinct_shared_ngrams(spark):
+    """n_hits counts distinct shared shingles, not occurrences."""
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "id long, text string"
+    )
+    test = spark.createDataFrame([(9, "x a b c y")], "id long, text string")
+    row = decontaminate(train, test, "id", "text").collect()[0]
+    # train shingles (distinct): "a b c", "b c a", "c a b"; shared: "a b c"
+    assert (row.n_hits, row.contaminated) == (1, 1)
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = stratified_sample_exact(docs, "doc_id", "lang", 7)
+    per = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r.lang: r.cnt for r in
+             docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, sizes[lang])
+    # repartitioning cannot change the picked set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         stratified_sample_exact(docs.repartition(13), "doc_id", "lang", 7)
+         .collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_sample_exact(docs, "doc_id", "lang", 0)
+
+
+def test_stratified_fraction_is_subset_and_map_side(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = stratified_sample_fraction(docs, "doc_id", "lang", {"en": 1.0})
+    # frac=1.0 keeps every row of the stratum
+    assert full.count() == docs.where(F.col("lang") == "en").count()
+    half = stratified_sample_fraction(
+        docs, "doc_id", "lang", {"en": 0.5}, default_frac=0.0
+    )
+    # kept set at 0.5 is a subset of the 1.0 set (nested samples: growing
+    # the fraction only adds rows — the property incremental re-mixes rely on)
+    assert half.join(full, "doc_id", "left_anti").count() == 0
+    # map-side only: no exchange in the plan
+    plan = half._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        stratified_sample_fraction(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_pack_sequences_layout_invariants(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from hdp_tez_spark.extensions.textstats import token_stats
+
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    budget = 128
+    out = pack_sequences(toks, "doc_id", "n_tokens", budget, num_buckets=4)
+    rows = out.collect()
+    assert len(rows) == toks.count()  # every doc assigned exactly once
+    assert all(0 <= r.pack_offset < budget for r in rows)
+    assert all(r.pack_idx >= 0 for r in rows)
+    # within a bucket, offsets reconstruct the concat layout exactly:
+    # sorting docs by (pack_idx, pack_offset) gives contiguous token spans
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: (r.pack_idx, r.pack_offset))
+        pos = 0
+        for r in bucket_rows:
+            assert r.pack_idx * budget + r.pack_offset == pos
+            pos += r.n_tokens
+    with pytest.raises(ValueError):
+        pack_sequences(toks, "doc_id", "n_tokens", 0)
+
+
+def test_pack_sequences_deterministic_across_partitioning(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from hdp_tez_spark.extensions.textstats import token_stats
+
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    a = {(r.doc_id, r.bucket, r.pack_idx, r.pack_offset)
+         for r in pack_sequences(toks, "doc_id", "n_tokens", 256).collect()}
+    b = {(r.doc_id, r.bucket, r.pack_idx, r.pack_offset)
+         for r in pack_sequences(
+             toks.repartition(11), "doc_id", "n_tokens", 256).collect()}
+    assert a == b
+
+
+def test_cluster_split_no_leakage(spark):
+    """Every near-dup cluster lands entirely in one split."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = cluster_split(docs, "doc_id", "text", threshold=0.1)
+    straddling = (
+        out.groupBy("rep")
+        .agg(F.countDistinct("split").alias("nsplits"))
+        .where(F.col("nsplits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    assert out.count() == docs.count()
+    # both splits are non-empty at the default 90/10
+    assert out.select("split").distinct().count() == 2
