@@ -97,7 +97,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     not document bodies.
     """
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -134,15 +135,26 @@ def ngram_jaccard_pairs(
     least one shingle) — never an all-pairs cross join. Output:
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
+    # The self-join shuffles an 8-byte shingle hash, not the shingle
+    # string — at 100 TB the shuffle carries (doc, long) pairs instead of
+    # multi-word text keys. Hash collisions would overcount n_inter for
+    # ~1e-18 of pairs (60-bit space); identical tradeoff to minhash.
     sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+        F.explode(
+            F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
+        ).alias("sh_h"),
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # |distinct shingles| is the array length — a map-side projection, not
+    # a second explode + groupBy shuffle over the corpus
+    sizes = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.size(_shingles(F.col(text_col), k)).alias("n_shingles"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -264,7 +276,15 @@ def minhash_lsh_pairs(
     bands = (
         _shingle_hashes(df, id_col, text_col, k)
         .select("doc", F.explode(F.array(*band_entries)).alias("bs"))
-        .select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        # join on an 8-byte hash of the band signature, not the signature
+        # string: the band self-join is the pipeline's only big shuffle and
+        # this keeps its rows fixed-width. A hash collision only *adds* a
+        # candidate pair, which exact-Jaccard verification then filters.
+        .select(
+            "doc",
+            F.col("bs.band").alias("band"),
+            _md5_long(F.col("bs.band_sig")).alias("band_h"),
+        )
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -272,7 +292,7 @@ def minhash_lsh_pairs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.band_h") == F.col("b.band_h"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
@@ -286,7 +306,7 @@ def minhash_lsh_pairs(
     # is small (the usual case), and falls back to shuffle joins when a
     # pathological corpus makes it large — forcing broadcast by hand would
     # serialize the two corpus-side shingle scans behind each other.
-    shingle_sets = df.select(
+    shingle_sets = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
     )
     sa = shingle_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -342,10 +362,16 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
+    # Materialize the symmetric edge list ONCE: it is re-joined every
+    # round, and without the checkpoint each round re-runs the entire
+    # upstream pair pipeline (for near-dup graphs, the shingle join that
+    # dominates the whole job) — O(iters) redundant scans at any scale.
+    # The edge list itself is tiny relative to the corpus.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.extensions.dedup import _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -63,7 +65,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -114,7 +116,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("qvec"),
         _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
@@ -190,7 +192,7 @@ def cosine_topk_ivf(
         )
         return F.transform(F.slice(ranked, 1, n), lambda s: s.cid)
 
-    c = corpus.select(
+    c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.element_at(cells_of(F.col(vec_col), 1), 1).alias("cell"),
@@ -229,7 +231,7 @@ def embedding_near_dupes(
     hyperplane; for exhaustive dedup run with n_planes=0 (single bucket)
     at correspondingly higher cost.
     """
-    b = df.select(
+    b = _spread(df.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         (

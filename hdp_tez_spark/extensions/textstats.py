@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.extensions.dedup import _spread
+
 TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
 # words + punctuation runs — a BPE-ish segmentation; POSIX classes only so
 # the same pattern works in Java regex and RE2.
@@ -38,7 +40,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (id, n_tokens, n_bpeish, n_chars_seen).
     """
     toks = _tokens(F.col(text_col))
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)).alias(
@@ -80,7 +82,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
         + 0.2 * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
     )
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -112,7 +114,7 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # array_max on (score, lang) structs: max score, then max lang code —
     # deterministic; mirror the same tiebreak in the oracle.
     best = F.array_max(F.array(*scores))
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         best["score"].alias("pred_score"),
@@ -123,7 +125,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     plus a 60-bit integer form for compact storage/joins."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
