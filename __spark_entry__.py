@@ -2972,27 +2972,40 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    # --- round-2 curation additions (new this round — need driver rows) ---
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
+    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
     # --- one representative per SURVEY §2 family (driver-green in r01) ---
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
-    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
     "wordcount": (q_wordcount, _SQL_WORDCOUNT),
     "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
-    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
-    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
-    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
-    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
-    "topk": (q_topk, _SQL_TOPK),
-    "rollup": (q_rollup, _SQL_ROLLUP),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
-    "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "pivot": (q_pivot, _SQL_PIVOT),
     # ------------------- driver-checked prefix ends here (50) -------------------
+    # Every entry below was driver-green in CORRECTNESS_r01.json with code
+    # unchanged since (see git log on the named q_ functions), or is a
+    # redundant variant of a driver-verified family; all remain covered by
+    # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
+    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
+    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
+    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
+    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
+    "topk": (q_topk, _SQL_TOPK),
+    "rollup": (q_rollup, _SQL_ROLLUP),
+    "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "distinct": (q_distinct, _SQL_DISTINCT),
@@ -3019,15 +3032,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
-    # round-2 LLM-pipeline additions (rotate into the checked prefix next round)
-    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
-    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
-    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
-    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
-    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
-    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
-    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
-    "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
     # TPC-H completion set (schema-adapted; see the comment block above)
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
     "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
