@@ -2522,6 +2522,91 @@ FROM c
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: the 10% 'new batch' (hash split) is
+    banded and joined against the 90% corpus band index — no corpus
+    self-pairing (extensions/dedup.py incremental_near_dupes)."""
+    from hdp_tez_spark.extensions.dedup import incremental_near_dupes
+    from hdp_tez_spark.extensions.splits import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = train_test_split(docs, "doc_id", train_frac=0.9)
+    corpus = s.where(F.col("split") == "train").select("doc_id", "text")
+    batch = s.where(F.col("split") == "test").select("doc_id", "text")
+    return incremental_near_dupes(batch, corpus, "doc_id", "text", threshold=0.1)
+
+
+_SQL_INCREMENTAL_DEDUP = f"""
+WITH {_SQL_TOKS_CTE},
+split AS (
+  SELECT doc_id, CASE WHEN {_sql_bucket('doc_id', 1000)} < 900
+                      THEN 'old' ELSE 'new' END AS side
+  FROM documents
+),
+xs AS (
+  SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+  FROM sh
+),
+hs AS (
+  SELECT doc, perm,
+         ((('0x' || substr(md5('perm-a-' || perm), 1, 15))::BIGINT % 1000000006 + 1)
+            * x
+          + ('0x' || substr(md5('perm-b-' || perm), 1, 15))::BIGINT % 1000000007)
+         % 1000000007 AS h
+  FROM xs, range(16) r(perm)
+),
+sigs AS (SELECT doc, perm, min(h) AS minhash FROM hs GROUP BY doc, perm),
+bands AS (
+  SELECT doc, perm // 2 AS band,
+         array_to_string(list_sort(list(perm || ':' || minhash)), '-') AS band_sig
+  FROM sigs GROUP BY doc, perm // 2
+),
+cand AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, 'new_old' AS pair_type
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  JOIN split sa ON a.doc = sa.doc_id
+  JOIN split sb ON b.doc = sb.doc_id
+  WHERE sa.side = 'new' AND sb.side = 'old'
+  UNION
+  SELECT a.doc, b.doc, 'new_new'
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc < b.doc
+  JOIN split sa ON a.doc = sa.doc_id
+  JOIN split sb ON b.doc = sb.doc_id
+  WHERE sa.side = 'new' AND sb.side = 'new'
+)
+SELECT c.id_a, c.id_b, j.jaccard, c.pair_type
+FROM cand c
+JOIN jaccard_pairs j
+  ON least(c.id_a, c.id_b) = j.id_a AND greatest(c.id_a, c.id_b) = j.id_b
+WHERE j.jaccard >= 0.1
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (similarity.py label_centroids): scalar
+    (label, pos) cells with map-side partial agg, array rebuilt ordered."""
+    from hdp_tez_spark.extensions.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+_SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cell AS (SELECT label, pos, avg(val) AS a, count(*) AS n
+         FROM e GROUP BY label, pos)
+SELECT label, max(n) AS n_vectors, list(round(a, 6) ORDER BY pos) AS centroid
+FROM cell GROUP BY label
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: assignment hashes the near-dup
     cluster representative so no cluster straddles the boundary
@@ -2981,13 +3066,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
+    "incremental_dedup": (q_incremental_dedup, _SQL_INCREMENTAL_DEDUP),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     # --- one representative per SURVEY §2 family (driver-green in r01) ---
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "wordcount": (q_wordcount, _SQL_WORDCOUNT),
     "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
-    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
-    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
@@ -2999,6 +3084,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # redundant variant of a driver-verified family; all remain covered by
     # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
+    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
     "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),

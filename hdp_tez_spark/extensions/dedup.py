@@ -240,6 +240,45 @@ def minhash_signatures(
     )
 
 
+def _band_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int,
+    band_rows: int,
+    k: int,
+) -> DataFrame:
+    """(doc, band, band_h): one row per document per LSH band, where
+    band_h is an 8-byte hash of the band's minhash signature. Entirely
+    map-side — the consumer's band equi-join is the first shuffle."""
+    mh = _minhash_cols(num_perms)
+    band_entries = []
+    for band in range(num_perms // band_rows):
+        parts = [
+            F.concat_ws(":", F.lit(p), mh[p])
+            for p in range(band * band_rows, (band + 1) * band_rows)
+        ]
+        band_entries.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws("-", F.array_sort(F.array(*parts))).alias("band_sig"),
+            )
+        )
+    return (
+        _shingle_hashes(df, id_col, text_col, k)
+        .select("doc", F.explode(F.array(*band_entries)).alias("bs"))
+        # join on an 8-byte hash of the band signature, not the signature
+        # string: the band self-join is the pipeline's only big shuffle and
+        # this keeps its rows fixed-width. A hash collision only *adds* a
+        # candidate pair, which exact-Jaccard verification then filters.
+        .select(
+            "doc",
+            F.col("bs.band").alias("band"),
+            _md5_long(F.col("bs.band_sig")).alias("band_h"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -258,34 +297,7 @@ def minhash_lsh_pairs(
     then verified with the exact shingle Jaccard, so the output is
     deterministic (no probabilistic false positives survive).
     """
-    # band signatures straight from the map-side signature columns — the
-    # first shuffle in the whole pipeline is the band self-join below
-    mh = _minhash_cols(num_perms)
-    band_entries = []
-    for band in range(num_perms // band_rows):
-        parts = [
-            F.concat_ws(":", F.lit(p), mh[p])
-            for p in range(band * band_rows, (band + 1) * band_rows)
-        ]
-        band_entries.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws("-", F.array_sort(F.array(*parts))).alias("band_sig"),
-            )
-        )
-    bands = (
-        _shingle_hashes(df, id_col, text_col, k)
-        .select("doc", F.explode(F.array(*band_entries)).alias("bs"))
-        # join on an 8-byte hash of the band signature, not the signature
-        # string: the band self-join is the pipeline's only big shuffle and
-        # this keeps its rows fixed-width. A hash collision only *adds* a
-        # candidate pair, which exact-Jaccard verification then filters.
-        .select(
-            "doc",
-            F.col("bs.band").alias("band"),
-            _md5_long(F.col("bs.band_sig")).alias("band_h"),
-        )
-    )
+    bands = _band_frame(df, id_col, text_col, num_perms, band_rows, k)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -325,6 +337,85 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_near_dupes(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs a NEW batch introduces against an existing corpus,
+    plus pairs within the batch itself — without ever re-pairing the
+    corpus against itself. This is the production dedup shape: a daily
+    crawl lands and the question is which incoming documents duplicate
+    anything already indexed, not a full re-cluster of 100 TB.
+
+    Output: (id_a, id_b, jaccard, pair_type); pair_type is 'new_old'
+    (id_a is the new doc, id_b the corpus doc) or 'new_new' (both new,
+    id_a < id_b). Ids must be disjoint across the two frames.
+
+    Scale: the corpus band frame is a pure map-side projection — in
+    production, compute it once and store it as the band *index*; each
+    batch then joins |batch| band rows against it on 8-byte keys. The
+    batch self-join is |batch|-sized. No stage touches |corpus|^2, and
+    exact-Jaccard verification reads text only for candidate ids.
+    """
+    bn = _band_frame(new_docs, id_col, text_col, num_perms, band_rows, k)
+    bo = _band_frame(corpus, id_col, text_col, num_perms, band_rows, k)
+    n, o = bn.alias("n"), bo.alias("o")
+    cross = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_h") == F.col("o.band_h")),
+        )
+        .select(F.col("n.doc").alias("id_a"), F.col("o.doc").alias("id_b"))
+        .distinct()
+        .withColumn("pair_type", F.lit("new_old"))
+    )
+    a, b = bn.alias("a"), bn.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_h") == F.col("b.band_h"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+        .withColumn("pair_type", F.lit("new_new"))
+    )
+    candidates = cross.unionByName(within)
+    sh_new = _spread(new_docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+    )
+    sh_all = sh_new.unionByName(
+        _spread(corpus.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+        )
+    )
+    sa = sh_new.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_all.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "pair_type")
     )
 
 

@@ -255,3 +255,35 @@ def embedding_near_dupes(
             "cosine",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding: (label, n_vectors, centroid).
+
+    The vector aggregate a clustering/IVF pipeline needs, shaped for
+    scale: posexplode to (label, pos, val) scalar cells, aggregate with
+    map-side partial combine (shuffle carries |labels| x dim doubles,
+    never vectors), then rebuild the ordered array per label. No
+    assumed dimension, no driver collect, no Python in the hot path.
+    Values are rounded to 6 decimals so the result is stable across
+    summation orders (floating-point addition is not associative; the
+    raw double differs in the last bits between any two partitionings).
+    """
+    e = _spread(df.select(label_col, vec_col)).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    cell = e.groupBy("label", "pos").agg(
+        F.avg("val").alias("avg"), F.count(F.lit(1)).alias("n")
+    )
+    return cell.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg"))),
+            lambda s: F.round(s.avg, 6),
+        ).alias("centroid"),
+    )

@@ -140,3 +140,53 @@ def test_cluster_split_no_leakage(spark):
     assert out.count() == docs.count()
     # both splits are non-empty at the default 90/10
     assert out.select("split").distinct().count() == 2
+
+
+def test_incremental_near_dupes_scopes_pairs(spark):
+    """new_old and new_new pairs are reported; corpus-internal dups are
+    NOT (the whole point: the corpus is never re-paired with itself)."""
+    from hdp_tez_spark.extensions.dedup import incremental_near_dupes
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally different words here now")],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, base + " tail"), (102, base + " tail two"), (103, "nothing shared")],
+        "id long, text string",
+    )
+    out = incremental_near_dupes(batch, corpus, "id", "text", threshold=0.3)
+    pairs = {(r.id_a, r.id_b): r.pair_type for r in out.collect()}
+    # batch doc 101 is a near-dup of corpus docs 1 and 2
+    assert pairs.get((101, 1)) == "new_old"
+    assert pairs.get((101, 2)) == "new_old"
+    # within-batch pair, id_a < id_b
+    assert pairs.get((101, 102)) == "new_new"
+    # corpus pair (1,2) never appears in any orientation
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+    # unrelated batch doc appears in no pair
+    assert not any(103 in p for p in pairs)
+
+
+def test_label_centroids_exact_mean(spark):
+    from hdp_tez_spark.extensions.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (0, [3.0, 4.0, 5.0]), (1, [10.0, 0.0, -2.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {r.label: r for r in label_centroids(df).collect()}
+    assert rows[0].n_vectors == 2 and rows[0].centroid == [2.0, 3.0, 4.0]
+    assert rows[1].n_vectors == 1 and rows[1].centroid == [10.0, 0.0, -2.0]
+
+
+def test_label_centroids_partition_invariant(spark):
+    from hdp_tez_spark.extensions.similarity import label_centroids
+    from hdp_tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r.label: tuple(r.centroid) for r in label_centroids(emb).collect()}
+    b = {r.label: tuple(r.centroid)
+         for r in label_centroids(emb.repartition(17)).collect()}
+    assert a == b
