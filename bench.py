@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_clusters",
     "cogroup",
     "interval_join",
+    # curation surface (round-2 additions)
+    "sessionize",
+    "decontaminate",
+    "pack_sequences",
+    "incremental_dedup",
+    "label_centroids",
 ]
 
 

@@ -52,19 +52,7 @@ def _md5_long_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow input out to the session's default parallelism before
-    expression-heavy per-row work. Small dimension-style files arrive as a
-    single split (one task does everything); at real scale the source
-    already has many splits and this is a near-no-op reshuffle guarded by
-    the partition count."""
-    # JVM-side partition probe: df._jdf.rdd() avoids the Python-RDD
-    # conversion (serializer setup + plan translation) that plain df.rdd
-    # pays on every call
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df._jdf.rdd().getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from hdp_tez_spark.parallel import spread as _spread  # noqa: E402 (shared helper)
 
 
 def _tokens(col: Column) -> Column:
@@ -96,9 +84,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (keep_id, dup_count) per distinct content. Shuffles md5 keys,
     not document bodies.
     """
+    # no _spread here: one md5 per row is cheaper than repartitioning the
+    # text bodies — unlike the shingle ops, the map stage is not the cost
     return (
-        _spread(df.select(id_col, text_col))
-        .select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),

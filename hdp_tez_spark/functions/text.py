@@ -30,8 +30,14 @@ def tokenize(col: Column) -> Column:
 
 
 def explode_tokens(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
-    """line -> one row per token (TokenProcessor parity)."""
-    return df.select(F.explode(tokenize(F.col(text_col))).alias(out))
+    """line -> one row per token (TokenProcessor parity). The source is
+    spread to full parallelism first — a single-split file otherwise
+    tokenizes in one task (split grouping parity, SURVEY §2.1)."""
+    from hdp_tez_spark.parallel import spread
+
+    return spread(df.select(text_col)).select(
+        F.explode(tokenize(F.col(text_col))).alias(out)
+    )
 
 
 def word_count(df: DataFrame, text_col: str) -> DataFrame:
