@@ -2607,6 +2607,49 @@ FROM cell GROUP BY label
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of l_extendedprice
+    (operators/aggregates.py numeric_histogram): 1-row min/max broadcast
+    into a map-side bin expression, then a bins-wide count shuffle."""
+    from hdp_tez_spark.operators.aggregates import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
+
+
+_SQL_HISTOGRAM = """
+WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem),
+b AS (
+  SELECT least(19, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20.0))
+                        AS BIGINT)) AS bin,
+         lo, hi
+  FROM lineitem, s
+)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+       count(*) AS cnt
+FROM b GROUP BY bin, lo, hi
+"""
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF path: Lloyd's k-means (similarity.py
+    kmeans_fit, k=8, deterministic seeds/rounding) then map-side cell
+    assignment; output is the cell occupancy table. Iterative — no SQL
+    oracle (rows-only driver check); invariants pinned in
+    tests/test_curation.py."""
+    from hdp_tez_spark.extensions.similarity import assign_cells, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=5)
+    return (
+        assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: assignment hashes the near-dup
     cluster representative so no cluster straddles the boundary
@@ -3083,6 +3126,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # unchanged since (see git log on the named q_ functions), or is a
     # redundant variant of a driver-verified family; all remain covered by
     # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "histogram": (q_histogram, _SQL_HISTOGRAM),
+    "kmeans_cells": (q_kmeans_cells, None),
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, _SQL_ANTI_JOIN),

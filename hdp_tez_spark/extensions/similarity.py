@@ -287,3 +287,93 @@ def label_centroids(
             lambda s: F.round(s.avg, 6),
         ).alias("centroid"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column; returns the trained
+    centroids as [(cell, vector)] — the trainer `cosine_topk_ivf`'s
+    docstring promises ("swap in trained centroids for better recall").
+
+    Deterministic end to end: seeds are the k lowest-id vectors, the
+    assignment metric is cosine rounded to 6dp with cell-id tiebreak, and
+    per-cell means are rounded to 6dp each round — so any partitioning,
+    retry, or engine re-run reproduces the same model.
+
+    Scale shape per iteration: assignment is a pure map-side expression
+    against the k x dim centroid literals (zero shuffle — the same baked
+    broadcast as IVF), then means reduce by scalar (cell, pos) cells with
+    map-side partial aggregation. Only k x dim floats ever reach the
+    driver; the corpus is scanned once per iteration and never collected.
+    An empty cell keeps its previous centroid (no respawn heuristics, to
+    stay deterministic).
+    """
+    cent_rows = (
+        df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, [round(float(x), 6) for x in r[vec_col]]) for i, r in enumerate(cent_rows)
+    ]
+    src = _spread(df.select(id_col, vec_col))
+    for _ in range(max_iter):
+        assigned = assign_cells(src, cents, vec_col).select(
+            "cell", F.posexplode(vec_col).alias("pos", "val")
+        )
+        cell_means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("avg"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "avg"))),
+                    lambda s: F.round(s.avg, 6),
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {int(r.cell): [float(x) for x in r.centroid] for r in cell_means}
+        shift = 0.0
+        nxt: list[tuple[int, list[float]]] = []
+        for cid, old in cents:
+            vec = new.get(cid, old)  # empty cell keeps its centroid
+            shift = max(shift, max((abs(a - b) for a, b in zip(vec, old)), default=0.0))
+            nxt.append((cid, vec))
+        cents = nxt
+        if shift <= tol:
+            break
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label every row with its nearest trained centroid (cosine, 6dp,
+    cell-id tiebreak) — the map-side assignment used by both kmeans_fit
+    iterations and an IVF index build. Adds a `cell` int column."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine(c.cvec, F.col(vec_col)), 6).alias("cos"),
+                (-c.cid).alias("neg_cid"),
+            ),
+        )
+    )
+    return df.withColumn("cell", (-best["neg_cid"]).cast("int"))

@@ -137,3 +137,44 @@ def grouping_sets_agg(
     return df.groupingSets([list(s) for s in sets], *[F.col(k) for k in keys]).agg(
         *aggs
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, bin_lo, bin_hi,
+    cnt), bins spanning [min, max] with the max value clamped into the
+    last bin. The dataset-profiling primitive (outlier checks, filter
+    threshold tuning) a curation pipeline runs before committing to
+    cutoffs.
+
+    Two scans, both trivial: a 1-row min/max aggregate that AQE
+    broadcasts into a map-side bin expression (floor arithmetic in
+    float64 — identical IEEE ops in any engine, so bin edges are
+    engine-reproducible), then one groupBy(bin) count whose shuffle
+    carries `bins` partial counts per task. Nothing scales with row
+    count except the scans themselves.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    x = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.floor((x - F.col("__lo")) / width),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            bin_.alias("bin"),
+            F.round(F.col("__lo") + bin_ * width, 6).alias("bin_lo"),
+            F.round(F.col("__lo") + (bin_ + 1) * width, 6).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -190,3 +190,65 @@ def test_label_centroids_partition_invariant(spark):
     b = {r.label: tuple(r.centroid)
          for r in label_centroids(emb.repartition(17)).collect()}
     assert a == b
+
+
+def test_kmeans_assigns_nearest_and_converges(spark):
+    from hdp_tez_spark.extensions.similarity import (
+        assign_cells,
+        cosine,
+        kmeans_fit,
+    )
+    from hdp_tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, k=4, max_iter=5)
+    assert len(cents) == 4
+    out = assign_cells(emb, cents)
+    # every row got a cell from the trained set
+    cells = {c for c, _ in cents}
+    assert {r.cell for r in out.select("cell").distinct().collect()} <= cells
+    # spot-check: the assigned cell maximizes rounded cosine (ties -> min cid)
+    rows = out.limit(20).collect()
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    for r in rows:
+        scored = sorted(
+            ((cos([float(x) for x in r.embedding], v), -cid) for cid, v in cents),
+            reverse=True,
+        )
+        assert -scored[0][1] == r.cell
+
+
+def test_kmeans_deterministic(spark):
+    from hdp_tez_spark.extensions.similarity import kmeans_fit
+    from hdp_tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = kmeans_fit(emb, k=4, max_iter=3)
+    b = kmeans_fit(emb.repartition(9), k=4, max_iter=3)
+    assert a == b
+
+
+def test_numeric_histogram_invariants(spark):
+    from hdp_tez_spark.operators.aggregates import numeric_histogram
+    from hdp_tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = numeric_histogram(li, "l_extendedprice", 10).collect()
+    assert sum(r.cnt for r in out) == li.count()  # every row binned once
+    assert all(0 <= r.bin < 10 for r in out)
+    # bins tile [lo, hi]: consecutive edges meet
+    srt = sorted(out, key=lambda r: r.bin)
+    for prev, nxt in zip(srt, srt[1:]):
+        if nxt.bin == prev.bin + 1:
+            assert abs(prev.bin_hi - nxt.bin_lo) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        numeric_histogram(li, "l_extendedprice", 0)
