@@ -2633,6 +2633,31 @@ FROM b GROUP BY bin, lo, hi
 """
 
 
+def q_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming admission gate
+    (streaming/sinks.py stream_corpus_gate): docs whose normalized
+    fingerprint is already in the corpus index (here: doc_id < 250) are
+    dropped via a left_anti join on the 16-byte fingerprint."""
+    from hdp_tez_spark.extensions.textstats import fingerprint
+    from hdp_tez_spark.streaming.sinks import stream_corpus_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = fingerprint(docs.where(F.col("doc_id") < 250), "doc_id", "text")
+    return stream_corpus_gate(docs, idx).select("doc_id", "lang")
+
+
+_SQL_CORPUS_GATE = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM fp d
+WHERE d.f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
+"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-centroid IVF path: Lloyd's k-means (similarity.py
     kmeans_fit, k=8, deterministic seeds/rounding) then map-side cell
@@ -3127,6 +3152,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # redundant variant of a driver-verified family; all remain covered by
     # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "histogram": (q_histogram, _SQL_HISTOGRAM),
+    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
     "kmeans_cells": (q_kmeans_cells, None),
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),

@@ -121,12 +121,19 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalized_fp(col: Column) -> Column:
+    """md5 over whitespace-normalized lowercase text — the shared
+    content-identity expression (fingerprint table, stream admission
+    gate)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     plus a 60-bit integer form for compact storage/joins."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    fp = normalized_fp(F.col(text_col))
     return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.md5(norm).alias("fp_md5"),
-        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
