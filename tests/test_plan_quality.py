@@ -174,3 +174,54 @@ def test_q7_broadcast_hints_only_on_nation(spark):
     dims) and nothing else."""
     df = E.queries()["tpch_q7"](spark, SF_SMOKE)
     assert _analyzed(df).count("ResolvedHint") == 2
+
+
+def test_histogram_broadcasts_stats_not_sort(spark):
+    """The 1-row min/max aggregate reaches the bin expression via a
+    broadcast, and no global sort appears anywhere."""
+    df = E.queries()["histogram"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_label_centroids_partial_agg(spark):
+    """(label, pos) cells partially aggregate map-side: shuffle carries
+    partial avg states, not raw vector elements."""
+    from hdp_tez_spark.extensions.similarity import label_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(label_centroids(emb))
+    import re
+
+    first_exchange = plan.lower().index("exchange hashpartitioning")
+    partials = [m.start() for m in re.finditer(r"HashAggregate.*partial_avg", plan)]
+    assert partials and min(partials) > first_exchange, plan
+    # note: executedPlan prints top-down, so the partial agg (upstream of
+    # the exchange) appears BELOW it in the text — index must be larger
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from hdp_tez_spark.extensions.curation import pack_sequences
+    from hdp_tez_spark.extensions.textstats import token_stats
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    plan = _plan(pack_sequences(toks, "doc_id", "n_tokens", 256))
+    # one hash exchange for the bucket window; the spread repartition is a
+    # RoundRobin exchange and must not add more hash exchanges
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_joins_on_hashes(spark):
+    """The train-vs-test shingle join keys are 8-byte hashes (the __h
+    bigint), never shingle strings."""
+    from hdp_tez_spark.extensions.curation import decontaminate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    train = docs.where(F.col("doc_id") % 10 > 0).select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    plan = _plan(decontaminate(train, test, "doc_id", "text"))
+    assert "__h" in plan, plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "__h" in l]
+    assert joins, plan
