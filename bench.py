@@ -87,12 +87,14 @@ def main() -> None:
     collector = TaskMetricsCollector(spark)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        collector.measure(
-            name,
-            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save(),
-        )
-        timings[name] = round(time.time() - t0, 3)
+        # time the action alone — counter snapshots (status-store polling)
+        # happen outside the measured window so they don't tax small queries
+        def act(qname: str = name) -> None:
+            t0 = time.time()
+            qs[qname](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[qname] = round(time.time() - t0, 3)
+
+        collector.measure(name, act)
 
     total = round(sum(timings.values()), 3)
     # per-query shuffle/spill bytes (BASELINE §C: byte counters via the

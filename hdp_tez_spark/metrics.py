@@ -110,6 +110,10 @@ class TaskMetricsCollector:
         # snapshots pay py4j round-trips only for stages created since the
         # last call, keeping measure() overhead flat across a long run
         self._done_stages: dict[tuple[int, int], dict[str, int]] = {}
+        # the previous measure()'s after-snapshot doubles as the next
+        # before-snapshot when measurements run back-to-back (bench loop):
+        # halves the py4j/status-store work per query
+        self._last_totals: dict[str, int] | None = None
 
     def _snapshot(self) -> dict[str, int]:
         sc = self._spark.sparkContext
@@ -140,10 +144,13 @@ class TaskMetricsCollector:
 
     def measure(self, name: str, action: Callable[[], T]) -> T:
         """Run `action` (any Spark action) and record the byte/spill/shuffle
-        deltas it caused under `name`."""
-        before = self._snapshot()
+        deltas it caused under `name`. Only jobs run through measure() may
+        touch the session between calls — anything else is attributed to
+        the next measured action."""
+        before = self._last_totals if self._last_totals is not None else self._snapshot()
         result = action()
         after = self._snapshot()
+        self._last_totals = after
         delta = {
             out: max(0, after[field] - before[field])
             for field, out in self.FIELDS.items()

@@ -101,3 +101,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """Range-sorted parquet layout for data skipping: repartitionByRange
+    puts disjoint key ranges in each task, sortWithinPartitions orders
+    rows inside, so every output file's min/max footer stats cover a
+    non-overlapping slice of the sort key. Any engine (Spark, DuckDB,
+    Trino) can then prune whole files on a range predicate — the
+    cheap-and-portable cousin of a clustered table format, and the layout
+    that turns a 100 TB time-keyed fact table into
+    read-only-what-you-query.
+
+    Cost: one range shuffle (sampled boundaries) at write time — paid
+    once, saved on every subsequent scan.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

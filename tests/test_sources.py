@@ -8,6 +8,7 @@ InputFormats and MROutput commit semantics.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -111,3 +112,38 @@ def test_text_roundtrip(spark, nation):
     assert {r.value for r in back.collect()} == {
         r.n_name for r in nation.collect()
     }
+
+
+def test_write_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range-sorted layout: each parquet file's min/max footer stats span
+    a non-overlapping slice of the sort key, so engines can prune whole
+    files on a range predicate."""
+    import pyarrow.parquet as pq
+
+    from hdp_tez_spark.sources.catalog import load_table, write_sorted
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted(li, out, ["l_extendedprice"], partitions=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_extendedprice"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
