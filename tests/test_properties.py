@@ -119,3 +119,84 @@ def test_salted_join_equals_plain_join(spark, rows):
     assert {tuple(r) for r in plain.collect()} == {
         tuple(r) for r in salted.collect()
     }
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # id (deduped below)
+        st.lists(
+            st.sampled_from("alpha bravo charlie delta echo fox".split()),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(train=docs_strategy, test=docs_strategy)
+@settings(**SETTINGS)
+def test_decontaminate_matches_python_ngram_intersection(spark, train, test):
+    """decontaminate == brute-force distinct-3-gram intersection."""
+    from hdp_tez_spark.extensions.curation import decontaminate
+
+    def dedup_ids(rows):
+        seen, out = set(), []
+        for i, toks in rows:
+            if i not in seen:
+                seen.add(i)
+                out.append((i, " ".join(toks)))
+        return out
+
+    tr, te = dedup_ids(train), dedup_ids(test)
+
+    def shingles(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    te_sh = set().union(*(shingles(t) for _, t in te)) if te else set()
+    expected = {
+        i: len(shingles(t) & te_sh) for i, t in tr
+    }
+    tdf = spark.createDataFrame(tr, "id long, text string")
+    edf = spark.createDataFrame(te, "id long, text string")
+    got = {
+        r.id: r.n_hits for r in decontaminate(tdf, edf, "id", "text").collect()
+    }
+    assert got == expected
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+    min_size=1, max_size=30,
+))
+@settings(**SETTINGS)
+def test_pack_sequences_conserves_layout(spark, rows):
+    """Every doc is assigned once; within each bucket the offsets are the
+    exact running token sum in md5 order (no gaps, no overlaps)."""
+    import hashlib
+
+    from hdp_tez_spark.extensions.curation import pack_sequences
+
+    uniq = {}
+    for i, n in rows:
+        uniq.setdefault(i, n)
+    data = sorted(uniq.items())
+    df = spark.createDataFrame(data, "id long, n long")
+    budget, buckets = 17, 4
+    got = pack_sequences(df, "id", "n", budget, num_buckets=buckets).collect()
+    assert len(got) == len(data)
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        # reference order: md5 of the id string, then id
+        rs_ref = sorted(rs, key=lambda r: (hashlib.md5(str(r.id).encode()).hexdigest(), r.id))
+        pos = 0
+        for r in rs_ref:
+            assert r.pack_idx == pos // budget
+            assert r.pack_offset == pos % budget
+            pos += r.n
