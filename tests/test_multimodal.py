@@ -1,0 +1,88 @@
+"""Multimodal plumbing: REAL container-header decode (no codecs needed)
+plus the deterministic fake-decode surface."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hdp_tez_spark.extensions.multimodal import (
+    _sniff_header,
+    decode_meta,
+    parse_media_headers,
+    resize_images,
+)
+
+
+def _png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x08"
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w, h):
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 4
+
+
+def _wav(byte_rate, data_size):
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8
+    )
+    data = b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _jpeg(w, h):
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8 + 3) + b"\x08" + struct.pack(">HH", h, w)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_sniff_header_all_containers():
+    assert _sniff_header(_png(640, 480)) == ("png", 640, 480, None)
+    assert _sniff_header(_gif(320, 200)) == ("gif", 320, 200, None)
+    assert _sniff_header(_bmp(800, -600)) == ("bmp", 800, 600, None)  # top-down BMP
+    cont, w, h, dur = _sniff_header(_wav(16000, 32000))
+    assert (cont, w, h) == ("wav", None, None) and dur == 2000  # 32000B / 16kBps
+    assert _sniff_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080, None)
+    assert _sniff_header(b"not a media file") == (None, None, None, None)
+    assert _sniff_header(b"") == (None, None, None, None)
+
+
+def test_parse_media_headers_dataframe(spark):
+    rows = [
+        (1, _png(64, 32)),
+        (2, _wav(8000, 8000)),
+        (3, b"plain text payload"),
+        (4, _jpeg(10, 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_media_headers(df).collect()}
+    assert (got[1].container, got[1].width, got[1].height) == ("png", 64, 32)
+    assert (got[2].container, got[2].duration_ms) == ("wav", 1000)
+    assert got[3].container is None and got[3].width is None
+    assert (got[4].container, got[4].width, got[4].height) == ("jpeg", 10, 20)
+    assert len(got) == 4  # unknown payloads keep their rows
+
+
+def test_fake_decode_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"abc"), (3, b"xyz")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: (r.width, r.height, r.n_frames, r.modality)
+            for r in decode_meta(df).collect()}
+    assert rows[1] == rows[2]  # same payload -> same fake meta
+    assert rows[1] != rows[3]
+
+
+def test_resize_still_stubbed(spark):
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        resize_images(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
