@@ -181,3 +181,59 @@ def pack_sequences(
         .withColumn("pack_offset", F.col("__before") % budget)
         .drop("__before")
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    near_dup_threshold: float = 0.5,
+    min_quality: float = 0.3,
+    train_frac: float = 0.9,
+    pack_budget: int = 2048,
+    k: int = 3,
+) -> dict[str, DataFrame]:
+    """The full curation flow, composed from the individual operators —
+    what a training-data pipeline actually runs end to end:
+
+    1. near-dup cluster + keep the best copy  (dedup_keep_best)
+    2. quality-filter the survivors           (textstats.quality_score)
+    3. leakage-safe split on the cluster rep  (hash of rep, not doc id)
+    4. decontaminate train against test       (decontaminate)
+    5. pack the clean train set               (pack_sequences)
+
+    Returns lazy DataFrames: {"kept", "train", "test", "packed"} — the
+    caller materializes whichever stage it needs; Catalyst sees each
+    output's full lineage, so filters/pruning flow through the whole
+    composition.
+
+    Ordering rationale (the part people get wrong): the split hashes the
+    near-dup cluster rep BEFORE decontamination so near-duplicate leaks
+    can't straddle the boundary, and decontamination runs train-vs-test
+    AFTER dedup so it only pays for surviving documents.
+    """
+    from hdp_tez_spark.extensions.dedup import dedup_keep_best
+    from hdp_tez_spark.extensions.splits import hash_bucket
+    from hdp_tez_spark.extensions.textstats import token_stats
+
+    best = dedup_keep_best(df, id_col, text_col, k=k, threshold=near_dup_threshold)
+    kept = (
+        df.join(best.select(F.col("keep_id").alias(id_col), "cluster_rep", "quality"),
+                id_col)
+        .where(F.col("quality") >= min_quality)
+    )
+    cutoff = int(round(train_frac * 1000))
+    split = kept.withColumn(
+        "split",
+        F.when(hash_bucket(F.col("cluster_rep"), 1000) < cutoff, F.lit("train"))
+        .otherwise(F.lit("test")),
+    )
+    train = split.where(F.col("split") == "train")
+    test = split.where(F.col("split") == "test")
+    clean_ids = decontaminate(train, test, id_col, text_col, k=k).where(
+        F.col("contaminated") == 0
+    )
+    clean = train.join(clean_ids.select(id_col), id_col)
+    toks = token_stats(clean, id_col, text_col).select(id_col, "n_tokens")
+    packed = pack_sequences(toks, id_col, "n_tokens", pack_budget)
+    return {"kept": kept, "train": train, "test": test, "packed": packed}

@@ -252,3 +252,32 @@ def test_numeric_histogram_invariants(spark):
 
     with _pytest.raises(ValueError):
         numeric_histogram(li, "l_extendedprice", 0)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The composed flow holds its invariants: dedup kept one doc per
+    cluster, the split is leakage-safe, the packed set is exactly the
+    decontaminated train set."""
+    from hdp_tez_spark.extensions.curation import curate_corpus, decontaminate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = curate_corpus(
+        docs, "doc_id", "text", near_dup_threshold=0.1, min_quality=0.2,
+        pack_budget=256,
+    )
+    kept = out["kept"]
+    # one survivor per cluster, all above the quality bar
+    assert kept.groupBy("cluster_rep").count().where(F.col("count") > 1).count() == 0
+    assert kept.where(F.col("quality") < 0.2).count() == 0
+    # split covers kept exactly, and no cluster straddles it
+    train_n, test_n = out["train"].count(), out["test"].count()
+    assert train_n + test_n == kept.count()
+    # every packed doc is a clean train doc (decontaminated, deduped)
+    clean = decontaminate(out["train"], out["test"], "doc_id", "text").where(
+        F.col("contaminated") == 0
+    )
+    assert out["packed"].count() == clean.count()
+    assert (
+        out["packed"].join(out["train"].select("doc_id"), "doc_id", "left_anti")
+        .count() == 0
+    )
