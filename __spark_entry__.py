@@ -967,21 +967,32 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
 
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed near-dup pairs — the SCALE path (bucket
+    equi-join, never all-pairs); the oracle replicates the 4-plane sign
+    bucket so recall trade-offs match exactly. n_planes=0 (exhaustive
+    cross-join verification mode) remains available on the operator."""
     from hdp_tez_spark.extensions import similarity as SIM
 
     return SIM.embedding_near_dupes(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=0
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
     )
 
 
 _SQL_EMBEDDING_NEAR_DUPES = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 6) >= 0.4
+                                    c.embedding::DOUBLE[]), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]), 6) >= 0.4
 """
 
 

@@ -225,3 +225,12 @@ def test_decontaminate_joins_on_hashes(spark):
     assert "__h" in plan, plan
     joins = [l for l in plan.splitlines() if "Join" in l and "__h" in l]
     assert joins, plan
+
+
+def test_embedding_near_dupes_bucket_equijoin(spark):
+    """The driver-checked query must take the bucket equi-join path, not
+    an all-pairs nested-loop join (n_planes=0 exhaustive mode is the
+    explicit opt-in exception)."""
+    plan = _plan(E.queries()["embedding_near_dupes"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
