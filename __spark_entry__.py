@@ -3056,6 +3056,43 @@ LIMIT 100
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (order priority checking): orders placed in one quarter having
+    at least one line shipped after the order date, counted per priority.
+    EXISTS compiles to a leftsemi join — the equi-key (l_orderkey) drives
+    the shuffle and the shipdate comparison rides along as a post-join
+    filter, so there is exactly one shuffle on the order key and the date
+    filter on orders is pushed to the parquet scan."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: return-flag quantities rotated into columns per line status.
     The explicit value list compiles to single-pass conditional
@@ -3203,6 +3240,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
     # TPC-H completion set (schema-adapted; see the comment block above)
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
     "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
