@@ -1110,6 +1110,88 @@ FROM documents
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.redact_pii(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_REDACT_PII = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         '[+(][0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+       len(regexp_extract_all(text,
+         '[+(][0-9][0-9()\\- ]{6,}[0-9]')) AS n_phones
+FROM documents
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import textstats as TS
+
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique,
+       round(CASE WHEN len(t) > 0
+                  THEN 1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM base
+"""
+
+
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_quantized(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+_SQL_COSINE_TOPK_QUANTIZED = """
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127 /
+                greatest(list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))), 1e-30)) AS BIGINT)) AS qvec
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, qcosine, rn FROM (
+  SELECT query_id, neighbor_id, qcosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcosine DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.qvec::DOUBLE[], c.qvec::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+                  sqrt(list_dot_product(c.qvec::DOUBLE[], c.qvec::DOUBLE[]))),
+                 6) AS qcosine
+    FROM quant q, quant c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  )
+) WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Collection / JSON surface, cogroup, subqueries, skew-safe join
 # ---------------------------------------------------------------------------
@@ -3148,6 +3230,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
     "langid": (q_langid, _SQL_LANGID),
     "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
+    "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
+    "cosine_topk_quantized": (q_cosine_topk_quantized, _SQL_COSINE_TOPK_QUANTIZED),
     # --- collections / subqueries / cogroup / skew ---
     "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
@@ -3188,10 +3273,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "wordcount": (q_wordcount, _SQL_WORDCOUNT),
     "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
-    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
-    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
-    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "pivot": (q_pivot, _SQL_PIVOT),
     # ------------------- driver-checked prefix ends here (50) -------------------
@@ -3199,6 +3281,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # unchanged since (see git log on the named q_ functions), or is a
     # redundant variant of a driver-verified family; all remain covered by
     # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
+    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
+    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "histogram": (q_histogram, _SQL_HISTOGRAM),
     "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
     "kmeans_cells": (q_kmeans_cells, None),

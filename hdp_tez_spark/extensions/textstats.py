@@ -121,6 +121,68 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII patterns shared by the Spark operator and the DuckDB oracle: POSIX
+# classes + \b only, so Java regex and RE2 agree. Phone deliberately
+# requires a leading +/( to avoid swallowing plain integers.
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_REGEX = r"[+(][0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: replace emails, IPv4 addresses, and phone-like
+    spans with typed tags; emit per-kind match counts for audit.
+
+    Output: (id, redacted, n_emails, n_ips, n_phones).
+
+    Scale shape: three regexp_replace + three regexp_extract_all column
+    expressions — pure map-side, whole-stage codegen, zero shuffle; at
+    100 TB this is scan-bound. Counts are measured on the ORIGINAL text
+    (not the partially-redacted intermediate) so kinds are independent;
+    replacement is ordered email -> ip -> phone so the phone pattern can
+    never re-match digits inside an already-tagged email/ip.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, PII_EMAIL_REGEX, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_REGEX, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_REGEX, "<PHONE>")
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_REGEX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_REGEX), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_REGEX), 0)).alias("n_phones"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals for quality filtering: unique
+    token fraction and duplicate-token ratio (boilerplate / keyword-stuffed
+    documents score high).
+
+    Output: (id, n_tokens, n_unique, rep_ratio) where
+    rep_ratio = 1 - n_unique / n_tokens (0 = all distinct).
+
+    Scale shape: split + array_distinct column expressions — map-side
+    only, no explode, no shuffle; memory per row is bounded by the
+    document's own token array.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        F.round(
+            F.when(n_tokens > 0, 1 - n_unique / n_tokens.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
 def normalized_fp(col: Column) -> Column:
     """md5 over whitespace-normalized lowercase text — the shared
     content-identity expression (fingerprint table, stream admission
