@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hdp_tez_spark.extensions.dedup import _md5_long, _shingles
 from hdp_tez_spark.extensions.splits import hash_bucket
+from hdp_tez_spark.parallel import spread as _spread
 
 
 def decontaminate(
@@ -51,11 +52,14 @@ def decontaminate(
     broadcast automatically — unforced, so a 10 TB "test" side still
     works.
     """
-    t_sh = train.select(
+    # _spread before the shingle explode: a single-split input would
+    # otherwise run the whole regex/md5 expression tree in one task
+    t_sh = _spread(train.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), k)).alias("__sh")
     ).select(F.col(id_col), _md5_long(F.col("__sh")).alias("__h"))
     e_sh = (
-        test.select(F.explode(_shingles(F.col(text_col), k)).alias("__sh"))
+        _spread(test.select(text_col))
+        .select(F.explode(_shingles(F.col(text_col), k)).alias("__sh"))
         .select(_md5_long(F.col("__sh")).alias("__h"))
         .distinct()
     )
