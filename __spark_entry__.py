@@ -1219,13 +1219,17 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_EXTRACT = """
 SELECT event_type, count(*) AS cnt,
-       sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
        min(json_extract_string(props, '$.k')::INT) AS min_k,
        max(json_extract_string(props, '$.k')::INT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+# DuckDB sums integers into HUGEINT (rendered float64 in pandas) while Spark's
+# sum(int) is BIGINT; the ::BIGINT cast above keeps both sides int64 so the
+# driver's value hash agrees (r02 red-row root cause, same class as the r01
+# DECIMAL-vs-DOUBLE sql_passthrough miss).
 
 
 def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,11 +1254,17 @@ FROM embeddings
 
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-comparator semantics as data: first 3 quantities per
-    supplier in (linenumber, orderkey) order."""
+    supplier in (linenumber, orderkey) order.
+
+    The ordered list is serialized to a comma string for the driver
+    compare — its canonicalizer sorts raw column values and cannot order
+    list cells (r02: `TypeError: unhashable type: 'list'`). Quantities
+    are integral doubles, so int-casting before join is exact.
+    """
     from hdp_tez_spark.functions import collections as C
 
     li = _t(spark, sf_dir, "lineitem")
-    return C.collect_sorted_list(
+    lst = C.collect_sorted_list(
         li,
         keys=["l_suppkey"],
         sort_cols=["l_linenumber", "l_orderkey"],
@@ -1262,12 +1272,22 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=3,
         out="first_qtys",
     )
+    return lst.select(
+        "l_suppkey",
+        F.concat_ws(
+            ",",
+            F.transform("first_qtys", lambda x: x.cast("bigint").cast("string")),
+        ).alias("first_qtys"),
+    )
 
 
 _SQL_COLLECT_SORTED = """
 SELECT l_suppkey,
-       (list(l_quantity ORDER BY l_linenumber, l_orderkey, l_quantity))[1:3]
-         AS first_qtys
+       array_to_string(
+         list_transform(
+           (list(l_quantity ORDER BY l_linenumber, l_orderkey, l_quantity))[1:3],
+           x -> CAST(CAST(x AS BIGINT) AS VARCHAR)),
+         ',') AS first_qtys
 FROM lineitem
 GROUP BY l_suppkey
 """
@@ -2381,8 +2401,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SESSIONIZE = """
 SELECT event_id, user_id, event_type,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_idx
 FROM (
   SELECT event_id, user_id, event_type, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2680,23 +2701,34 @@ WHERE j.jaccard >= 0.1
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (similarity.py label_centroids): scalar
-    (label, pos) cells with map-side partial agg, array rebuilt ordered."""
+    (label, pos) cells with map-side partial agg, array rebuilt ordered.
+
+    The centroid array is re-exploded to scalar (label, pos, val) rows
+    for the driver compare: its canonicalizer cannot sort list cells
+    (r02 red row), and scalar doubles keep the driver's float-tolerant
+    hashing in play — a stringified array would make ulp-level
+    avg-summation-order differences fatal.
+    """
     from hdp_tez_spark.extensions.similarity import label_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return label_centroids(emb, "label", "embedding")
+    cent = label_centroids(emb, "label", "embedding")
+    return cent.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "val")
+    )
 
 
 _SQL_LABEL_CENTROIDS = """
 WITH e AS (
   SELECT label, unnest(embedding) AS val,
-         generate_subscripts(embedding, 1) AS pos
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
   FROM embeddings
 ),
-cell AS (SELECT label, pos, avg(val) AS a, count(*) AS n
-         FROM e GROUP BY label, pos)
-SELECT label, max(n) AS n_vectors, list(round(a, 6) ORDER BY pos) AS centroid
-FROM cell GROUP BY label
+cell AS (SELECT label, pos, round(avg(val), 6) AS val, count(*) AS n
+         FROM e GROUP BY label, pos),
+nv AS (SELECT label, max(n) AS n_vectors FROM cell GROUP BY label)
+SELECT c.label, nv.n_vectors, c.pos, c.val
+FROM cell c JOIN nv ON c.label = nv.label
 """
 
 
@@ -2956,7 +2988,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCH_Q11 = """
 WITH per_part AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * l_quantity / 1000) AS BIGINT)) AS value_k
+         CAST(sum(CAST(round(l_extendedprice * l_quantity / 1000) AS BIGINT))
+              AS BIGINT) AS value_k
   FROM lineitem
   JOIN (SELECT s_suppkey FROM supplier
         JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 2) s
@@ -2992,10 +3025,10 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q12 = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_returnflag

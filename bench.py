@@ -98,7 +98,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # per-query shuffle/spill bytes (BASELINE §C: byte counters via the
-    # status store) — shuffle_bytes = read side; spill = memory+disk
+    # status store) — shuffle_bytes = read side; spill = memory+disk.
+    # Written to a SIDECAR file, not stdout: the driver captures only the
+    # tail of stdout and must find the one short JSON line below intact
+    # (round 2's inline counters pushed the line past the capture window
+    # and the driver recorded parsed=null).
     counters = {
         name: {
             "shuffle_bytes": c["shuffle_read_bytes"],
@@ -106,18 +110,22 @@ def main() -> None:
         }
         for name, c in collector.counters.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "counters": counters,
-                "sf": sf,
-            }
-        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_COUNTERS.json"), "w") as f:
+        json.dump({"sf": sf, "counters": counters}, f, indent=1)
+
+    line = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

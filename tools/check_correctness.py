@@ -49,6 +49,40 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_fidelity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Flag result shapes the external driver cannot hash even when values
+    agree. The driver canonicalizes by sorting raw column values and
+    hashing their string forms, so (a) list/array cells crash its sort
+    (r02: collect_sorted, label_centroids) and (b) an int64-vs-float64
+    dtype split hashes '5' vs '5.0' (r02: json_extract, sessionize —
+    DuckDB HUGEINT sums land in pandas as float64)."""
+    problems = []
+    for pdf, side in ((spark_pdf, "spark"), (duck_pdf, "duck")):
+        for c in pdf.columns:
+            if pdf[c].dtype == object and pdf[c].map(
+                lambda v: isinstance(v, (list, np.ndarray))
+            ).any():
+                problems.append(
+                    f"col {c} ({side}): list-valued cells — driver canon "
+                    "crashes on these; serialize or explode"
+                )
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        sd, dd = spark_pdf[c].dtype, duck_pdf[c].dtype
+        s_int = np.issubdtype(sd, np.integer)
+        d_int = np.issubdtype(dd, np.integer)
+        s_flt = np.issubdtype(sd, np.floating)
+        d_flt = np.issubdtype(dd, np.floating)
+        if (s_int and d_flt) or (s_flt and d_int):
+            problems.append(
+                f"col {c}: dtype split spark={sd} duck={dd} — driver hash "
+                "compares '5' vs '5.0'; align types (cast HUGEINT sums to "
+                "BIGINT in the oracle)"
+            )
+    return problems
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -59,6 +93,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    problems.extend(driver_fidelity(spark_pdf, duck_pdf))
     a, b = canonical(spark_pdf), canonical(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
