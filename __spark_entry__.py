@@ -3242,6 +3242,256 @@ ORDER BY l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Ranking / retrieval / chunking / bloom (extensions/ranking.py, curation.py)
+# ---------------------------------------------------------------------------
+
+#: token-level CTE shared by the ranking oracles (same tokenizer regex as
+#: hdp_tez_spark.functions.text.TOKEN_SPLIT_REGEX)
+_SQL_TOK_CTE = """
+tok0 AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc, unnest(t) AS term FROM tok0)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (extensions/ranking.py tfidf_top_terms). The df table is
+    vocabulary-sized (AQE-broadcast); ranking windows partition by doc."""
+    from hdp_tez_spark.extensions.ranking import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+        F.col("doc_id"), "term", "tf", "df", "score"
+    )
+
+
+_SQL_TFIDF_TOP_TERMS = f"""
+WITH {_SQL_TOK_CTE},
+tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc, term, tf, df,
+         round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc AS doc_id, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of documents against a 4-term query
+    (extensions/ranking.py bm25_score): tf filtered to query terms before
+    any join, N/avgdl as 1-row cross joins, top-20 via
+    TakeOrderedAndProject."""
+    from hdp_tez_spark.extensions.ranking import bm25_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_score(
+        docs, "doc_id", "text", ["spark", "table", "sort", "window"], limit=20
+    )
+
+
+_SQL_BM25 = f"""
+WITH {_SQL_TOK_CTE},
+dl AS (SELECT doc, len(t) AS dl FROM tok0),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'table', 'sort', 'window')
+       GROUP BY doc, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc,
+         ln(1 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
+)
+SELECT doc AS doc_id, round(sum(c), 6) AS score
+FROM contrib GROUP BY doc
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> sorted posting list (extensions/ranking.py inverted_index),
+    df-bounded so no posting list is corpus-sized; postings serialized to
+    a comma string (array cells defeat external comparators)."""
+    from hdp_tez_spark.extensions.ranking import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_df=2, max_df=390)
+
+
+_SQL_INVERTED_INDEX = f"""
+WITH {_SQL_TOK_CTE},
+pairs AS (SELECT DISTINCT doc, term FROM tok)
+SELECT term, count(*) AS df,
+       array_to_string(
+         list(CAST(doc AS VARCHAR) ORDER BY CAST(doc AS VARCHAR)),
+         ',') AS postings
+FROM pairs GROUP BY term
+HAVING count(*) BETWEEN 2 AND 390
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent terms (>= 1/32 of all tokens) via per-partition
+    Misra-Gries candidates + exact recount (extensions/ranking.py
+    heavy_hitters) — the tail never reaches the shuffle."""
+    from hdp_tez_spark.extensions.ranking import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "doc_id", "text", denom=32)
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH {_SQL_TOK_CTE}
+SELECT term, count(*) AS cnt
+FROM tok GROUP BY term
+HAVING count(*) * 32 >= (SELECT count(*) FROM tok)
+"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact output as `decontaminate` (same oracle!) through the
+    Bloom-prefilter path (curation.py bloom_decontaminate): eval shingles
+    become a broadcastable (word, bits) bitmap; only flagged documents'
+    shingles reach the exact verification join."""
+    from hdp_tez_spark.extensions.curation import bloom_decontaminate
+    from hdp_tez_spark.extensions.splits import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = train_test_split(docs, "doc_id", train_frac=0.9)
+    train = s.where(F.col("split") == "train").select("doc_id", "text")
+    test = s.where(F.col("split") == "test").select("doc_id", "text")
+    return bloom_decontaminate(train, test, "doc_id", "text", k=3)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking, 16-token windows with stride 12
+    (curation.py chunk_documents) — pure map-side, zero shuffle."""
+    from hdp_tez_spark.extensions.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=16, stride=12)
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+starts AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS s FROM nz)
+SELECT doc_id,
+       s // 12 AS chunk_idx,
+       least(16, len(t) - s) AS n_chunk_tokens,
+       array_to_string(t[s + 1:s + 16], ' ') AS chunk
+FROM starts
+WHERE s = 0 OR s + 16 - 12 < len(t)
+"""
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile bucketing of documents by length without the NTILE
+    single-task funnel (operators/sort.py ntile_exact: range-partitioned
+    global rank + integer bucket formula), then per-bucket stats."""
+    from hdp_tez_spark.operators.sort import ntile_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = ntile_exact(docs, [F.col("n_chars"), F.col("doc_id")], 10)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_NTILE_BUCKETS = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS total
+  FROM documents
+)
+SELECT CAST((rn - 1) * 10 // total AS INT) AS bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM r GROUP BY 1 ORDER BY bucket
+"""
+
+
+_SQL_LATERAL_TOPN_SPARK = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey <= 20
+"""
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    spark.sql — Catalyst rewrites the per-row subquery into a
+    DomainJoin + window, so it executes as ONE ranked join, not
+    |customers| point lookups (the plan any engine needs at scale)."""
+    from hdp_tez_spark import sql as SQL
+
+    SQL.register_tables(spark, sf_dir, ["customer", "orders"])
+    return SQL.sql(spark, _SQL_LATERAL_TOPN_SPARK)
+
+
+_SQL_LATERAL_TOPN = _SQL_LATERAL_TOPN_SPARK.replace("JOIN LATERAL", ", LATERAL")
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (operators/joins.py null_safe_join): customer
+    and nation keys both NULLified at value 3; `<=>` pairs the NULL
+    stripes instead of dropping them, and Catalyst still plans a hash
+    join (EqualNullSafe is an equi-key)."""
+    from hdp_tez_spark.operators.joins import null_safe_join
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", F.expr("nullif(c_nationkey, 3)").alias("ck"))
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select(F.expr("nullif(n_nationkey, 3)").alias("nk"), "n_name")
+    )
+    return (
+        null_safe_join(cust, nat, "ck", "nk")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+_SQL_NULL_SAFE_JOIN = """
+SELECT n_name, count(*) AS n_customers
+FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+  ON c.ck IS NOT DISTINCT FROM n.nk
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle, so the prefix carries
 #: (a) the LLM-pipeline / extensions surface (round-1 had no driver rows
@@ -3251,7 +3501,66 @@ ORDER BY l_linestatus
 #: TPC-H permutations, window/scalar-function twins) and remain covered
 #: by the repo's own sf0.001 DuckDB oracle suite (tests/test_entry_queries.py).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- LLM-data-pipeline extensions: dedup / similarity / text ---
+    # --- NEW this round (ranking/retrieval/chunking/bloom + join/sort ops) ---
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "bm25": (q_bm25, _SQL_BM25),
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
+    "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
+    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
+    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
+    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    # --- driver-red in r02, fixed this round (list cells / dtype splits) ---
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    # --- never driver-checked before (added in r2 below the prefix; the
+    #     r02->r03 tpch_q11/q12 oracle HUGEINT casts also land here) ---
+    "histogram": (q_histogram, _SQL_HISTOGRAM),
+    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
+    "kmeans_cells": (q_kmeans_cells, None),
+    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
+    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
+    # --- operator-family representatives, driver-green in r01, rotated
+    #     back in so core-surface evidence stays at most one round old ---
+    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
+    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
+    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
+    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
+    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
+    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
+    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
+    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
+    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
+    "topk": (q_topk, _SQL_TOPK),
+    "rollup": (q_rollup, _SQL_ROLLUP),
+    "range_join": (q_range_join, _SQL_RANGE_JOIN),
+    "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
+    "distinct": (q_distinct, _SQL_DISTINCT),
+    "cube": (q_cube, _SQL_CUBE),
+    "intersect": (q_intersect, _SQL_INTERSECT),
+    "except": (q_except, _SQL_EXCEPT),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
+    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
+    "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
+    "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+    "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
+    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
+    # ------------------- driver-checked prefix ends here (50) -----------------
+    # Every entry below is driver-green in CORRECTNESS_r01 or _r02 with
+    # code unchanged since, and stays covered by the repo's own
+    # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
@@ -3266,33 +3575,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
     "cosine_topk_quantized": (q_cosine_topk_quantized, _SQL_COSINE_TOPK_QUANTIZED),
-    # --- collections / subqueries / cogroup / skew ---
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
-    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
     "cogroup": (q_cogroup, _SQL_COGROUP),
     "exists_subquery": (q_exists_subquery, _SQL_EXISTS_SUBQUERY),
     "not_in_subquery": (q_not_in_subquery, _SQL_NOT_IN_SUBQUERY),
     "scalar_subquery": (q_scalar_subquery, _SQL_SCALAR_SUBQUERY),
     "salted_join": (q_salted_join, _SQL_SALTED_JOIN),
-    # --- time-window / event queries (streaming batch-twins) ---
     "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
     "session_window": (q_session_window, _SQL_SESSION_WINDOW),
     "event_dedup": (q_event_dedup, _SQL_EVENT_DEDUP),
-    # --- multimodal plumbing ---
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
-    # --- changed this round (hash-type fix / broadcast-hint removal /
-    #     asof NULL-carry / cc convergence guard) — need fresh driver rows ---
     "sql_passthrough": (q_sql_passthrough, _SQL_PASSTHROUGH_TEXT),
     "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
     "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
-    # --- round-2 curation additions (new this round — need driver rows) ---
-    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
     "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
@@ -3301,49 +3601,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
     "incremental_dedup": (q_incremental_dedup, _SQL_INCREMENTAL_DEDUP),
-    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
-    # --- one representative per SURVEY §2 family (driver-green in r01) ---
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "wordcount": (q_wordcount, _SQL_WORDCOUNT),
     "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "pivot": (q_pivot, _SQL_PIVOT),
-    # ------------------- driver-checked prefix ends here (50) -------------------
-    # Every entry below was driver-green in CORRECTNESS_r01.json with code
-    # unchanged since (see git log on the named q_ functions), or is a
-    # redundant variant of a driver-verified family; all remain covered by
-    # the repo's own sf0.001/sf0.01 DuckDB oracle suite on every test run.
-    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
-    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
-    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
-    "histogram": (q_histogram, _SQL_HISTOGRAM),
-    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
-    "kmeans_cells": (q_kmeans_cells, None),
-    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
-    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
-    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
-    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
-    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
-    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
-    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
-    "topk": (q_topk, _SQL_TOPK),
-    "rollup": (q_rollup, _SQL_ROLLUP),
-    "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
-    "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
-    "distinct": (q_distinct, _SQL_DISTINCT),
-    "cube": (q_cube, _SQL_CUBE),
-    "intersect": (q_intersect, _SQL_INTERSECT),
-    "except": (q_except, _SQL_EXCEPT),
-    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
-    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
-    "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
-    "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
-    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
-    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
-    "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
-    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "percentile": (q_percentile, _SQL_PERCENTILE),
     "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
@@ -3356,15 +3620,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
-    # TPC-H completion set (schema-adapted; see the comment block above)
-    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
-    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
-    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
-    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
-    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
-    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
-    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
-    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
 }
 
 

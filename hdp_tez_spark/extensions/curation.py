@@ -241,3 +241,159 @@ def curate_corpus(
     toks = token_stats(clean, id_col, text_col).select(id_col, "n_tokens")
     packed = pack_sequences(toks, id_col, "n_tokens", pack_budget)
     return {"kept": kept, "train": train, "test": test, "packed": packed}
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    context-window shaping pass run before embedding or tokenizing long
+    documents (stride < chunk_size gives overlap so no boundary context
+    is lost).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk) where chunk is the
+    space-joined token window starting at chunk_idx * stride. Documents
+    shorter than one chunk yield one chunk; empty documents yield none.
+    Chunk identity is a pure function of (id, text) — stable across
+    retries and re-runs.
+
+    Scale: pure map-side transform (tokenize + sequence + explode +
+    slice), zero shuffle, stays in whole-stage codegen. Output row
+    count ~= corpus_tokens / stride; chunk length is bounded by
+    construction so downstream Arrow batches never blow up.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    # last start index: largest multiple of stride strictly below n
+    last = (F.size("__toks") - 1) - F.pmod(F.size("__toks") - 1, F.lit(stride))
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(0), last, F.lit(stride))).alias("__start"),
+        )
+        .where(
+            # drop trailing windows fully contained in the previous one
+            (F.col("__start") == 0)
+            | (F.col("__start") + chunk_size - stride < F.size("__toks"))
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"__start DIV {int(stride)}").alias("chunk_idx"),
+            F.least(
+                F.lit(chunk_size), F.size("__toks") - F.col("__start")
+            ).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+            ).alias("chunk"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter: same EXACT output
+    (id, n_hits, contaminated), but the expensive train-side shingle
+    shuffle is restricted to documents the filter flags.
+
+    How: the eval corpus's distinct k-gram hashes set n_hashes bits
+    each in an m_bits bitmap, built as a (word_idx, bits) table of
+    m_bits/64 rows via bit_or aggregation — 2 MB at the default m, an
+    AQE broadcast join, never collected to the driver. Train shingles
+    probe the bitmap map-side; only documents whose every-bit-set
+    candidates survive go through the exact hash equi-join of
+    `decontaminate`. False positives cost only wasted verification;
+    false negatives are impossible, so the result is bit-identical to
+    the exact operator (which is what the oracle checks).
+
+    Scale: at 100 TB the clean majority of the corpus now joins against
+    a broadcast bitmap instead of shuffling ~10^12 shingle hashes into
+    an equi-join — shuffle volume drops from O(train shingles) to
+    O(flagged shingles). Size m_bits ~ 16x distinct eval shingles for
+    ~1% FP; the bitmap stays broadcastable up to billions of eval
+    shingles (2^33 bits = 1 GB is the practical ceiling — beyond that,
+    partition the test side and union).
+
+    The bitmap probe uses xxhash64 — engine-private is fine here
+    because the filter only PRUNES; every emitted hit is re-verified
+    through the md5-keyed exact join shared with the oracle.
+    """
+    t_sh = _spread(train.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), k)).alias("__sh")
+    )
+    e_sh = (
+        _spread(test.select(text_col))
+        .select(F.explode(_shingles(F.col(text_col), k)).alias("__sh"))
+        .distinct()
+    )
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    bitmap = (
+        e_sh.select(F.explode(F.array(*positions(F.col("__sh")))).alias("__pos"))
+        .select(
+            F.expr("__pos DIV 64").alias("__word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+
+    probe = t_sh.select(
+        F.col(id_col),
+        # 8-byte hash rides through the probe shuffle, never the string
+        _md5_long(F.col("__sh")).alias("__h"),
+        F.posexplode(F.array(*positions(F.col("__sh")))).alias("__i", "__pos"),
+    ).select(
+        F.col(id_col),
+        "__h",
+        F.expr("__pos DIV 64").alias("__word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
+    )
+    maybe = (
+        probe.join(bitmap, "__word")
+        .where((F.col("__bit").bitwiseAND(F.col("__bits"))) != 0)
+        .groupBy(id_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__nset"))
+        .where(F.col("__nset") == n_hashes)
+        .select(F.col(id_col), "__h")
+    )
+    e_hash = e_sh.select(_md5_long(F.col("__sh")).alias("__h")).distinct()
+    hits = (
+        maybe.join(e_hash, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

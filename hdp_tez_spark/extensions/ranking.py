@@ -1,0 +1,262 @@
+"""Corpus ranking / retrieval operators: TF-IDF, BM25, inverted index,
+and exact heavy hitters with bounded-memory candidate generation.
+
+Beyond-reference extension (the reference engine has no expression layer
+at all — SURVEY §2.8; Hive-on-Tez supplies ranking in SQL). These are the
+retrieval-side operators a training-data pipeline runs for quality
+filtering (rank documents against seed queries), corpus search, and
+vocabulary pruning.
+
+Shared design rules (same as dedup.py / curation.py):
+- term statistics are built with ordinary groupBy aggregations so the
+  map-side combiner halves shuffle volume (a term occurring 1M times in
+  a partition shuffles one row, not 1M);
+- document-frequency tables are value-keyed aggregates over the token
+  stream whose size is |vocabulary|, not |corpus| — they broadcast
+  under AQE without hints;
+- scalar corpus statistics (N, avgdl) ride along as 1-row cross joins,
+  never driver-side collects;
+- nothing is quadratic and no document body is ever shuffled — only
+  tokens and 8-byte counts.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.functions.text import tokenize
+from hdp_tez_spark.parallel import spread as _spread
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — term frequency per document. One explode + one
+    partially-aggregated groupBy; shuffle carries (id, term, count)."""
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn-style smooth variant so
+    corpus-universal terms still get positive weight).
+
+    Output: (id, term, tf, df, score) with score rounded to 6 dp and
+    ties broken by term asc — fully deterministic.
+
+    Scale: df table is |vocab| rows (AQE-broadcastable); the only
+    per-corpus shuffles are the (id, term) partial-agg and the final
+    per-document top-k window, which partitions by document id — no
+    skew beyond document length, no global funnel.
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    doc_freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )  # 1 row, cross-joined — never collected
+    scored = (
+        terms.join(doc_freq, "term")
+        .crossJoin(n_docs)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """Rank documents against a bag-of-words query with BM25
+    (Robertson/Sparck Jones idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Output: (id, score) — top `limit` by score desc, id asc, score
+    rounded to 6 dp.
+
+    Scale: the tf table is filtered to query terms BEFORE the join
+    (predicate pushdown keeps the term join tiny); doc length comes
+    from a separate |docs|-row aggregate; N/avgdl are 1-row cross
+    joins. Total shuffle = |docs with a query term| + |docs|, and the
+    final top-k compiles to TakeOrderedAndProject (no global sort).
+    """
+    qlit = [t.lower() for t in query_terms]
+    terms = _doc_terms(df, id_col, text_col).where(F.col("term").isin(qlit))
+    doc_len = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl"))
+    )
+    stats = doc_len.select(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    doc_freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        terms.join(doc_freq, "term")
+        .join(doc_len, id_col)
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    1
+                    + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("__c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term -> posting-list index: (term, df, postings) where postings is
+    the comma-joined sorted document-id list (serialized — array cells
+    defeat external comparators and most sinks' predicate pushdown).
+
+    min_df/max_df prune singleton noise and stopword-class terms whose
+    posting lists would be corpus-sized; at 100 TB you always set
+    max_df (a term appearing in every document yields a |corpus|-long
+    list in ONE group — cap it or aggregate counts only).
+
+    Scale: distinct (term, id) pairs shuffle once on term; sort_array
+    on the grouped list is per-group. Skew = df of the most common
+    surviving term, which max_df bounds by construction.
+    """
+    pairs = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    idx = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
+        ).alias("postings"),
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    return idx.where(cond)
+
+
+_MG_SCHEMA = "term string"
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame], capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Misra-Gries frequent-items summary over one partition's tokens.
+    Guarantee: any term with partition count > n_p/(capacity+1) survives,
+    so any GLOBAL heavy hitter (count >= n/denom, denom <= capacity) is
+    emitted by at least one partition (averaging argument)."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for term in pdf["term"]:
+            if term in counters:
+                counters[term] += 1
+            elif len(counters) < capacity:
+                counters[term] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    yield pd.DataFrame({"term": list(counters.keys())})
+
+
+def heavy_hitters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    denom: int = 200,
+) -> DataFrame:
+    """EXACT heavy hitters: terms occurring >= total_tokens/denom times,
+    with exact counts — via per-partition Misra-Gries candidate
+    generation (bounded memory, no shuffle) + exact recount of the
+    candidate set only.
+
+    Output: (term, cnt), terms with cnt * denom >= total.
+
+    Scale rationale: a naive groupBy shuffles one row per DISTINCT term
+    — at 100 TB the long tail (urls, ids, typos) dominates shuffle
+    volume while contributing nothing. Misra-Gries holds <= denom
+    counters per partition, emits <= denom candidates each, and its
+    superset guarantee makes the final recount exact: the candidate
+    semi-join discards the tail BEFORE the shuffle, so shuffle volume
+    is |candidates| * |partitions| at worst. The threshold compare is
+    pure integer arithmetic (cnt * denom >= total) — no float
+    boundary, bit-stable in any engine.
+    """
+    toks = (
+        _spread(df.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    )
+    cand = (
+        toks.mapInPandas(
+            lambda it: _misra_gries_partition(it, denom), schema=_MG_SCHEMA
+        )
+        .distinct()
+    )
+    counted = (
+        toks.join(F.broadcast(cand), "term")  # candidates bounded by
+        # denom * n_partitions — broadcast-safe by construction
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        counted.crossJoin(total)
+        .where(F.col("cnt") * denom >= F.col("__total"))
+        .select("term", "cnt")
+    )

@@ -227,7 +227,8 @@ def quantize_embeddings(
 
     Output: (id, qvec array<int>, scale double). At 100 TB this is the
     storage/shuffle lever for ANN: 4x smaller vectors on disk and in every
-    bucket join, with cosine recall loss well under 1% at dim 64. floor()
+    bucket join; the measured bound (test_quantized_topk_recall_vs_exact)
+    is >= 80% top-5 recall vs exact float cosine at dim 64. floor()
     over float64 is used (not round()) because floor is bit-identical
     across engines, so quantized search stays oracle-checkable; and all
     downstream dot products are exact integer sums (< 2^53), immune to

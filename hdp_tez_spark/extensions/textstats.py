@@ -139,7 +139,9 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     expressions — pure map-side, whole-stage codegen, zero shuffle; at
     100 TB this is scan-bound. Counts are measured on the ORIGINAL text
     (not the partially-redacted intermediate) so kinds are independent;
-    replacement is ordered email -> ip -> phone so the phone pattern can
+    a span matching two patterns (digits inside an email local part)
+    counts once per kind, so counts can exceed tags actually emitted.
+    Replacement is ordered email -> ip -> phone so the phone pattern can
     never re-match digits inside an already-tagged email/ip.
     """
     text = F.col(text_col)

@@ -269,3 +269,26 @@ def bucketed_interval_join(
         (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
     )
     return joined.drop("__bucket")
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join under null-safe equality (`<=>` / IS NOT DISTINCT FROM):
+    NULL keys match each other instead of silently dropping.
+
+    Tez itself has no join semantics (clients like Hive/Pig lower joins
+    onto its edges — SURVEY §2.7); Hive's join grammar includes `<=>`,
+    so the engine surface carries it too. Catalyst plans `<=>` as an
+    ordinary hash-join key (EqualNullSafe is an equi-join condition, not
+    a theta filter), so this shuffles/broadcasts exactly like `=` —
+    with the usual caveat that a heavy NULL stripe is a skew key; salt
+    it with `salted_join` if NULLs dominate.
+    """
+    return left.join(
+        right, on=left[left_key].eqNullSafe(right[right_key]), how=how
+    )

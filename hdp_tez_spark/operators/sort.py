@@ -153,3 +153,36 @@ def top_k_per_group(
     so the full window is never materialized."""
     w = Window.partitionBy(group).orderBy(*order)
     return df.withColumn(rank_name, F.row_number().over(w)).where(F.col(rank_name) <= k)
+
+
+def ntile_exact(
+    df: DataFrame,
+    order: Sequence[Column],
+    k: int,
+    out: str = "bucket",
+) -> DataFrame:
+    """Exact k-quantile bucket assignment over a total order — NTILE
+    semantics without the single-task window funnel.
+
+    bucket = ((global_rank - 1) * k) DIV total, integer arithmetic
+    throughout (no float quantile boundaries). Identical to SQL
+    NTILE(k) whenever k divides the row count; for ragged counts SQL
+    NTILE front-loads remainders while this formula spreads them —
+    documented, deterministic, and the formula any engine reproduces
+    exactly.
+
+    Scale: rank comes from `global_sort_ranked` (range partition +
+    per-partition rank + exact offsets — two jobs, no funnel); the
+    total is a 1-row aggregate cross join. The caller's order must be
+    total (include a tiebreak column) or equal-key rows straddle a
+    bucket boundary nondeterministically.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ranked = global_sort_ranked(df, order, "__rank")
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.crossJoin(total)
+        .withColumn(out, F.expr(f"(__rank - 1) * {int(k)} DIV __total").cast("int"))
+        .drop("__rank", "__total")
+    )
