@@ -3492,6 +3492,280 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution analytics / CDC / graph / time-range windows (round 3)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_cont over lineitem extended price without a global
+    sort or single-task funnel (extensions/analytics.py exact_quantiles):
+    distinct-value counts -> distributed prefix sum
+    (operators/sort.prefix_sum) -> broadcast position probe. Shuffle is
+    O(|distinct values|), not O(rows)."""
+    from hdp_tez_spark.extensions.analytics import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+_SQL_EXACT_QUANTILES = """
+SELECT CAST(0.01 AS DOUBLE) AS p,
+       round(quantile_cont(l_extendedprice, 0.01), 6) AS q FROM lineitem
+UNION ALL SELECT 0.25, round(quantile_cont(l_extendedprice, 0.25), 6) FROM lineitem
+UNION ALL SELECT 0.50, round(quantile_cont(l_extendedprice, 0.50), 6) FROM lineitem
+UNION ALL SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 6) FROM lineitem
+UNION ALL SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 6) FROM lineitem
+ORDER BY p
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier stats: median/MAD z-score
+    (extensions/analytics.py robust_outliers) — grouped exact percentiles
+    + broadcast stat-table joins, nothing global."""
+    from hdp_tez_spark.extensions.analytics import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(ev, "event_type", "value", n_sigmas=3.0)
+
+
+_SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+stats AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad,
+         min(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN abs(d.value - s.med) > 3.0 * 1.4826 * s.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(s.med, 6) AS med, round(s.mad, 6) AS mad
+FROM dev d JOIN stats s USING (event_type)
+GROUP BY d.event_type, s.med, s.mad
+ORDER BY event_type
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (extensions/cdc.py merge_upsert): a
+    deterministic change batch derived from orders (updates at %7=0,
+    higher-seq updates at %14=0, deletes at %7=1, inserts at %7=2 under
+    shifted keys) applied to the orders snapshot. The base table never
+    shuffles — only the change batch windows, then one anti-join."""
+    from hdp_tez_spark.extensions.cdc import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd1 = base.where(k % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    upd2 = base.where(k % 14 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    dels = base.where(k % 7 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = base.where(k % 7 == 2).select(
+        (k + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return merge_upsert(base, changes, ["o_orderkey"], "seq")
+
+
+_SQL_MERGE_UPSERT = """
+WITH changes AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         round(o_totalprice * 1.1, 2) AS price, 'U' AS op, 2 AS seq
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice * 1.2, 2), 'U', 3
+  FROM orders WHERE o_orderkey % 14 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'I', 1
+  FROM orders WHERE o_orderkey % 7 = 2
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+),
+base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+)
+SELECT k AS o_orderkey, status AS o_orderstatus, price AS o_totalprice
+FROM (
+  SELECT b.k, b.status, b.price FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+  UNION ALL
+  SELECT k, status, price FROM latest WHERE op <> 'D'
+)
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history of each user's event_type stream
+    (extensions/cdc.py scd2_build): consecutive equal values collapse to
+    one validity interval; valid_to = next run's start, NULL on the
+    current row. Both windows partition by user_id — one shuffle."""
+    from hdp_tez_spark.extensions.cdc import scd2_build
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_build(
+        ev, key_col="user_id", ts_col="ts", attr_col="event_type",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id", "event_type", "valid_from", "valid_to", "n_events",
+        "is_current",
+    )
+
+
+_SQL_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR event_type <> lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run,
+         ts
+  FROM flagged
+),
+collapsed AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events,
+       CAST(CASE WHEN lead(valid_from) OVER
+                        (PARTITION BY user_id ORDER BY valid_from) IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS is_current
+FROM collapsed
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the symmetrized customer<->supplier
+    trade graph (edges = distinct (o_custkey, l_suppkey) pairs from
+    orders x lineitem; supplier ids shifted by 200000 into their own node
+    range). Iterative keyed joins with per-round localCheckpoint
+    (extensions/graph.py pagerank) — the second iterative operator next
+    to dedup_clusters, oracle-checked against the 3x unrolled SQL."""
+    from hdp_tez_spark.extensions.graph import pagerank
+
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 200000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return pagerank(edges, iters=3, damping=0.85)
+
+
+_SQL_PAGERANK = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + 200000 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / n.n AS r FROM nodes, n),
+s1 AS (SELECT e.dst AS node, sum(r0.r / outdeg.od) AS s
+       FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node, (1 - 0.85) / n.n + 0.85 * coalesce(s1.s, 0) AS r
+       FROM nodes LEFT JOIN s1 ON nodes.node = s1.node, n),
+s2 AS (SELECT e.dst AS node, sum(r1.r / outdeg.od) AS s
+       FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node, (1 - 0.85) / n.n + 0.85 * coalesce(s2.s, 0) AS r
+       FROM nodes LEFT JOIN s2 ON nodes.node = s2.node, n),
+s3 AS (SELECT e.dst AS node, sum(r2.r / outdeg.od) AS s
+       FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node, (1 - 0.85) / n.n + 0.85 * coalesce(s3.s, 0) AS r
+       FROM nodes LEFT JOIN s3 ON nodes.node = s3.node, n)
+SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
+"""
+
+
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user 10-minute trailing sum/count over
+    the event stream — a true time-range frame (peers by timestamp, not
+    row position), deterministic under timestamp ties by construction.
+    Partitions by user_id; no global window funnel."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("roll_sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )
+
+
+_SQL_RANGE_FRAME_WINDOW = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS roll_sum_10m,
+       count(*) OVER w AS n_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle, so the prefix carries
 #: (a) the LLM-pipeline / extensions surface (round-1 had no driver rows
@@ -3501,6 +3775,13 @@ GROUP BY n_name ORDER BY n_name
 #: TPC-H permutations, window/scalar-function twins) and remain covered
 #: by the repo's own sf0.001 DuckDB oracle suite (tests/test_entry_queries.py).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- NEW this round (analytics / CDC / graph / time-range window) ---
+    "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
+    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
+    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
+    "scd2": (q_scd2, _SQL_SCD2),
+    "pagerank": (q_pagerank, _SQL_PAGERANK),
+    "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
     # --- NEW this round (ranking/retrieval/chunking/bloom + join/sort ops) ---
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
@@ -3547,13 +3828,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "distinct": (q_distinct, _SQL_DISTINCT),
     "cube": (q_cube, _SQL_CUBE),
-    "intersect": (q_intersect, _SQL_INTERSECT),
-    "except": (q_except, _SQL_EXCEPT),
-    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
     "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
-    "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
-    "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
-    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
@@ -3561,6 +3836,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Every entry below is driver-green in CORRECTNESS_r01 or _r02 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "intersect": (q_intersect, _SQL_INTERSECT),
+    "except": (q_except, _SQL_EXCEPT),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
+    "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
+    "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),

@@ -1,0 +1,175 @@
+"""Distribution analytics: exact global quantiles and robust (median/MAD)
+outlier detection.
+
+Beyond-reference extension (the reference engine has no expression layer —
+SURVEY §2.8; Hive-on-Tez users get percentile_approx from Hive). These are
+the distribution passes a training-data pipeline runs to pick length /
+quality thresholds and to flag anomalous groups, built to stay exact at
+100 TB:
+
+- `exact_quantiles` never sorts globally and never funnels rows through
+  one task: it aggregates to distinct values (map-side combine), takes a
+  distributed prefix sum of the counts (`operators/sort.prefix_sum`, the
+  two-job range-partition + offset shape), and probes the handful of
+  target positions with a broadcast theta-join. Shuffle volume is
+  O(|distinct values|), not O(rows).
+- `robust_outliers` keeps everything keyed by the group column: two
+  grouped exact-percentile aggregations (Spark's JVM-side `percentile`,
+  exact with linear interpolation — each GROUP's values must fit an
+  executor, the usual bound for any exact per-group statistic) and two
+  joins against group-stat tables that are |groups| rows (AQE broadcasts
+  them without hints).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.operators.sort import prefix_sum
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, probs: Sequence[float]
+) -> DataFrame:
+    """EXACT percentile_cont(p) for each p in `probs` over the whole
+    input, with linear interpolation between adjacent order statistics —
+    identical semantics to SQL PERCENTILE_CONT / DuckDB quantile_cont.
+
+    Output: (p, q) — one row per requested quantile, q rounded to 6 dp.
+
+    How it scales: the value column is first collapsed to
+    (value, count) — one shuffle whose volume is the number of DISTINCT
+    values (map-side partial agg does the heavy lifting). A distributed
+    prefix sum over value order turns counts into position ranges
+    [hi-cnt+1, hi]; the target positions 1 + p*(n-1) (a probs-sized
+    one-row-per-p table, built in-plan from the total — never collected)
+    are then matched with a broadcast range join against the distinct
+    values. No global sort, no single-task window, no driver collect.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob out of [0,1]: {p}")
+
+    v = F.col(value_col).cast("double").alias("__v")
+    counts = df.select(v).groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Materialize the cumulated distinct-value table once: it feeds the
+    # total AND both probe joins, and without truncation each consumer
+    # would re-scan the fact table. |distinct| rows — bounded by the
+    # value domain, not the corpus; on a real cluster swap
+    # localCheckpoint for reliable checkpoint (same note as
+    # dedup.connected_components).
+    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").localCheckpoint()
+    total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
+
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    targets = (
+        F.broadcast(probs_df)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p",
+            (F.lit(1) + F.col("p") * (F.col("__n") - 1)).alias("__t"),
+        )
+        .select(
+            "p",
+            F.floor("__t").cast("long").alias("__lo_pos"),
+            F.ceil("__t").cast("long").alias("__hi_pos"),
+            (F.col("__t") - F.floor("__t")).alias("__frac"),
+        )
+    )
+
+    def value_at(pos_col: str, out: str) -> DataFrame:
+        # each distinct value covers global positions [hi-cnt+1, hi];
+        # targets is |probs| rows -> broadcast nested-loop over |distinct|
+        return (
+            cum.join(
+                F.broadcast(targets),
+                (F.col(pos_col) >= F.col("__hi") - F.col("__cnt") + 1)
+                & (F.col(pos_col) <= F.col("__hi")),
+            )
+            .select("p", "__frac", F.col("__v").alias(out))
+        )
+
+    lo = value_at("__lo_pos", "__vlo")
+    hi = value_at("__hi_pos", "__vhi").drop("__frac")
+    return (
+        lo.join(hi, "p")
+        .select(
+            "p",
+            F.round(
+                F.col("__vlo")
+                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo")),
+                6,
+            ).alias("q"),
+        )
+        .orderBy("p")
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier stats via median / MAD (median absolute
+    deviation): a value is an outlier when
+    |x - median| > n_sigmas * 1.4826 * MAD (1.4826 makes MAD a consistent
+    sigma estimator under normality). Median/MAD resist the heavy tails
+    that wreck mean/stddev z-scores on real corpus stats.
+
+    Output: (group, n, n_outliers, med, mad) — med/mad rounded to 6 dp.
+    A group with MAD = 0 (majority of values identical) flags every value
+    strictly different from the median, the standard degenerate-MAD rule.
+
+    Scale: two grouped EXACT percentile aggregations (JVM-side
+    `percentile`; per-group values must fit an executor — the same bound
+    as any exact per-group statistic) plus two joins against |groups|-row
+    stat tables, which AQE broadcasts unhinted. Nothing global, nothing
+    driver-side.
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    dev = df.select(g.alias(group_col), x.alias("__x")).join(med, group_col)
+    stats = (
+        dev.withColumn("__absdev", F.abs(F.col("__x") - F.col("med")))
+        .groupBy(group_col)
+        .agg(
+            F.percentile(F.col("__absdev"), F.lit(0.5)).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    flagged = (
+        dev.join(stats.select(group_col, "mad"), group_col)
+        .withColumn(
+            "__is_out",
+            (
+                F.abs(F.col("__x") - F.col("med"))
+                > n_sigmas * 1.4826 * F.col("mad")
+            ).cast("int"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__is_out").alias("n_outliers"),
+        )
+    )
+    return (
+        flagged.join(stats, group_col)
+        .select(
+            group_col,
+            "n",
+            "n_outliers",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy(group_col)
+    )

@@ -186,3 +186,56 @@ def ntile_exact(
         .withColumn(out, F.expr(f"(__rank - 1) * {int(k)} DIV __total").cast("int"))
         .drop("__rank", "__total")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    out: str = "cumsum",
+) -> DataFrame:
+    """Distributed running total of `value_col` over a global order — the
+    prefix-sum primitive behind exact quantiles, equi-depth histogramming
+    and pagination.
+
+    Same two-job shape as `global_sort_ranked` (the scale-safe form of
+    what Tez's parallelism-1 funnel vertex computes,
+    `OrderedWordCount.java:163-165`): range-partition on the order keys,
+    cumulative sum within each partition, then add the exact sum of all
+    preceding partitions via a broadcast of per-partition totals. No task
+    ever sees more than one partition; the offset table is one row per
+    partition.
+
+    The caller's order must be TOTAL (include a tiebreak column) — the
+    within-partition frame is row-based, so ties would otherwise
+    accumulate in nondeterministic order.
+    """
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_sum", F.sum(value_col).over(local_w))
+    )
+    offsets = (
+        with_local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__part_total"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__part_total").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__local_sum") + F.col("__offset"))
+        .drop("__pid", "__local_sum", "__offset")
+    )

@@ -1,0 +1,192 @@
+"""Behavioral tests for extensions.analytics / cdc / graph and the
+prefix_sum primitive — edge cases the oracle-paired registry queries
+don't exercise (degenerate MAD, boundary probs, latest-wins ties,
+analytic PageRank fixpoints)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.analytics import exact_quantiles, robust_outliers
+from hdp_tez_spark.extensions.cdc import merge_upsert, scd2_build
+from hdp_tez_spark.extensions.graph import pagerank
+from hdp_tez_spark.operators.sort import prefix_sum
+
+
+# ---------------------------------------------------------------- prefix_sum
+
+
+def test_prefix_sum_matches_sequential(spark):
+    rows = [(i, float((i * 7) % 13 + 1)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(8)
+    out = {
+        r["k"]: r["cumsum"]
+        for r in prefix_sum(df, [F.col("k")], "v", "cumsum").collect()
+    }
+    running = 0.0
+    for k, v in rows:
+        running += v
+        assert out[k] == pytest.approx(running)
+
+
+# ----------------------------------------------------------- exact_quantiles
+
+
+def test_exact_quantiles_boundaries_and_interpolation(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["p"]: r["q"] for r in exact_quantiles(df, "x", [0.0, 0.5, 0.75, 1.0]).collect()}
+    assert got[0.0] == 1.0  # min
+    assert got[1.0] == 10.0  # max
+    assert got[0.5] == 3.0  # exact middle order statistic
+    # t = 1 + 0.75*4 = 4 -> exactly the 4th order statistic
+    assert got[0.75] == 4.0
+
+
+def test_exact_quantiles_interpolates_between_order_stats(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    got = {r["p"]: r["q"] for r in exact_quantiles(df, "x", [0.25]).collect()}
+    # t = 1 + 0.25*1 = 1.25 -> 1 + 0.25*(2-1)
+    assert got[0.25] == pytest.approx(1.25)
+
+
+def test_exact_quantiles_duplicate_heavy(spark):
+    # 99 copies of 5.0 and one 100.0: median must be 5.0
+    rows = [(5.0,)] * 99 + [(100.0,)]
+    df = spark.createDataFrame(rows, "x double").repartition(16)
+    got = {r["p"]: r["q"] for r in exact_quantiles(df, "x", [0.5, 0.99]).collect()}
+    assert got[0.5] == 5.0
+    # t = 1 + .99*99 = 99.01 -> between 99th (5.0) and 100th (100.0)
+    assert got[0.99] == pytest.approx(5.0 + 0.01 * 95.0, abs=1e-6)
+
+
+def test_exact_quantiles_rejects_bad_probs(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])
+
+
+# ----------------------------------------------------------- robust_outliers
+
+
+def test_robust_outliers_flags_planted_outlier(spark):
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame(rows, "g string, x double")
+    (r,) = robust_outliers(df, "g", "x").collect()
+    assert r["n"] == 6
+    assert r["n_outliers"] == 1
+    assert r["med"] == pytest.approx(12.5)
+
+
+def test_robust_outliers_degenerate_mad(spark):
+    # majority identical -> MAD 0 -> anything != median flagged
+    rows = [("a", 5.0)] * 6 + [("a", 5.1), ("a", 7.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    (r,) = robust_outliers(df, "g", "x").collect()
+    assert r["mad"] == 0.0
+    assert r["n_outliers"] == 2
+
+
+# -------------------------------------------------------------- merge_upsert
+
+
+def _merge_fixtures(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 99.0, "U", 1),
+            (2, "b2", 77.0, "U", 5),  # latest wins
+            (3, "c", 30.0, "D", 1),
+            (4, "d", 40.0, "I", 1),
+        ],
+        "k int, s string, v double, op string, seq int",
+    )
+    return base, changes
+
+
+def test_merge_upsert_semantics(spark):
+    base, changes = _merge_fixtures(spark)
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, changes, ["k"], "seq").collect()}
+    assert got == {
+        1: ("a", 10.0),  # untouched passes through
+        2: ("b2", 77.0),  # highest seq wins
+        4: ("d", 40.0),  # insert
+    }  # 3 deleted
+
+
+def test_merge_upsert_delete_then_reinsert(spark):
+    base = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    changes = spark.createDataFrame(
+        [(1, "a", 1.0, "D", 1), (1, "a2", 2.0, "I", 2)],
+        "k int, s string, v double, op string, seq int",
+    )
+    got = merge_upsert(base, changes, ["k"], "seq").collect()
+    assert [(r["k"], r["s"], r["v"]) for r in got] == [(1, "a2", 2.0)]
+
+
+# ---------------------------------------------------------------- scd2_build
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark):
+    rows = [
+        (1, 10, "x", 100),
+        (1, 20, "x", 101),  # same run
+        (1, 30, "y", 102),  # change
+        (1, 40, "x", 103),  # change back -> third run
+        (2, 10, "z", 104),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, a string, eid int")
+    hist = scd2_build(df, "k", "t", "a", tiebreak_col="eid").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [(r["a"], r["valid_from"], r["valid_to"], r["n_events"]) for r in k1] == [
+        ("x", 10, 30, 2),
+        ("y", 30, 40, 1),
+        ("x", 40, None, 1),
+    ]
+    assert [r["is_current"] for r in k1] == [0, 0, 1]
+    assert by_key[2][0]["is_current"] == 1
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def test_pagerank_two_node_cycle_is_uniform_fixpoint(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_matches_hand_rolled(spark):
+    # 1 -> {2,3}: after one iteration r(1)=(1-d)/3, r(2)=r(3)=(1-d)/3+d/6
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=1, damping=0.85).collect()}
+    third = 1.0 / 3.0
+    assert got[1] == pytest.approx(0.15 * third, abs=1e-6)
+    assert got[2] == pytest.approx(0.15 * third + 0.85 * third / 2, abs=1e-6)
+    assert got[2] == got[3]
+
+
+def test_pagerank_symmetric_graph_conserves_mass(spark):
+    pairs = [(i, (i * 3) % 7 + 10) for i in range(7)]
+    edges_rows = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(edges_rows, "src int, dst int")
+    ranks = pagerank(edges, iters=4).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-4)
+    assert all(r["rank"] > 0 for r in ranks)
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=0).collect()}
+    assert got == {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
