@@ -65,6 +65,17 @@ HEADLINE = [
     "pack_sequences",
     "incremental_dedup",
     "label_centroids",
+    # round-3 additions: ranking/retrieval, analytics, CDC, graph
+    "tfidf_top_terms",
+    "bm25",
+    "heavy_hitters",
+    "bloom_decontaminate",
+    "chunk_documents",
+    "exact_quantiles",
+    "merge_upsert",
+    "scd2",
+    "pagerank",
+    "range_frame_window",
 ]
 
 

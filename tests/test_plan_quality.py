@@ -234,3 +234,62 @@ def test_embedding_near_dupes_bucket_equijoin(spark):
     plan = _plan(E.queries()["embedding_near_dupes"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """The BM25 limit must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge of k), never a global sort."""
+    df = E.queries()["bm25"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is pure map-side: no Exchange anywhere in the plan."""
+    from hdp_tez_spark.extensions.curation import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(chunk_documents(docs, "doc_id", "text", 16, 12))
+    # the only allowed exchange is the small-input spread repartition
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """The Misra-Gries candidate set joins the token stream as a
+    broadcast — the tail must never reach a shuffle."""
+    df = E.queries()["heavy_hitters"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # token stream itself must not hash-exchange before the semi join
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_quantiles_no_global_sort_no_funnel(spark):
+    """exact_quantiles must probe positions via broadcast joins over the
+    distinct-value table — never globally sort the input or funnel it
+    through a single-partition window."""
+    from hdp_tez_spark.extensions.analytics import exact_quantiles
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = exact_quantiles(li, "l_extendedprice", [0.5, 0.9])
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the position probe
+    # the only Sort allowed is the final ORDER BY p over |probs| rows and
+    # range-partition local sorts; no global Sort of the value column
+    # feeding a single partition: the checkpointed prefix-sum plan never
+    # contains one by construction (windows partition by __pid).
+    assert "rangepartitioning(l_extendedprice" not in plan.lower()
+
+
+def test_merge_upsert_windows_changes_not_base(spark):
+    """merge_upsert's window runs over the change batch only — the base
+    table must reach the output through join/union alone."""
+    df = E.queries()["merge_upsert"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # the latest-wins window appears twice (Catalyst column-prunes the
+    # anti-join branch to keys only rather than reusing the subtree) but
+    # both instances sit over the FILTERED change scans; the base reaches
+    # the output via broadcast anti-join + union, never an exchange.
+    assert plan.count("Window [row_number()") == 2, plan
+    assert "LeftAnti" in plan
+    # window group limit pushes the rn=1 filter into the shuffle
+    assert "WindowGroupLimit" in plan
