@@ -22,6 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -57,30 +58,42 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table from the given scale-factor directory.
 
-    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are transparently
-    converted to Spark microsecond timestamps: Spark has no nanos timestamp
-    type, so they are read as int64 via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated ns -> us (the
-    driver's generator emits microsecond-precision values, so this is
-    lossless).
+    Parquet TIMESTAMP(NANOS) columns are transparently converted to Spark
+    microsecond timestamps: Spark has no nanos timestamp type, so they are
+    read as int64 via ``spark.sql.legacy.parquet.nanosAsLong`` and truncated
+    ns -> us (the driver's generator emits microsecond-precision values, so
+    this is lossless).
+
+    Parquet naive timestamps (``timestamp[us]`` with no timezone, e.g.
+    ``events.ts``) are read by Spark 4 as TIMESTAMP_NTZ, which cannot be
+    cast to numeric and is rejected by ``withWatermark`` — so every NTZ
+    column is normalized to session-tz TIMESTAMP_LTZ. The session timezone
+    is pinned to UTC first, so the naive wall-clock value maps to the same
+    instant DuckDB's naive ``epoch(ts)`` computes; downstream
+    ``unix_timestamp``/``cast(double)``/watermark semantics all work and
+    oracle comparisons are unchanged.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _ns_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The stored int64 is an epoch instant; timestamp_micros() yields an
-    # LTZ timestamp whose derived fields (year/window buckets) depend on the
-    # session timezone. Pin UTC so results are deterministic regardless of
-    # the caller session's timezone (oracle engines treat these as naive).
+    # Derived fields (year/window buckets/epoch) of LTZ timestamps depend on
+    # the session timezone. Pin UTC before reading so results are
+    # deterministic regardless of the caller session's timezone (oracle
+    # engines treat these columns as naive).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer `div`, not `/`: float division of >2^53 nanos loses ULPs
         # and can round *up* across a microsecond boundary
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.to_timestamp_ltz(F.col(c)))
     return df
 
 
