@@ -2786,13 +2786,14 @@ WHERE d.f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-centroid IVF path: Lloyd's k-means (similarity.py
     kmeans_fit, k=8, deterministic seeds/rounding) then map-side cell
-    assignment; output is the cell occupancy table. Iterative — no SQL
-    oracle (rows-only driver check); invariants pinned in
-    tests/test_curation.py."""
+    assignment; output is the cell occupancy table. tol=0 pins exactly
+    max_iter Lloyd rounds (a converged round is a no-op anyway), so the
+    unrolled-SQL oracle (_kmeans_unrolled_sql, the pagerank pattern)
+    replays the identical computation."""
     from hdp_tez_spark.extensions.similarity import assign_cells, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, max_iter=5)
+    cents = kmeans_fit(emb, k=8, max_iter=5, tol=0.0)
     return (
         assign_cells(emb, cents)
         .groupBy("cell")
@@ -3766,6 +3767,298 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# Physical layout / bucketed tables / streaming / k-means oracle (round 4:
+# driver evidence for the write-side operators and the streaming surface)
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql_expr(cols: list[tuple[str, str, str]], bits: int) -> str:
+    """DuckDB expression mirroring layout.zorder_value bit-for-bit: per
+    column, scale to a 2^bits grid between lo/hi (same double op order as
+    the Spark expression, so IEEE results are identical), then interleave
+    the cell bits. cols = [(value_expr, lo_expr, hi_expr), ...]."""
+    n = len(cols)
+    cells = []
+    top = (1 << bits) - 1
+    for value, lo, hi in cols:
+        scaled = (
+            f"CASE WHEN ({hi}::DOUBLE - {lo}::DOUBLE) > 0 THEN "
+            f"floor((({value}::DOUBLE - {lo}::DOUBLE) / ({hi}::DOUBLE - {lo}::DOUBLE)) * {1 << bits}) "
+            f"ELSE 0 END"
+        )
+        cells.append(f"least(({scaled})::BIGINT, {top})")
+    terms = []
+    for i in range(bits):
+        for j, cell in enumerate(cells):
+            terms.append(f"((({cell} >> {i}) & 1) << {i * n + j})")
+    return " + ".join(terms)  # bit positions are disjoint: sum == OR
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering round-trip: cluster `part` along a Morton curve
+    over (p_size, p_retailprice) with layout.zorder_by, write the
+    clustered copy, read it back, and return fixed-width Z-bucket
+    occupancy and key spans. The Morton math is replayed bit-for-bit by
+    the SQL oracle; file-level span pruning is pinned in
+    tests/test_layout.py. Reference parity: Hive CLUSTERED BY layered on
+    Tez's MROutput committer (tez-mapreduce/.../output/MROutput.java:81)."""
+    import tempfile
+
+    from hdp_tez_spark.sources.layout import zorder_by
+
+    part = _t(spark, sf_dir, "part")
+    zdf = zorder_by(part, ["p_size", "p_retailprice"], bits=8, partitions=8)
+    out = tempfile.mkdtemp(prefix="hdp_tez_zorder_")
+    zdf.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.shiftright(F.col("__z"), 10).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__z").alias("min_z"),
+        F.max("__z").alias("max_z"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+_SQL_ZORDER_STATS = f"""
+WITH stats AS (
+  SELECT min(p_size) AS lo0, max(p_size) AS hi0,
+         min(p_retailprice) AS lo1, max(p_retailprice) AS hi1
+  FROM part
+),
+z AS (
+  SELECT p_size, ({_morton_sql_expr(
+      [("p_size", "lo0", "hi0"), ("p_retailprice", "lo1", "hi1")], 8
+  )}) AS zval
+  FROM part, stats
+)
+SELECT zval >> 10 AS zbucket, count(*) AS n_rows,
+       min(zval) AS min_z, max(zval) AS max_z,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM z GROUP BY 1
+"""
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: fragment `part` into 64 files,
+    run layout.compact_small_files (Hive ALTER TABLE CONCATENATE parity,
+    staged rewrite + swap), and return a full-table aggregate from the
+    compacted copy — proving the rewrite is lossless — plus the
+    file-count invariant. Exact target file count is size-dependent, so
+    it is pinned in tests/test_layout.py, not here."""
+    import tempfile
+
+    from hdp_tez_spark.sources.layout import compact_small_files
+
+    part = _t(spark, sf_dir, "part")
+    d = tempfile.mkdtemp(prefix="hdp_tez_compact_") + "/part"
+    part.repartition(64).write.mode("overwrite").parquet(d)
+    n_after = compact_small_files(spark, d, target_bytes=8 << 20)
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .withColumn("compacted", F.lit(bool(n_after < 64)))
+    )
+
+
+_SQL_COMPACT_FILES = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price,
+       TRUE AS compacted
+FROM part GROUP BY p_brand
+"""
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-map-join parity (Hive CLUSTERED BY ... INTO N BUCKETS on
+    Tez, SURVEY §2.7): write both join sides bucketed on the join key
+    with sources.buckets.write_bucketed, then join the bucketed tables —
+    at read time the join needs NO exchange (zero-Exchange plan pinned in
+    tests/test_buckets.py). Returns the joined revenue rollup."""
+    import uuid
+
+    from hdp_tez_spark.sources.buckets import read_bucketed, write_bucketed
+
+    # unique-per-run names: the warehouse directory outlives the in-memory
+    # catalog, so a fixed name from a previous session would collide with
+    # its orphaned location (LOCATION_ALREADY_EXISTS)
+    run = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"hdp_bkt_orders_{run}", f"hdp_bkt_lineitem_{run}"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, t_li, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    o = read_bucketed(spark, t_orders)
+    l = read_bucketed(spark, t_li)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked Structured Streaming tumbling aggregation, driven to
+    completion with an availableNow trigger against a single-file parquet
+    copy of `events` — the unified-model guarantee makes the result equal
+    to the batch twin (`tumbling_window`), which is exactly what the SQL
+    oracle checks. Beyond-reference extension: streaming is unsupported
+    in the reference (tez-api/.../EdgeProperty.java:71-102 EPHEMERAL /
+    CONCURRENT are @Unstable; SURVEY §2.9)."""
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_src_")
+    # one file -> one availableNow batch: no cross-batch watermark drops,
+    # so the complete-mode result is the full, deterministic window table
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    res = WIN.stream_tumbling_agg(
+        sdf,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+        watermark="1 hour",
+    )
+    qname = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        res.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "window_start", "window_end", "event_type", "cnt", "total"
+    )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x purchases within
+    the prior 10 minutes), driven to completion with availableNow over a
+    single-file parquet copy so one micro-batch sees all data — result
+    equals the batch twin `interval_join`, which is exactly what the SQL
+    oracle checks. The time-bounded condition is what lets Spark evict
+    join state at the watermark on a real stream (streaming/windows.py
+    interval_join docstring)."""
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_ij_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = WIN.interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "p_ts", "10 minutes"
+    )
+    res = j.select("click_id", clicks["user_id"], "click_ts", "p_ts", "value")
+    qname = f"stream_interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def _kmeans_unrolled_sql(k: int, iters: int) -> str:
+    """DuckDB replay of similarity.kmeans_fit: seeds are the k lowest-id
+    vectors (elements rounded to 6dp), each Lloyd iteration assigns by
+    cosine rounded to 6dp with cell-id tiebreak and recomputes per-cell
+    means rounded to 6dp (empty cells keep their centroid via the LEFT
+    JOIN coalesce) — the pagerank unrolled-iteration oracle pattern."""
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS vec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", asg{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.vec), 6) DESC, c.cell
+           ) AS rn
+    FROM emb e CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+), m{t} AS (
+  SELECT cell, pos, avg(val) AS avg FROM (
+    SELECT cell, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+    FROM asg{t}
+  ) GROUP BY cell, pos
+), c{t} AS (
+  SELECT p.cell, coalesce(n.vec, p.vec) AS vec
+  FROM c{t - 1} p
+  LEFT JOIN (
+    SELECT cell, list_transform(list(avg ORDER BY pos), x -> round(x, 6)) AS vec
+    FROM m{t} GROUP BY cell
+  ) n ON p.cell = n.cell
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cell::INT AS cell, count(*) AS n_assigned FROM (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.v, c.vec), 6) DESC, c.cell
+         ) AS rn
+  FROM emb e CROSS JOIN c{iters} c
+) WHERE rn = 1 GROUP BY cell"""
+    )
+    return "\n".join(parts)
+
+
+_SQL_KMEANS_CELLS = _kmeans_unrolled_sql(k=8, iters=5)
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle, so the prefix carries
 #: (a) the LLM-pipeline / extensions surface (round-1 had no driver rows
@@ -3775,14 +4068,24 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 #: TPC-H permutations, window/scalar-function twins) and remain covered
 #: by the repo's own sf0.001 DuckDB oracle suite (tests/test_entry_queries.py).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- NEW this round (analytics / CDC / graph / time-range window) ---
+    # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
+    "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
+    "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
+    "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
+    "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
+    "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
+    "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
+    # --- broken in r03, root-cause-fixed this round (NTZ -> LTZ catalog) ---
+    "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
+    # --- r03-green rows kept in prefix (code paths touched by the catalog
+    #     change or newest operator families) ---
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
     "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "scd2": (q_scd2, _SQL_SCD2),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
-    # --- NEW this round (ranking/retrieval/chunking/bloom + join/sort ops) ---
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
@@ -3792,26 +4095,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
     "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
-    # --- driver-red in r02, fixed this round (list cells / dtype splits) ---
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
-    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
-    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
-    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
-    # --- never driver-checked before (added in r2 below the prefix; the
-    #     r02->r03 tpch_q11/q12 oracle HUGEINT casts also land here) ---
-    "histogram": (q_histogram, _SQL_HISTOGRAM),
-    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
-    "kmeans_cells": (q_kmeans_cells, None),
-    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
-    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
-    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
-    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
-    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
-    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
-    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
-    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
-    # --- operator-family representatives, driver-green in r01, rotated
-    #     back in so core-surface evidence stays at most one round old ---
+    # --- oldest-evidence families rotated into the prefix for r04 (last
+    #     driver-green r01/r02; VERDICT r03 rotation list) ---
+    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
+    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
+    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
+    "cogroup": (q_cogroup, _SQL_COGROUP),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
+    # --- operator-family representatives, driver-green r03, kept so core
+    #     surface evidence stays fresh ---
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
@@ -3833,15 +4127,26 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     # ------------------- driver-checked prefix ends here (50) -----------------
-    # Every entry below is driver-green in CORRECTNESS_r01 or _r02 with
+    # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    "histogram": (q_histogram, _SQL_HISTOGRAM),
+    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
+    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
+    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
     "intersect": (q_intersect, _SQL_INTERSECT),
     "except": (q_except, _SQL_EXCEPT),
-    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
     "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
     "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
-    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "ngram_jaccard": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
@@ -3857,7 +4162,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
     "cosine_topk_quantized": (q_cosine_topk_quantized, _SQL_COSINE_TOPK_QUANTIZED),
     "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
-    "cogroup": (q_cogroup, _SQL_COGROUP),
     "exists_subquery": (q_exists_subquery, _SQL_EXISTS_SUBQUERY),
     "not_in_subquery": (q_not_in_subquery, _SQL_NOT_IN_SUBQUERY),
     "scalar_subquery": (q_scalar_subquery, _SQL_SCALAR_SUBQUERY),
@@ -3872,7 +4176,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
     "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
-    "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
     "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
@@ -3884,13 +4187,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incremental_dedup": (q_incremental_dedup, _SQL_INCREMENTAL_DEDUP),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "wordcount": (q_wordcount, _SQL_WORDCOUNT),
-    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
-    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
-    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "pivot": (q_pivot, _SQL_PIVOT),
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "percentile": (q_percentile, _SQL_PERCENTILE),
-    "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
     "tpch_q8": (q_tpch_q8, _SQL_TPCH_Q8),

@@ -76,6 +76,11 @@ HEADLINE = [
     "scd2",
     "pagerank",
     "range_frame_window",
+    # round-4 additions: exact ranking/join ops + robust stats
+    "ntile_buckets",
+    "lateral_topn",
+    "null_safe_join",
+    "robust_outliers",
 ]
 
 
