@@ -280,6 +280,32 @@ def test_exact_quantiles_no_global_sort_no_funnel(spark):
     assert "rangepartitioning(l_extendedprice" not in plan.lower()
 
 
+def test_bucketed_join_entry_no_join_exchange(spark):
+    """The driver-checked bucketed_join query: both sides are pre-bucketed
+    on the join key, so the join inputs are never hash-exchanged — the
+    scans carry the bucket spec and the only exchange keys allowed in the
+    plan are the final rollup's (o_orderpriority). At smoke scale AQE may
+    replace the zero-exchange sort-merge with a broadcast of the tiny
+    side; both satisfy the no-join-shuffle contract."""
+    df = E.queries()["bucketed_join"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+
+def test_zorder_jvm_only_no_python(spark):
+    """The Morton interleave is pure integer column expressions — no
+    Python evaluation node anywhere in the z-order plan."""
+    from hdp_tez_spark.sources.layout import zorder_by
+
+    part = load_table(spark, SF_SMOKE, "part")
+    plan = _plan(zorder_by(part, ["p_size", "p_retailprice"], bits=8, partitions=4))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_merge_upsert_windows_changes_not_base(spark):
     """merge_upsert's window runs over the change batch only — the base
     table must reach the output through join/union alone."""
