@@ -3925,7 +3925,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hdp_tez_spark.streaming import windows as WIN
 
-    ev = _t(spark, sf_dir, "events")
+    # prune to the aggregation's columns BEFORE the single-file stage: the
+    # serial coalesce(1) write is the setup cost, so it should carry only
+    # the bytes the stream needs
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     src = tempfile.mkdtemp(prefix="hdp_tez_stream_src_")
     # one file -> one availableNow batch: no cross-batch watermark drops,
     # so the complete-mode result is the full, deterministic window table
@@ -3969,7 +3972,10 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hdp_tez_spark.streaming import windows as WIN
 
-    ev = _t(spark, sf_dir, "events")
+    # prune to the join's columns before the serial single-file stage
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
     src = tempfile.mkdtemp(prefix="hdp_tez_stream_ij_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sdf = spark.readStream.schema(ev.schema).parquet(src)
@@ -4001,6 +4007,78 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tez DAG programming-model parity end-to-end (plans/pipeline.py):
+    two source vertices, scatter-gather edges, two aggregation vertices,
+    and TWO file sinks committed all-or-nothing by run_and_commit
+    (DAGImpl.commitOrAbortOutputs parity; TestTezJobs.java:932,965 pins
+    the two-MROutput case). The returned table is read back FROM THE
+    COMMITTED SINKS, so a green row proves the staging+rename commit
+    actually published both outputs."""
+    import tempfile
+
+    from hdp_tez_spark.plans.pipeline import SCATTER_GATHER, Pipeline
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="hdp_tez_dag_")
+    p1, p2 = f"{base}/rev_by_priority", f"{base}/rev_by_flag"
+    p = Pipeline("dag_pipeline")
+    p.source("orders", orders).source("lineitem", li)
+    p.vertex(
+        "rev_by_priority",
+        lambda ins: ins["lineitem"]
+        .join(
+            ins["orders"],
+            ins["lineitem"]["l_orderkey"] == ins["orders"]["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("k"),
+            "n",
+            "rev",
+            F.lit("priority").alias("src"),
+        ),
+    )
+    p.edge("orders", "rev_by_priority", SCATTER_GATHER, keys=["o_orderkey"])
+    p.edge("lineitem", "rev_by_priority", SCATTER_GATHER, keys=["l_orderkey"])
+    p.vertex(
+        "rev_by_flag",
+        lambda ins: ins["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .select(
+            F.col("l_returnflag").alias("k"), "n", "rev", F.lit("flag").alias("src")
+        ),
+    )
+    p.edge("lineitem", "rev_by_flag", SCATTER_GATHER, keys=["l_returnflag"])
+    p.sink("rev_by_priority", p1).sink("rev_by_flag", p2)
+    p.run_and_commit()
+    return spark.read.parquet(p1).unionByName(spark.read.parquet(p2))
+
+
+_SQL_DAG_PIPELINE = """
+SELECT o_orderpriority AS k, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS rev, 'priority' AS src
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+UNION ALL
+SELECT l_returnflag AS k, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS rev, 'flag' AS src
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def _kmeans_unrolled_sql(k: int, iters: int) -> str:
@@ -4074,6 +4152,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
     "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
     "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
+    "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
     # --- broken in r03, root-cause-fixed this round (NTZ -> LTZ catalog) ---
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
@@ -4117,7 +4196,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
     "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
     "topk": (q_topk, _SQL_TOPK),
-    "rollup": (q_rollup, _SQL_ROLLUP),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "distinct": (q_distinct, _SQL_DISTINCT),
@@ -4133,6 +4211,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
     "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    "rollup": (q_rollup, _SQL_ROLLUP),
     "histogram": (q_histogram, _SQL_HISTOGRAM),
     "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),

@@ -81,6 +81,15 @@ HEADLINE = [
     "lateral_topn",
     "null_safe_join",
     "robust_outliers",
+    # round-4 write-side / streaming / DAG surface (each includes its own
+    # write or stream-drain work by design — they measure the full path)
+    "zorder_stats",
+    "compact_files",
+    "bucketed_join",
+    "stream_tumbling",
+    "stream_interval_join",
+    "dag_pipeline",
+    "kmeans_cells",
 ]
 
 
