@@ -9,9 +9,10 @@ Giraph is the reference-era equivalent — SURVEY §4.5 delegates the
 scheduling to Spark, the algorithm lives here).
 
 Scale shape per iteration:
-- `edges join ranks` and `edges join outdeg` are equi-joins on the
-  source node — co-partitioned after the first round, so AQE reuses the
-  exchange;
+- out-degrees are joined onto the edge list ONCE before the loop (the
+  degree of an edge's source never changes), so each round is a single
+  equi-join `edges join ranks` on the source node — co-partitioned
+  across rounds, so AQE reuses the exchange;
 - contributions aggregate with map-side partial sums (shuffle carries
   one row per (dst) per map partition, not one per edge);
 - `localCheckpoint` every round truncates the exponentially growing
@@ -59,15 +60,18 @@ def pagerank(
         .localCheckpoint()
     )
     n_df = nodes.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__od")).localCheckpoint()
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__od"))
+    # degrees never change across rounds: pre-join them onto the edges once
+    # (keeping __od as a column, so each round still computes rank/__od —
+    # bit-identical arithmetic to joining outdeg per round)
+    ew = e.join(outdeg, "__src").localCheckpoint()
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(outdeg, "__src")
+            ew.join(ranks, ew["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
                 (F.col("rank") / F.col("__od")).alias("__c"),
