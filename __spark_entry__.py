@@ -4081,6 +4081,92 @@ GROUP BY l_returnflag
 """
 
 
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py running_totals): per-key state maintained in the
+    state store across micro-batches. Driven with availableNow over a
+    single-file copy so the one emitted row per key carries the final
+    state — which must equal the batch groupBy aggregate, the oracle's
+    check. Reference contrast: Tez's processor API has no managed state
+    (SURVEY §2.10); this is the Spark-native stateful surface."""
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming.stateful import running_totals
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_state_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    res = running_totals(sdf, ["event_type"], "value", "event_type string")
+    qname = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_type", "cnt", F.round("total", 4).alias("total")
+    )
+
+
+_SQL_STREAM_STATEFUL_TOTALS = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total
+FROM events GROUP BY event_type
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence conversion funnel view -> click -> purchase over
+    the event stream (extensions/analytics.py funnel): earliest-time
+    chaining, per-user min aggs + equi-joins, no event-history windows."""
+    from hdp_tez_spark.extensions.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+_SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+UNION ALL
+SELECT 1 AS stage_idx, 'click' AS stage, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2 AS stage_idx, 'purchase' AS stage, count(*) AS n_users FROM s2
+"""
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (extensions/splits.py kfold_split):
+    pure map-side md5 projection, retry/re-partition-stable."""
+    from hdp_tez_spark.extensions.splits import kfold_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return kfold_split(docs, "doc_id", k=5)
+
+
+_SQL_KFOLD_SPLIT = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 5 AS INT) AS fold
+FROM documents
+"""
+
+
 def _kmeans_unrolled_sql(k: int, iters: int) -> str:
     """DuckDB replay of similarity.kmeans_fit: seeds are the k lowest-id
     vectors (elements rounded to 6dp), each Lloyd iteration assigns by
@@ -4152,7 +4238,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
     "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
     "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
+    "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
+    "funnel": (q_funnel, _SQL_FUNNEL),
+    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
     # --- broken in r03, root-cause-fixed this round (NTZ -> LTZ catalog) ---
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
@@ -4190,7 +4279,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
-    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
     "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
@@ -4198,9 +4286,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk": (q_topk, _SQL_TOPK),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
-    "distinct": (q_distinct, _SQL_DISTINCT),
     "cube": (q_cube, _SQL_CUBE),
-    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
     "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
@@ -4212,6 +4298,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
     "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "rollup": (q_rollup, _SQL_ROLLUP),
+    "distinct": (q_distinct, _SQL_DISTINCT),
+    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "histogram": (q_histogram, _SQL_HISTOGRAM),
     "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),

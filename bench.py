@@ -90,6 +90,9 @@ HEADLINE = [
     "stream_interval_join",
     "dag_pipeline",
     "kmeans_cells",
+    "funnel",
+    "kfold_split",
+    "stream_stateful_totals",
 ]
 
 

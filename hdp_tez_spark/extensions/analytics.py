@@ -173,3 +173,56 @@ def robust_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users reach each stage, where a
+    user completes stage i only with an event of type ``stages[i]``
+    STRICTLY AFTER their stage-(i-1) completion time. Uses earliest-time
+    chaining (greedy-earliest is optimal: taking the minimal completion
+    time at each stage maximizes the window for the next), so the whole
+    funnel is |stages|-1 equi-joins + per-user min aggregations — no
+    per-user sequence materialization, no window over full event history.
+
+    Scale shape: every stage aggregates and joins hash-partitioned on the
+    user key, so AQE reuses one exchange layout across stages, and each
+    stage's frame only shrinks (monotone conversion). Output:
+    (stage_idx, stage, n_users), one row per stage.
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    cur = (
+        df.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    outs = [
+        cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(0).alias("stage_idx"), F.lit(stages[0]).alias("stage"), "n_users"
+        )
+    ]
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = df.where(F.col(type_col) == st).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        cur = (
+            nxt.join(cur, user_col)
+            .where(F.col("__ts") > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias("__t"))
+        )
+        outs.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("stage_idx"), F.lit(st).alias("stage"), "n_users"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -53,6 +53,28 @@ def train_test_split(
     )
 
 
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Assign every row a fold in [0, k) by a deterministic hash of its id
+    — the cross-validation counterpart of `train_test_split`, with the
+    same contract: pure map-side projection, zero shuffle, identical
+    assignment across retries / re-partitioning / incremental re-runs
+    (so fold i's eval set never drifts between pipeline versions).
+
+    Reproducible in any SQL engine as
+    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % k.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, F.pmod(_md5_long(F.col(id_col).cast("string")), F.lit(k)).cast("int")
+    )
+
+
 def cluster_split(
     df: DataFrame,
     id_col: str,

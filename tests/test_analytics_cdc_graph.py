@@ -14,6 +14,8 @@ from hdp_tez_spark.extensions.analytics import exact_quantiles, robust_outliers
 from hdp_tez_spark.extensions.cdc import merge_upsert, scd2_build
 from hdp_tez_spark.extensions.graph import pagerank
 from hdp_tez_spark.operators.sort import prefix_sum
+from hdp_tez_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
 
 
 # ---------------------------------------------------------------- prefix_sum
@@ -190,3 +192,42 @@ def test_pagerank_zero_iters_is_uniform(spark):
     edges = spark.createDataFrame([(1, 2), (3, 4)], "src int, dst int")
     got = {r["node"]: r["rank"] for r in pagerank(edges, iters=0).collect()}
     assert got == {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
+
+
+def test_funnel_counts_monotone_and_correct(spark):
+    from hdp_tez_spark.extensions.analytics import funnel
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = {
+        r.stage_idx: r.n_users
+        for r in funnel(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    # conversion can only shrink stage over stage
+    assert rows[0] >= rows[1] >= rows[2]
+    # stage 0 is exactly the distinct users with a 'view' event
+    expected0 = (
+        ev.where(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert rows[0] == expected0
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A user whose only stage-2 event PRECEDES their stage-1 completion
+    must not convert."""
+    import datetime as dt
+
+    from hdp_tez_spark.extensions.analytics import funnel
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t),                              # user 1: view then click -> converts
+        (1, "b", t + dt.timedelta(minutes=1)),
+        (2, "b", t),                              # user 2: click BEFORE view -> no
+        (2, "a", t + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    out = {r.stage_idx: r.n_users for r in funnel(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
+    assert out == {0: 2, 1: 1}

@@ -281,3 +281,22 @@ def test_curate_corpus_end_to_end(spark):
         out["packed"].join(out["train"].select("doc_id"), "doc_id", "left_anti")
         .count() == 0
     )
+
+
+def test_kfold_split_deterministic_and_complete(spark):
+    from hdp_tez_spark.extensions.splits import kfold_split
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    a = {r.doc_id: r.fold for r in kfold_split(docs, "doc_id", k=5).collect()}
+    b = {
+        r.doc_id: r.fold
+        for r in kfold_split(docs.repartition(7), "doc_id", k=5).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    assert set(a.values()) <= set(range(5))
+    # every fold populated and no fold hogs the data (hash balance)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 5
+    assert max(c.values()) < 2 * min(c.values())
