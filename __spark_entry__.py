@@ -4081,6 +4081,25 @@ GROUP BY l_returnflag
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: part's numeric columns rotated into (metric, value)
+    rows — single map-side Expand, the dual of q_pivot
+    (operators/aggregates.py unpivot_melt)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return agg.unpivot_melt(part, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+_SQL_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     streaming/stateful.py running_totals): per-key state maintained in the
@@ -4224,13 +4243,16 @@ _SQL_KMEANS_CELLS = _kmeans_unrolled_sql(k=8, iters=5)
 
 
 #: Registry order is evidence order: the correctness driver verifies the
-#: FIRST 50 entries against the DuckDB oracle, so the prefix carries
-#: (a) the LLM-pipeline / extensions surface (round-1 had no driver rows
-#: for it), (b) every query whose implementation changed this round, and
-#: (c) one representative per SURVEY §2 operator family. Entries past 50
-#: are redundant variants of already-driver-verified families (extra
-#: TPC-H permutations, window/scalar-function twins) and remain covered
-#: by the repo's own sf0.001 DuckDB oracle suite (tests/test_entry_queries.py).
+#: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
+#: the prefix always carries (a) every query added or whose implementation
+#: changed this round, (b) anything touched by a shared-code change (the
+#: r04 NTZ->LTZ catalog fix pulls in the event-time queries), and (c) the
+#: operator-family representatives whose newest driver evidence is oldest —
+#: so no SURVEY §2 family's latest green row ages more than ~one round.
+#: Entries past 50 are twins of already-driver-verified families and stay
+#: covered by the repo's own per-commit sf0.001 DuckDB oracle suite
+#: (tests/test_entry_queries.py) plus the sf0.01 sweep
+#: (tools/check_correctness.py).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
@@ -4242,6 +4264,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
+    "unpivot": (q_unpivot, _SQL_UNPIVOT),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
     # --- broken in r03, root-cause-fixed this round (NTZ -> LTZ catalog) ---
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
@@ -4289,13 +4312,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk": (q_topk, _SQL_TOPK),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
-    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     # ------------------- driver-checked prefix ends here (50) -----------------
     # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
     "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
     "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),

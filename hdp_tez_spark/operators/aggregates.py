@@ -91,6 +91,23 @@ def pivot_agg(
     return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(agg)
 
 
+def unpivot_melt(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """UNPIVOT / melt: rotate `values` columns into (metric, value) rows —
+    the inverse of `pivot_agg` (beyond-reference surface; SURVEY §2.6).
+
+    Compiles to a single map-side Expand (one input row -> len(values)
+    output rows) — no shuffle, no join, the exact dual of pivot's
+    conditional aggregation. All `values` columns must share a common
+    type (cast beforehand); at any scale this is a pure projection."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
 def count_by_key(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:
     """WordCount-style (key, count) aggregation (`WordCount.java:113-140`)."""
     return df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))

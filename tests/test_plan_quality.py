@@ -319,3 +319,11 @@ def test_merge_upsert_windows_changes_not_base(spark):
     assert "LeftAnti" in plan
     # window group limit pushes the rn=1 filter into the shuffle
     assert "WindowGroupLimit" in plan
+
+
+def test_unpivot_single_expand_no_shuffle(spark):
+    """UNPIVOT compiles to one map-side Expand and never shuffles."""
+    df = E.queries()["unpivot"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Expand") == 1, plan
+    assert "Exchange" not in plan, plan
