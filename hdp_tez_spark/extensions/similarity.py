@@ -381,9 +381,12 @@ def kmeans_fit(
     against the k x dim centroid literals (zero shuffle — the same baked
     broadcast as IVF), then means reduce by scalar (cell, pos) cells with
     map-side partial aggregation. Only k x dim floats ever reach the
-    driver; the corpus is scanned once per iteration and never collected.
-    An empty cell keeps its previous centroid (no respawn heuristics, to
-    stay deterministic).
+    driver, and the corpus is never collected. The (id, vector)
+    projection is persisted MEMORY_AND_DISK for the duration of the fit —
+    every Lloyd round reads the same data, so caching turns max_iter
+    scans into one (blocks that don't fit memory spill to local disk; the
+    persist is dropped before returning). An empty cell keeps its
+    previous centroid (no respawn heuristics, to stay deterministic).
     """
     cent_rows = (
         df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
@@ -391,7 +394,7 @@ def kmeans_fit(
     cents: list[tuple[int, list[float]]] = [
         (i, [round(float(x), 6) for x in r[vec_col]]) for i, r in enumerate(cent_rows)
     ]
-    src = _spread(df.select(id_col, vec_col))
+    src = _spread(df.select(id_col, vec_col)).persist()
     for _ in range(max_iter):
         assigned = assign_cells(src, cents, vec_col).select(
             "cell", F.posexplode(vec_col).alias("pos", "val")
@@ -418,6 +421,7 @@ def kmeans_fit(
         cents = nxt
         if shift <= tol:
             break
+    src.unpersist()
     return cents
 
 
