@@ -4104,6 +4104,87 @@ GROUP BY l_returnflag
 """
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaskCounter parity end-to-end (metrics.py CounterRegistry):
+    record-level counters ride the job via df.observe and are read back
+    after the action completes — the returned 1-row table IS the counter
+    values, so the oracle verifies the counter machinery itself
+    (reference: TaskCounter INPUT_RECORDS_PROCESSED / OUTPUT_RECORDS,
+    tez-api/.../common/counters/TaskCounter.java; zero extra jobs — the
+    metrics are computed by the same action that runs the query)."""
+    from hdp_tez_spark.metrics import CounterRegistry
+
+    reg = CounterRegistry()
+    li = _t(spark, sf_dir, "lineitem")
+    observed = reg.observed(
+        li.where(F.col("l_quantity") > 25),
+        "scan",
+        input_records=F.count(F.lit(1)),
+        total_qty=F.round(F.sum("l_quantity"), 2),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    vals = reg.get("scan")
+    return spark.createDataFrame(
+        [(int(vals["input_records"]), float(vals["total_qty"]))],
+        "input_records bigint, total_qty double",
+    )
+
+
+_SQL_OBSERVED_METRICS = """
+SELECT count(*) AS input_records, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem WHERE l_quantity > 25
+"""
+
+
+def q_object_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ObjectRegistry parity (plans/pipeline.py ObjectRegistry,
+    tez-api/.../runtime/api/ObjectRegistry.java:37-61): a computed
+    dimension is cached once under a DAG-scoped name and reused by two
+    consumers — executor-resident blocks standing in for Tez's
+    in-container object cache. The full-join rollup of both consumers is
+    the oracle-checked result."""
+    from hdp_tez_spark.plans.pipeline import ObjectRegistry
+
+    reg = ObjectRegistry()
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    dim = reg.cache("nation_dim", nation.select("n_nationkey", "n_name"), scope="dag")
+    a = (
+        cust.join(dim, cust["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    b = (
+        supp.join(
+            reg.get("nation_dim"),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return a.join(b, "n_name", "full").select(
+        "n_name",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_SQL_OBJECT_REGISTRY = """
+WITH a AS (
+  SELECT n_name, count(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+), b AS (
+  SELECT n_name, count(*) AS n_suppliers
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+)
+SELECT coalesce(a.n_name, b.n_name) AS n_name,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM a FULL JOIN b ON a.n_name = b.n_name
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct with a driver-checked error-bound
     guarantee: the query computes BOTH the sketch estimate and the exact
@@ -4320,6 +4401,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "unpivot": (q_unpivot, _SQL_UNPIVOT),
     "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),
+    "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
+    "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
     # --- broken in r03, root-cause-fixed this round (NTZ -> LTZ catalog) ---
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
@@ -4362,16 +4445,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
-    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
     "topk": (q_topk, _SQL_TOPK),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
-    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     # ------------------- driver-checked prefix ends here (50) -----------------
     # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
+    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
     "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
