@@ -83,22 +83,29 @@ def exact_quantiles(
         )
     )
 
-    def value_at(pos_col: str, out: str) -> DataFrame:
-        # each distinct value covers global positions [hi-cnt+1, hi];
-        # targets is |probs| rows -> broadcast nested-loop over |distinct|
-        return (
-            cum.join(
-                F.broadcast(targets),
-                (F.col(pos_col) >= F.col("__hi") - F.col("__cnt") + 1)
-                & (F.col(pos_col) <= F.col("__hi")),
-            )
-            .select("p", "__frac", F.col("__v").alias(out))
+    # probe BOTH order statistics in one pass: tag each target position
+    # with its side (floor/ceil), broadcast the 2x|probs| probe rows, and
+    # pivot the hits back to (vlo, vhi) with a trivial |probs|-row agg —
+    # half the broadcast-nested-loop work of probing lo and hi separately
+    pos_probe = targets.select(
+        "p", "__frac", F.col("__lo_pos").alias("__pos"), F.lit("lo").alias("__side")
+    ).unionByName(
+        targets.select(
+            "p", "__frac", F.col("__hi_pos").alias("__pos"), F.lit("hi").alias("__side")
         )
-
-    lo = value_at("__lo_pos", "__vlo")
-    hi = value_at("__hi_pos", "__vhi").drop("__frac")
+    )
+    hits = cum.join(
+        F.broadcast(pos_probe),
+        # each distinct value covers global positions [hi-cnt+1, hi]
+        (F.col("__pos") >= F.col("__hi") - F.col("__cnt") + 1)
+        & (F.col("__pos") <= F.col("__hi")),
+    ).select("p", "__frac", "__side", "__v")
     return (
-        lo.join(hi, "p")
+        hits.groupBy("p", "__frac")
+        .agg(
+            F.max(F.when(F.col("__side") == "lo", F.col("__v"))).alias("__vlo"),
+            F.max(F.when(F.col("__side") == "hi", F.col("__v"))).alias("__vhi"),
+        )
         .select(
             "p",
             F.round(
