@@ -30,12 +30,16 @@ def tokenize(col: Column) -> Column:
 
 
 def explode_tokens(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
-    """line -> one row per token (TokenProcessor parity). The source is
-    spread to full parallelism first — a single-split file otherwise
-    tokenizes in one task (split grouping parity, SURVEY §2.1)."""
-    from hdp_tez_spark.parallel import spread
+    """line -> one row per token (TokenProcessor parity).
 
-    return spread(df.select(text_col)).select(
+    Deliberately NOT pre-spread: tokenize is a cheap map and every
+    consumer aggregates the tokens, so map-side partial aggregation
+    already collapses the output before the exchange — pre-shuffling the
+    full text bodies costs more than the single-split map it avoids
+    (measured 2x at sf0.1). The expression-heavy maps (shingling,
+    minhash/simhash signatures) keep their `spread`; this one earns its
+    parallelism from the input's own splits."""
+    return df.select(text_col).select(
         F.explode(tokenize(F.col(text_col))).alias(out)
     )
 
