@@ -4377,6 +4377,318 @@ SELECT cell::INT AS cell, count(*) AS n_assigned FROM (
 _SQL_KMEANS_CELLS = _kmeans_unrolled_sql(k=8, iters=5)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: graph census, weighted sampling, data quality, CMS,
+# time-series gap fill, fuzzy matching, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle/wedge census (extensions/graph.py triangle_count) of the
+    parts-bought-together graph: parts are adjacent when some order
+    contains both. The per-order self-join emits only same-basket pairs
+    (baskets are small), never an all-pairs stage, and the basket
+    projection keeps the graph sparse as data grows — the per-customer
+    supplier projection goes COMPLETE at sf0.1 (every supplier pair
+    shares a customer) and any triangle algorithm is cubic on a clique.
+    Degree-oriented compact-forward counting then bounds the wedge join
+    at O(m^1.5); third graph operator next to pagerank and
+    connected_components. The census runs on the node-induced subgraph
+    of the part-id % 4 == 0 stripe — deterministic node sampling, the
+    standard sparsifier for triangle estimation (counts scale ~p^3 under
+    induced sampling), which keeps the exact census affordable while the
+    operator itself stays general."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges, "a", "b")
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT count(*)
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (extensions/
+    splits.py weighted_sample): Efraimidis-Spirakis order sampling with
+    an md5-derived uniform, so the draw is reproducible in any SQL
+    engine and stable across retries/repartitioning. Selection is
+    TakeOrderedAndProject — per-task top-n heaps, no global sort."""
+    from hdp_tez_spark.extensions.splits import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 100)
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+  ORDER BY k DESC, doc_id LIMIT 100
+)
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (extensions/quality.py profile_table):
+    null/distinct/bounds for four lineitem columns via a single Expand +
+    partial-agg pass — the ANALYZE TABLE surface Hive-on-Tez users get
+    from their client layer (reference has no expression layer, SURVEY
+    §2.8)."""
+    from hdp_tez_spark.extensions.quality import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+
+_SQL_PROFILE_TABLE = """
+SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_val,
+       CAST(max(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), NULL, NULL
+FROM lineitem
+"""
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (extensions/quality.py fk_violations)
+    across three fact->dimension edges, one anti-join per direction,
+    everything aggregated to counts before leaving the executors."""
+    from hdp_tez_spark.extensions.quality import fk_violations
+
+    ords = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    r1 = fk_violations(ords, "o_custkey", cust, "c_custkey", "orders->customer")
+    r2 = fk_violations(li, "l_orderkey", ords, "o_orderkey", "lineitem->orders")
+    r3 = fk_violations(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier")
+    return r1.unionByName(r2).unionByName(r3)
+
+
+_SQL_FK_INTEGRITY = """
+SELECT 'orders->customer' AS relation,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM customer) AS n_parent,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS orphan_children,
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+         AS childless_parents
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem), (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT count(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + LOCF forward fill of per-user event value sums
+    (extensions/analytics.py gap_fill): grid generated map-side with
+    sequence()+explode from the |users|-row span table, fill via one
+    keyed window — the resample a feature pipeline runs before rolling
+    computations."""
+    from hdp_tez_spark.extensions.analytics import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill(ev, "user_id", "ts", "value", 3600)
+
+
+_SQL_GAP_FILL = """
+WITH pb AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         round(sum(value), 4) AS val
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pb GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span)
+SELECT g.user_id, g.bucket,
+       last_value(pb.val IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+       CASE WHEN pb.val IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+"""
+
+
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe (extensions/sketches.py): 4x256
+    sketch over every document token, probed with the full vocabulary;
+    output carries the estimate, the exact count, and the never-
+    undercounts invariant. The md5 hash rows make the whole sketch
+    reproducible in the DuckDB oracle."""
+    from hdp_tez_spark.extensions.dedup import _tokens
+    from hdp_tez_spark.extensions.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+    sketch = cms_build(toks, "word", d=4, w=256)
+    est = cms_estimate(sketch, toks.distinct(), "word", d=4, w=256)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "word").select(
+        "word",
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).cast("int").alias("no_undercount"),
+    )
+
+
+_SQL_CMS_FREQUENCY = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+cells AS (
+  SELECT word, i AS row,
+         CAST(CAST(('0x' || substr(md5('cms' || i || ':' || word), 1, 15))
+                   AS BIGINT) % 256 AS INT) AS bucket
+  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+sketch AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
+pc AS (
+  SELECT word, i AS row,
+         CAST(CAST(('0x' || substr(md5('cms' || i || ':' || word), 1, 15))
+                   AS BIGINT) % 256 AS INT) AS bucket
+  FROM (SELECT DISTINCT word FROM toks), (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+est AS (
+  SELECT pc.word, min(coalesce(s.cnt, 0)) AS est
+  FROM pc LEFT JOIN sketch s USING (row, bucket) GROUP BY pc.word
+),
+exact AS (SELECT word, count(*) AS exact FROM toks GROUP BY word)
+SELECT e.word, est, exact, CAST(est >= exact AS INT) AS no_undercount
+FROM est e JOIN exact USING (word)
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (extensions/dedup.py
+    edit_distance_pairs): distinct part names within Levenshtein
+    distance 4, candidates from a token equi-join (recall-oriented, like
+    the LSH band joins) plus the exact length bound, verify on the
+    survivors only."""
+    from hdp_tez_spark.extensions.dedup import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", 4)
+
+
+_SQL_EDIT_DISTANCE_PAIRS = """
+WITH vals AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+toks AS (
+  SELECT DISTINCT s,
+         unnest(list_filter(string_split_regex(lower(s), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM vals
+),
+cand AS (
+  SELECT DISTINCT a.s AS text_a, b.s AS text_b
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+)
+SELECT text_a, text_b, levenshtein(text_a, text_b) AS dist
+FROM cand
+WHERE abs(length(text_a) - length(text_b)) <= 4
+  AND levenshtein(text_a, text_b) <= 4
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication
+    (streaming/windows.py stream_dedup — dropDuplicatesWithinWatermark)
+    driven to completion with availableNow over a single-file copy of
+    `events`; output is the distinct key set, which the unified model
+    guarantees equals batch DISTINCT — exactly what the oracle checks.
+    Beyond-reference extension (streaming unsupported in the reference,
+    EdgeProperty.java:71-102; SURVEY §2.9)."""
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_dedup_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    res = WIN.stream_dedup(
+        sdf,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        watermark="1 hour",
+        within_watermark=True,  # the bounded-state dedup path
+    ).select("user_id", "event_type")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            res.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+_SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -4389,6 +4701,16 @@ _SQL_KMEANS_CELLS = _kmeans_unrolled_sql(k=8, iters=5)
 #: (tests/test_entry_queries.py) plus the sf0.01 sweep
 #: (tools/check_correctness.py).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- NEW this round, second batch (graph census / weighted sampling /
+    #     data quality / CMS / gap fill / fuzzy match / stream dedup) ---
+    "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
+    "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
+    "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
+    "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
+    "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
+    "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
+    "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4441,6 +4763,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash": (q_simhash, _SQL_SIMHASH),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
+    # ------------------- driver-checked prefix ends here (50) -----------------
+    # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
+    # code unchanged since, and stays covered by the repo's own
+    # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
@@ -4449,10 +4775,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk": (q_topk, _SQL_TOPK),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
-    # ------------------- driver-checked prefix ends here (50) -----------------
-    # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
-    # code unchanged since, and stays covered by the repo's own
-    # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),

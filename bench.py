@@ -93,6 +93,16 @@ HEADLINE = [
     "funnel",
     "kfold_split",
     "stream_stateful_totals",
+    # round-4 second batch: graph census, sampling, quality, sketches,
+    # time-series, fuzzy matching
+    "triangle_count",
+    "weighted_sample",
+    "profile_table",
+    "fk_integrity",
+    "gap_fill",
+    "cms_frequency",
+    "edit_distance_pairs",
+    "stream_dedup",
 ]
 
 

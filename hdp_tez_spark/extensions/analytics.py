@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp_tez_spark.operators.sort import prefix_sum
@@ -179,6 +179,64 @@ def robust_outliers(
             F.round("mad", 6).alias("mad"),
         )
         .orderBy(group_col)
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Time-series resample + forward fill: bucket each key's events onto
+    a regular `step_seconds` grid spanning [min bucket, max bucket] of
+    that key, sum the value per bucket, and fill empty buckets with the
+    last observed bucket sum (classic LOCF gap fill — the resample every
+    feature/metrics pipeline runs before a rolling computation).
+
+    Output: (key, bucket, val, is_gap) — bucket as epoch seconds,
+    val rounded to 4 dp, is_gap = 1 where the bucket had no events.
+
+    Scale shape: events collapse to per-(key, bucket) sums first (one
+    partially-aggregated shuffle, the only pass over the raw data); the
+    grid is generated map-side with sequence()+explode from the |keys|-row
+    span table — grid size is span/step per key, independent of event
+    count; the fill is one window over the grid keyed like the join, so
+    the whole chain rides a single partitioning. Nothing is collected;
+    no per-row Python.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    k = F.col(key_col)
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds
+    ).cast("long")
+    per_bucket = (
+        df.select(k.alias("key"), bucket.alias("bucket"), F.col(value_col).alias("__v"))
+        .groupBy("key", "bucket")
+        .agg(F.round(F.sum("__v"), 4).alias("__val"))
+    )
+    span = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(step_seconds)))
+        ).alias("bucket"),
+    )
+    filled = grid.join(per_bucket, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.last("__val", ignorenulls=True).over(w).alias("val"),
+        F.when(F.col("__val").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
 
 

@@ -165,6 +165,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Fuzzy string matching: pairs of DISTINCT values of `text_col`
+    within Levenshtein distance `max_dist`. Output:
+    (text_a, text_b, dist) with text_a < text_b.
+
+    Candidate generation, in order of what it buys at 100 TB:
+    1. collapse to distinct strings first — the quadratic stage then
+       scales with the vocabulary, not the corpus (exact duplicates are
+       the bulk of any real column);
+    2. token blocking: candidates must share >= 1 whole token (an
+       equi-join on tokens, never an all-pairs cross join) — a
+       recall-oriented filter like the MinHash/SimHash band joins above
+       (a pair edited inside EVERY token can escape the block);
+    3. the length bound |len(a) - len(b)| <= max_dist, which is exact
+       (each edit changes length by <= 1), prunes before the O(len^2)
+       levenshtein verify runs on the survivors.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    vals = df.select(F.col(text_col).cast("string").alias("s")).where(
+        F.col("s").isNotNull()
+    ).distinct()
+    toks = vals.select("s", F.explode(_tokens(F.col("s"))).alias("tok")).distinct()
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("text_a"), F.col("b.s").alias("text_b"))
+        .distinct()
+        .where(
+            F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("text_a", "text_b", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -92,3 +92,115 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Bipartite co-occurrence projection: an undirected edge (a, b) for
+    every item pair appearing in the same basket, weighted by the number
+    of distinct baskets. Output: (a, b, n_baskets) with a < b.
+
+    The two knobs are what make the projection survive 100 TB:
+    - `max_basket` drops baskets larger than the cap BEFORE the
+      self-join — one degenerate basket of 10^5 items would otherwise
+      emit 5*10^9 pairs (the classic projection blowup; capping is the
+      standard sparsifier and biases only against mega-baskets);
+    - `min_count` prunes noise edges AFTER the partial-aggregated
+      groupBy, so the filter rides the same shuffle.
+    The self-join is keyed on the basket id — co-members only, never an
+    all-pairs stage across the item universe.
+    """
+    pairs = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket is not None:
+        sizes = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        pairs = pairs.join(
+            sizes.where(F.col("__sz") <= max_basket).select("__b"), "__b"
+        )
+    l, r = pairs.alias("l"), pairs.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__b") == F.col("r.__b")) & (F.col("l.__i") < F.col("r.__i")),
+        )
+        .groupBy(F.col("l.__i").alias("a"), F.col("r.__i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_count)
+    )
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle / wedge / edge census of an undirected graph.
+
+    Input: an edge DataFrame (one row per edge, either orientation,
+    duplicates tolerated). Output: ONE row
+    (n_nodes, n_edges, n_wedges, n_triangles).
+
+    Scale shape — the classic degree-oriented compact-forward algorithm:
+    every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, which makes the orientation acyclic and bounds every
+    node's out-degree by O(sqrt(m)) on any graph; wedges are then built
+    by self-joining the oriented list on its midpoint and closed against
+    the oriented list itself. Total work is O(m^1.5) worst-case (vs the
+    unbounded hot-vertex blowup of the naive a<b<c join), and both joins
+    are plain hash equi-joins — no all-pairs stage, nothing collected.
+    Wedge count uses sum(deg*(deg-1)/2), a |V|-row aggregate.
+    """
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"), F.greatest("__u", "__v").alias("__v")
+        )
+        .distinct()
+        .localCheckpoint()  # feeds degrees + orientation + closure: scan once
+    )
+    deg = (
+        e.select(F.col("__u").alias("node"))
+        .union(e.select(F.col("__v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    counts = deg.groupBy().agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("__d") * (F.col("__d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    # orient each edge low->high by (degree, id): acyclic, out-degree O(sqrt m)
+    du = deg.select(F.col("node").alias("__u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("node").alias("__v"), F.col("__d").alias("__dv"))
+    oriented = (
+        e.join(du, "__u")
+        .join(dv, "__v")
+        .select(
+            F.when(
+                (F.col("__du") < F.col("__dv"))
+                | ((F.col("__du") == F.col("__dv")) & (F.col("__u") < F.col("__v"))),
+                F.struct(F.col("__u").alias("s"), F.col("__v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("__v").alias("s"), F.col("__u").alias("t")))
+            .alias("__e")
+        )
+        .select(F.col("__e.s").alias("__s"), F.col("__e.t").alias("__t"))
+        .localCheckpoint()
+    )
+    w1 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__x"))
+    w2 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__y"))
+    wedges = w1.join(w2, "__mid").where(F.col("__x") < F.col("__y"))
+    # e is already normalized __u < __v, so it IS the closure list keyed
+    # the same way as the (x < y) wedge endpoints — no re-orientation pass
+    closing = e.select(F.col("__u").alias("__x"), F.col("__v").alias("__y"))
+    tri = wedges.join(closing, ["__x", "__y"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        counts.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

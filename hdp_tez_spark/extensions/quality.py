@@ -1,0 +1,120 @@
+"""Data-quality operators: one-pass column profiling and referential-
+integrity audits.
+
+Beyond-reference surface (the reference engine has no expression layer —
+SURVEY §2.8; Hive-on-Tez users run ANALYZE TABLE ... COMPUTE STATISTICS
+for the same purpose). These are the checks a pipeline runs before it
+trusts a 100 TB drop of new data: per-column null/distinct/bounds
+profiles, and orphan counts across the fact/dimension joins the rest of
+the pipeline is about to assume hold.
+
+Scale shape:
+- `profile_table` is ONE aggregation pass. Multiple exact
+  count-distincts make Catalyst plan an Expand (input multiplied by the
+  number of profiled columns) feeding a single partially-aggregated
+  shuffle — the standard exact-multi-distinct trade; profile the columns
+  you need, not `*`. The wide 1-row result is unpivoted map-side.
+- `fk_violations` is one anti-join per direction; both sides aggregate
+  to counts before anything reaches the driver. AQE broadcasts the
+  dimension side when it fits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile in one aggregation pass. Output: one row per
+    profiled column —
+    (col_name, n_rows, n_null, n_distinct, min_val, max_val)
+    where min/max are DOUBLE for numeric columns and NULL for
+    non-numeric ones (NULLs excluded from distinct, per SQL COUNT
+    DISTINCT semantics).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"unknown column: {c}")
+        is_num = isinstance(dtypes[c], _NUMERIC)
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(
+            (F.min(F.col(c)).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__mn_{c}"
+            )
+        )
+        aggs.append(
+            (F.max(F.col(c)).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__mx_{c}"
+            )
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def fk_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relation: str = "fk",
+) -> DataFrame:
+    """Audit one foreign-key edge. Output: ONE row
+    (relation, n_child, n_parent, orphan_children, childless_parents) —
+    orphan_children = child rows whose key has no parent (NULL keys
+    count as orphans: they reference nothing), childless_parents =
+    distinct parent keys never referenced.
+    """
+    c = child.select(F.col(child_key).alias("__ck"))
+    p = parent.select(F.col(parent_key).alias("__pk"))
+    orphans = c.join(p.distinct(), c["__ck"] == p["__pk"], "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_children")
+    )
+    childless = (
+        p.distinct()
+        .join(c.distinct(), c["__ck"] == p["__pk"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("childless_parents"))
+    )
+    nc = c.agg(F.count(F.lit(1)).alias("n_child"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_parent"))
+    return (
+        nc.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(childless))
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child",
+            "n_parent",
+            "orphan_children",
+            "childless_parents",
+        )
+    )

@@ -75,6 +75,45 @@ def kfold_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of `n` rows:
+    inclusion probability proportional to weight, via the
+    Efraimidis–Spirakis A-ES order-sampling key  u^(1/w)  with
+    u = (md5_60bit(salt || id) + 1) / 2^60 — take the n largest keys.
+
+    Same contract as the other split operators: the id (not rand())
+    drives the draw, so retries, re-partitioning, and incremental re-runs
+    all select the identical sample, and the whole draw is reproducible
+    in any SQL engine from the md5 formula. Rows with weight <= 0 or
+    NULL are excluded (zero-weight rows must never win a slot).
+
+    Scale: the key is a pure map-side projection; selection is
+    `orderBy(key desc).limit(n)` — TakeOrderedAndProject keeps per-task
+    heaps of n, so nothing global is sorted and only n rows reach the
+    driver side of the plan.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        _md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + 1
+    ) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__k")
+    )
+
+
 def cluster_split(
     df: DataFrame,
     id_col: str,

@@ -59,6 +59,15 @@ def tuned_builder(app_name: str = "hdp-tez-spark") -> SparkSession.Builder:
         )
         # --- input split sizing (TezMapReduceSplitsGrouper parity) -------
         .config("spark.sql.files.maxPartitionBytes", _MAX_PARTITION_BYTES)
+        # --- task memory (TezConfiguration.java:543-559 sets task/AM memory
+        #     explicitly; Spark's local-mode default is a 1 GiB driver JVM,
+        #     which all 32 concurrent local tasks share and which the graph
+        #     wedge joins can exhaust). 2 GiB measured best here: enough
+        #     headroom for the heaviest operator, while 8 GiB's larger G1
+        #     young gen slowed the short-task queries 1.3-2x. Only effective
+        #     when the builder launches the JVM (first session in the
+        #     process); on a cluster spark-submit owns executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"))
         # --- shuffle sizing ----------------------------------------------
         # Static fallback; AQE coalesces below this at runtime. On a real
         # cluster this should be ~2-3x total cores (set via spark-submit).

@@ -327,3 +327,36 @@ def test_unpivot_single_expand_no_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Expand") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """A-ES selection must compile to TakeOrderedAndProject (per-task
+    top-n heaps) — never a global Sort followed by Limit."""
+    df = E.queries()["weighted_sample"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_build_partial_aggregates(spark):
+    """The CMS build must partially aggregate before its one shuffle —
+    heavy keys collapse map-side, the shuffle carries <= d*w cells per
+    map partition."""
+    from hdp_tez_spark.extensions.dedup import _tokens
+    from hdp_tez_spark.extensions.sketches import cms_build
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+    plan = _plan(cms_build(toks, "word", d=4, w=256))
+    assert "partial_count" in plan or "partial_" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_profile_table_single_pass(spark):
+    """Multi-column exact profile is ONE aggregation pass over the scan:
+    a single Expand feeding one partial-agg shuffle chain (two exchanges
+    for the two-phase distinct agg), and exactly one parquet scan."""
+    df = E.queries()["profile_table"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan

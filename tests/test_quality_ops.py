@@ -1,0 +1,176 @@
+"""Behavioral tests for the round-4 quality/sampling/sketch/graph/
+time-series operators — edge cases the sf0.001 oracle suite can't reach
+(nulls, empty groups, known-answer graphs, merge laws).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.graph import triangle_count
+from hdp_tez_spark.extensions.quality import fk_violations, profile_table
+from hdp_tez_spark.extensions.sketches import cms_build, cms_estimate
+from hdp_tez_spark.extensions.splits import weighted_sample
+from hdp_tez_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, s string"
+    )
+    prof = {r.col_name: r for r in profile_table(df, ["x", "s"]).collect()}
+    assert prof["x"].n_rows == 4
+    assert prof["x"].n_null == 1
+    assert prof["x"].n_distinct == 2
+    assert prof["x"].min_val == 1.0 and prof["x"].max_val == 2.0
+    assert prof["s"].n_null == 1
+    assert prof["s"].n_distinct == 2
+    assert prof["s"].min_val is None and prof["s"].max_val is None
+
+
+def test_profile_table_rejects_unknown_column(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+
+
+def test_fk_violations_counts_both_directions(spark):
+    child = spark.createDataFrame([(1,), (1,), (2,), (99,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p int")
+    row = fk_violations(child, "k", parent, "p", "t").first()
+    # 99 and NULL reference nothing; parent 3 is never referenced
+    assert row.orphan_children == 2
+    assert row.childless_parents == 1
+    assert row.n_child == 5 and row.n_parent == 3
+
+
+def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 5) - 1.0) for i in range(200)], "id int, w double"
+    )
+    s1 = weighted_sample(df, "id", "w", 25).collect()
+    s2 = weighted_sample(df.repartition(7), "id", "w", 25).collect()
+    assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
+    # weights <= 0 (w in {-1, 0}) must never be drawn
+    drawn_w = {r.w for r in s1}
+    assert all(w > 0 for w in drawn_w)
+    assert len(s1) == 25
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # two strata: weight 100 vs weight 1 — the heavy stratum must dominate
+    df = spark.createDataFrame(
+        [(i, 100.0 if i < 100 else 1.0) for i in range(1000)], "id int, w double"
+    )
+    picked = weighted_sample(df, "id", "w", 100).collect()
+    heavy = sum(1 for r in picked if r.w == 100.0)
+    assert heavy > 50
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from hdp_tez_spark.extensions.dedup import _tokens
+
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("word"), F.col("doc_id")
+    )
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    sk = cms_build(toks, "word", d=3, w=128)
+    est = cms_estimate(sk, exact.select("word"), "word", d=3, w=128)
+    joined = est.join(exact, "word").collect()
+    assert all(r.est >= r.exact for r in joined)
+    # sketch is mergeable: build on disjoint halves, union + re-group ==
+    # single build (cell-wise addition is the merge)
+    h1 = cms_build(toks.where(F.col("doc_id") % 2 == 0), "word", d=3, w=128)
+    h2 = cms_build(toks.where(F.col("doc_id") % 2 == 1), "word", d=3, w=128)
+    merged = (
+        h1.unionByName(h2).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        merged.join(sk.withColumnRenamed("cnt", "cnt2"), ["row", "bucket"], "full")
+        .where(
+            F.coalesce(F.col("cnt"), F.lit(0)) != F.coalesce(F.col("cnt2"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 (4 triangles) plus a pendant edge 4-5 (no new triangle):
+    # nodes=6, edges=7, triangles=4
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 4), (3, 3)], "a int, b int")
+    row = triangle_count(edges).first()
+    assert row.n_nodes == 6
+    assert row.n_edges == 7  # self-loop and duplicate orientation dropped
+    assert row.n_triangles == 4
+    # degrees: K4 nodes are 3 each, nodes 4 and 5 are 1 each
+    # wedges = sum d*(d-1)/2 = 4*3 + 0 + 0 = 12
+    assert row.n_wedges == 12
+
+
+def test_gap_fill_fills_gaps_with_last_value(spark):
+    from hdp_tez_spark.extensions.analytics import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 00:20:00", 3.0),
+            (1, "2024-01-01 03:05:00", 7.0),
+            (2, "2024-01-01 05:00:00", 1.0),
+        ],
+        "k int, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = {
+        (r.k, r.bucket): (r.val, r.is_gap)
+        for r in gap_fill(df, "k", "ts", "v", 3600).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out[(1, base)] == (5.0, 0)  # 2+3 summed in bucket 0
+    assert out[(1, base + 3600)] == (5.0, 1)  # gap carries last sum
+    assert out[(1, base + 2 * 3600)] == (5.0, 1)
+    assert out[(1, base + 3 * 3600)] == (7.0, 0)
+    assert out[(2, base + 5 * 3600)] == (1.0, 0)
+    assert len(out) == 5  # key 2's grid is a single bucket
+
+
+def test_edit_distance_pairs_finds_known_neighbors(spark):
+    from hdp_tez_spark.extensions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("blue widget",), ("red bolt",), (None,)],
+        "name string",
+    )
+    pairs = {
+        (r.text_a, r.text_b): r.dist
+        for r in edit_distance_pairs(df, "name", 4).collect()
+    }
+    assert pairs[("red widget", "red widgets")] == 1
+    assert pairs[("blue widget", "red widget")] == 4
+    # 'red bolt' <-> 'red widget(s)' share token 'red' but distance > 4
+    assert ("red bolt", "red widget") not in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_cooccurrence_edges_cap_and_min_count(spark):
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges
+
+    rows = (
+        [(1, i) for i in (10, 20, 30)]  # basket 1: 3 items
+        + [(2, i) for i in (10, 20)]  # basket 2: repeats the 10-20 pair
+        + [(3, i) for i in range(100, 110)]  # mega-basket: 10 items
+        + [(2, 10)]  # duplicate membership collapses
+    )
+    df = spark.createDataFrame(rows, "b int, i int")
+    # cap drops the mega-basket entirely: only basket-1/2 pairs remain
+    capped = cooccurrence_edges(df, "b", "i", max_basket=5)
+    got = {(r.a, r.b): r.n_baskets for r in capped.collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    # min_count keeps only the repeated pair
+    strong = cooccurrence_edges(df, "b", "i", min_count=2, max_basket=5)
+    assert [(r.a, r.b) for r in strong.collect()] == [(10, 20)]
+    # uncapped includes the mega-basket's C(10,2)=45 pairs
+    assert cooccurrence_edges(df, "b", "i").count() == 48
