@@ -360,3 +360,23 @@ def test_profile_table_single_pass(spark):
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_triangle_wedge_join_is_equi_not_nested_loop(spark):
+    """The wedge build and closure joins must be equi-joins (hash or
+    sort-merge) — a nested-loop there would be the all-pairs blowup the
+    degree orientation exists to avoid. (BroadcastNestedLoopJoin appears
+    ONLY as the final cross-join assembly of the three 1-row scalar
+    aggregates, which is free by construction.)"""
+    df = E.queries()["triangle_count"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the wedge self-join on the midpoint and the closure join on the
+    # (x, y) endpoints both compile to keyed joins
+    import re
+
+    equi = re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[__", plan)
+    assert len(equi) >= 2, plan
+    # nested loops only ever join single-row aggregate legs (Cross type)
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) == "Cross", plan
