@@ -200,3 +200,107 @@ def test_pack_sequences_conserves_layout(spark, rows):
             assert r.pack_idx == pos // budget
             assert r.pack_offset == pos % budget
             pos += r.n
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 50)),  # (id, weight)
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_matches_python_aes(spark, rows, n):
+    """weighted_sample must select exactly the ids a pure-Python
+    Efraimidis-Spirakis draw with the same md5 uniforms selects."""
+    import hashlib
+
+    from hdp_tez_spark.extensions.splits import weighted_sample
+
+    def key(i: int, w: int) -> float:
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        return u ** (1.0 / float(w))
+
+    expect = sorted(rows, key=lambda t: (-key(*t), t[0]))[:n]
+    df = spark.createDataFrame(rows, "id int, w int")
+    got = weighted_sample(df, "id", "w", n).collect()
+    assert sorted(r.id for r in got) == sorted(i for i, _ in expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from hdp_tez_spark.extensions.graph import triangle_count
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return  # census of an empty graph is vacuous (no nodes survive)
+    nodes = {x for e in und for x in e}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    df = spark.createDataFrame(list(und), "a int, b int")
+    row = triangle_count(df).first()
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(nodes),
+        len(und),
+        wedges,
+        tri,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-5, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_gap_fill_grid_and_conservation(spark, rows):
+    """Per key: contiguous bucket grid, non-gap buckets carry the exact
+    bucket sums (conservation), gaps repeat the previous value."""
+    from hdp_tez_spark.extensions.analytics import gap_fill
+
+    step = 10
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+    df = spark.createDataFrame(
+        [(int(k), int(t), float(v)) for k, t, v in rows], "k int, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    out = pd.DataFrame(
+        [r.asDict() for r in gap_fill(df, "k", "ts", "v", step).collect()]
+    )
+    for k, grp in pdf.groupby("k"):
+        sums = grp.assign(b=(grp.t // step) * step).groupby("b").v.sum().round(4)
+        sub = out[out.k == k].sort_values("bucket")
+        # grid is contiguous from min to max bucket
+        assert list(sub.bucket) == list(
+            range(int(sums.index.min()), int(sums.index.max()) + step, step)
+        )
+        last = None
+        for _, r in sub.iterrows():
+            if r.is_gap == 0:
+                assert r.bucket in sums.index
+                assert abs(r.val - sums[r.bucket]) < 1e-9
+                last = r.val
+            else:
+                assert r.bucket not in sums.index
+                assert abs(r.val - last) < 1e-9  # LOCF carries prior value
