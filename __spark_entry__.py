@@ -4742,6 +4742,72 @@ SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
 """
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dataset diff (extensions/cdc.py dataset_diff): the new
+    version is built in-plan from orders with deterministic removals
+    (key % 100 = 0), price changes (% 100 = 1), and additions
+    (% 100 = 2, shifted into a fresh key range); the diff must recover
+    exactly those statuses. Payloads collapse to one md5 per side before
+    the full-outer join, so only (key, hash) ever shuffles."""
+    from hdp_tez_spark.extensions.cdc import dataset_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mod = F.col("o_orderkey") % 100
+    new = (
+        old.where(mod != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(mod == 1, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.where(mod == 2).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return dataset_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+_SQL_DATASET_DIFF = """
+SELECT o_orderkey, 'removed' AS status FROM orders WHERE o_orderkey % 100 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders WHERE o_orderkey % 100 = 1
+UNION ALL
+SELECT o_orderkey + 100000000, 'added' FROM orders WHERE o_orderkey % 100 = 2
+"""
+
+
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (extensions/quality.py key_skew_stats):
+    the 10 heaviest lineitem part keys with their share of all rows —
+    the measurement behind the salt-or-not decision (salted_join) and
+    AQE's skew threshold. One partial-agg groupBy + a TakeOrdered slice."""
+    from hdp_tez_spark.extensions.quality import key_skew_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_stats(li, "l_partkey", top_n=10)
+
+
+_SQL_KEY_SKEW_STATS = """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key_value, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM counts)
+SELECT key_value, cnt, round(cnt / n_rows, 6) AS share, n_rows, n_keys
+FROM counts, tot
+ORDER BY cnt DESC, key_value LIMIT 10
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -4768,6 +4834,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_approx_percentile_bound,
         _SQL_APPROX_PERCENTILE_BOUND,
     ),
+    "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
+    "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4791,8 +4859,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     change or newest operator families) ---
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
-    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
-    "scd2": (q_scd2, _SQL_SCD2),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
@@ -4832,6 +4898,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
     "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
+    # merge_upsert/scd2 rotated below for r04: both r03-green, and the CDC
+    # family keeps fresh prefix evidence via dataset_diff (same module)
+    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
+    "scd2": (q_scd2, _SQL_SCD2),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),

@@ -103,6 +103,8 @@ HEADLINE = [
     "cms_frequency",
     "edit_distance_pairs",
     "stream_dedup",
+    "dataset_diff",
+    "key_skew_stats",
 ]
 
 

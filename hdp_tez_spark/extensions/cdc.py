@@ -117,3 +117,47 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .drop("__run")
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff of two dataset versions by business key. Output:
+    one row per key that differs — (key..., status) with status in
+    {'added', 'removed', 'changed'}; identical rows are dropped.
+
+    This is the audit a versioned 100 TB corpus runs between drops: what
+    did the new crawl/pipeline version actually change? Payloads are
+    collapsed to one md5 per side BEFORE the join, so the full-outer
+    join shuffles (key, 32-byte hash) — never the payload columns — and
+    equality is a hash compare. md5-of-concat uses an explicit unit
+    separator and null sentinel so ('ab','c') never collides with
+    ('a','bc') and NULL differs from ''.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws(
+                "\x1f", *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ]
+            )
+        )
+        return df.select(*key_cols, payload.alias(name))
+
+    o = hashed(old, "__h_old")
+    n = hashed(new, "__h_new")
+    joined = o.join(n, list(key_cols), "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .alias("status"),
+    ).where(F.col("status").isNotNull())

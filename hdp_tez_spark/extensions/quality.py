@@ -118,3 +118,38 @@ def fk_violations(
             "childless_parents",
         )
     )
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: the `top_n` heaviest
+    key values with their share of all rows, plus the global row count
+    and distinct-key count on every row for context. Output:
+    (key_value as string, cnt, share, n_rows, n_keys), heaviest first.
+
+    This is the measurement behind the salt-or-not decision
+    (`operators/joins.salted_join`) and AQE's skew-join threshold: a top
+    key holding >> 1/partitions of the rows is the hot partition. Cost:
+    one partially-aggregated groupBy (shuffle ∝ |keys|), a |keys|-row
+    stats aggregate, and a TakeOrderedAndProject for the top slice —
+    nothing row-shaped leaves the executors.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            "n_rows",
+            "n_keys",
+        )
+        .orderBy(F.col("cnt").desc(), "key_value")
+        .limit(top_n)
+    )

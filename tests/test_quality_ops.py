@@ -174,3 +174,32 @@ def test_cooccurrence_edges_cap_and_min_count(spark):
     assert [(r.a, r.b) for r in strong.collect()] == [(10, 20)]
     # uncapped includes the mega-basket's C(10,2)=45 pairs
     assert cooccurrence_edges(df, "b", "i").count() == 48
+
+
+def test_dataset_diff_statuses_and_no_false_positives(spark):
+    from hdp_tez_spark.extensions.cdc import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z")], "k int, p string, q string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", ""), (4, "d", "w")], "k int, p string, q string"
+    )
+    got = {r.k: r.status for r in dataset_diff(old, new, ["k"], ["p", "q"]).collect()}
+    # NULL vs '' must register as a change, not equality
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # concat boundary: ('ab','c') vs ('a','bc') must differ
+    o2 = spark.createDataFrame([(1, "ab", "c")], "k int, p string, q string")
+    n2 = spark.createDataFrame([(1, "a", "bc")], "k int, p string, q string")
+    assert dataset_diff(o2, n2, ["k"], ["p", "q"]).first().status == "changed"
+
+
+def test_key_skew_stats_orders_and_ties(spark):
+    from hdp_tez_spark.extensions.quality import key_skew_stats
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 2 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_stats(df, "k", top_n=3).collect()
+    assert [(r.key_value, r.cnt) for r in out] == [("hot", 6), ("warm", 3), ("a", 2)]
+    assert out[0].n_rows == 14 and out[0].n_keys == 5
+    assert abs(out[0].share - round(6 / 14, 6)) < 1e-9
