@@ -4785,6 +4785,28 @@ SELECT o_orderkey + 100000000, 'added' FROM orders WHERE o_orderkey % 100 = 2
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events
+    (extensions/analytics.py cohort_retention): users bucketed by
+    first-activity day, counted at each day offset. Activity collapses
+    to distinct (user, day) in the only pass over raw events."""
+    from hdp_tez_spark.extensions.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+_SQL_COHORT_RETENTION = """
+WITH activity AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT u, min(d) AS cohort FROM activity GROUP BY u)
+SELECT cohort AS cohort_day,
+       (d - cohort) AS day_offset,
+       count(*) AS n_users
+FROM activity JOIN firsts USING (u)
+GROUP BY 1, 2
+"""
+
+
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (extensions/quality.py key_skew_stats):
     the 10 heaviest lineitem part keys with their share of all rows —
@@ -4836,6 +4858,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
     "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
+    "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4858,7 +4881,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- r03-green rows kept in prefix (code paths touched by the catalog
     #     change or newest operator families) ---
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
-    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
@@ -4902,6 +4924,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # family keeps fresh prefix evidence via dataset_diff (same module)
     "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "scd2": (q_scd2, _SQL_SCD2),
+    # robust_outliers rotated below for r04: r03-green, analytics family
+    # keeps fresh prefix evidence via gap_fill + cohort_retention
+    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),

@@ -105,6 +105,7 @@ HEADLINE = [
     "stream_dedup",
     "dataset_diff",
     "key_skew_stats",
+    "cohort_retention",
 ]
 
 

@@ -240,6 +240,40 @@ def gap_fill(
     )
 
 
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (their cohort), counted on each later activity day as an offset from
+    the cohort day. Output: (cohort_day, day_offset, n_users) — the
+    day-0 row is the cohort size, and n_users at offset k is how many of
+    that cohort were active k days later.
+
+    Scale shape: activity first collapses to distinct (user, day) — one
+    partially-aggregated shuffle, and the only pass over raw events; the
+    first-seen table is |users| rows and joins back keyed on the user
+    (AQE sizes it); the final (cohort, offset) aggregate is |days|^2/2
+    rows at most. Nothing global, nothing collected, no window over
+    event history.
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = (
+        df.select(F.col(user_col).alias("__u"), day.alias("__d")).distinct()
+    )
+    firsts = activity.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    return (
+        activity.join(firsts, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_day"),
+            F.datediff(F.col("__d"), F.col("__cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

@@ -203,3 +203,31 @@ def test_key_skew_stats_orders_and_ties(spark):
     assert [(r.key_value, r.cnt) for r in out] == [("hot", 6), ("warm", 3), ("a", 2)]
     assert out[0].n_rows == 14 and out[0].n_keys == 5
     assert abs(out[0].share - round(6 / 14, 6)) < 1e-9
+
+
+def test_cohort_retention_known_matrix(spark):
+    from hdp_tez_spark.extensions.analytics import cohort_retention
+
+    rows = [
+        # u1: first day 1, returns day 2 and 3 (two events day 2 dedup)
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 23:00:00"), (1, "2024-01-03 01:00:00"),
+        # u2: first day 1, never returns
+        (2, "2024-01-01 05:00:00"),
+        # u3: first day 2, returns day 3
+        (3, "2024-01-02 12:00:00"), (3, "2024-01-03 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts string").select(
+        "u", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in cohort_retention(df, "u", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
