@@ -4807,6 +4807,61 @@ GROUP BY 1, 2
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of event values
+    (extensions/analytics.py time_weighted_avg): each value holds until
+    the user's next event; ties ordered by event_id so the carry-forward
+    is deterministic. One keyed window + one partial-agg sum — the
+    sessionize shuffle shape."""
+    from hdp_tez_spark.extensions.analytics import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", ["event_id"])
+
+
+_SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v, epoch(ts) AS t,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+           - epoch(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       round(sum(v * dt) / nullif(sum(dt), 0), 6) AS twap,
+       CAST(floor(max(t) - min(t)) AS BIGINT) AS t_span_s
+FROM s GROUP BY user_id
+"""
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts (functions/text.py ngram_counts):
+    the n-gram array is a map-side sequence+transform over the token
+    array, so the only shuffle is the partially-aggregated count —
+    WordCount's combiner shape (Combiner.java:39-41) at n-gram
+    granularity."""
+    from hdp_tez_spark.functions.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, min_count=2)
+
+
+_SQL_NGRAM_COUNTS = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(l) >= 2
+                     THEN list_transform(generate_series(1, len(l) - 1),
+                                         i -> l[i] || ' ' || l[i + 1])
+                     ELSE []::VARCHAR[] END) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS cnt FROM grams GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (extensions/quality.py key_skew_stats):
     the 10 heaviest lineitem part keys with their share of all rows —
@@ -4859,6 +4914,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
     "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
+    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
+    "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4882,8 +4939,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     change or newest operator families) ---
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
-    "bm25": (q_bm25, _SQL_BM25),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
@@ -4927,6 +4982,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # robust_outliers rotated below for r04: r03-green, analytics family
     # keeps fresh prefix evidence via gap_fill + cohort_retention
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
+    # tfidf/bm25 rotated below for r04: r03-green, ranking family keeps
+    # fresh prefix evidence via inverted_index + heavy_hitters
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "bm25": (q_bm25, _SQL_BM25),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),

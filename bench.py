@@ -106,6 +106,8 @@ HEADLINE = [
     "dataset_diff",
     "key_skew_stats",
     "cohort_retention",
+    "time_weighted_avg",
+    "ngram_counts",
 ]
 
 

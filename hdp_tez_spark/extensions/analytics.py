@@ -240,6 +240,59 @@ def gap_fill(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation holds from
+    its timestamp until the key's next observation, and the average
+    weights values by that holding duration — the right mean for
+    irregularly sampled series, where the arithmetic mean over-weights
+    bursts. The key's last observation bounds the window and carries no
+    weight. Output: (key, twap, t_span_s) — twap rounded to 6 dp, NULL
+    for keys whose observations all share one timestamp; t_span_s is the
+    observed window in seconds.
+
+    Determinism: rows tied on the timestamp get their ordering from
+    `tiebreak_cols`; a tied run contributes zero duration EXCEPT its
+    last element, so the tiebreak decides which value carries forward —
+    pass the same tiebreak to any other engine to reproduce the result.
+
+    Scale shape: one shuffle on the key for the lead() window, then a
+    partially-aggregated per-key sum — the same single-sort-run shape as
+    sessionize; nothing global, no Python.
+    """
+    # cast, not unix_timestamp: keeps sub-second precision (epoch() parity)
+    t = F.col(ts_col).cast("double")
+    staged = df.select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("__v"),
+        t.alias("__t"),
+        *[F.col(c) for c in tiebreak_cols],
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        "__t", *[F.col(c) for c in tiebreak_cols]
+    )
+    staged = staged.withColumn("__dt", F.lead("__t").over(w) - F.col("__t"))
+    return (
+        staged.groupBy(key_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__v") * F.col("__dt"))
+                / F.nullif(F.sum("__dt"), F.lit(0.0)),
+                6,
+            ).alias("twap"),
+            # floor before the integer cast: Spark's double->long cast
+            # truncates but other engines round — floor is portable
+            F.floor(F.max("__t") - F.min("__t")).cast("long").alias("t_span_s"),
+        )
+        .orderBy(key_col)
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str,

@@ -52,6 +52,39 @@ def word_count(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, min_count: int = 1
+) -> DataFrame:
+    """Word-n-gram frequency table — the language-model count pass
+    (bigram/trigram tables) over a corpus. Output: (ngram, cnt), tokens
+    joined with single spaces.
+
+    The n-gram array is a pure map-side expression (sequence + transform
+    over the token array — no second explode pass over text), so the
+    only shuffle is the partially-aggregated count: volume ∝ |distinct
+    n-grams|, with heavy n-grams collapsed map-side exactly like
+    word_count. Documents shorter than n tokens contribute nothing.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
 def ordered_word_count(df: DataFrame, text_col: str, limit: int | None = None) -> DataFrame:
     """OrderedWordCount: counts ordered desc, word asc tiebreak. Unlike the
     reference's parallelism-1 sorter vertex, this compiles to a range

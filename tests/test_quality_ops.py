@@ -231,3 +231,38 @@ def test_cohort_retention_known_matrix(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 1): 1,
     }
+
+
+def test_time_weighted_avg_known_series(spark):
+    from hdp_tez_spark.extensions.analytics import time_weighted_avg
+
+    rows = [
+        # key 1: v=10 holds 10s, v=20 holds 30s -> twap = (100+600)/40 = 17.5
+        (1, 0, 100, 10.0), (1, 10, 101, 20.0), (1, 40, 102, 99.0),
+        # key 2: single point -> NULL twap, span 0
+        (2, 5, 103, 7.0),
+        # key 3: tie at t=0 decided by id (101 carries), then 10s to t=10
+        (3, 0, 100, 1.0), (3, 0, 101, 5.0), (3, 10, 102, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, eid int, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "eid", "v"
+    )
+    out = {r.k: (r.twap, r.t_span_s) for r in
+           time_weighted_avg(df, "k", "ts", "v", ["eid"]).collect()}
+    assert out[1] == (17.5, 40)
+    assert out[2] == (None, 0)
+    assert out[3] == (5.0, 10)  # the tie's LAST row (eid 101) carries
+
+
+def test_ngram_counts_known_text(spark):
+    from hdp_tez_spark.functions.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("cat",), ("",)], "text string"
+    )
+    bi = {r.ngram: r.cnt for r in ngram_counts(df, "text", n=2).collect()}
+    assert bi == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    tri = {r.ngram: r.cnt for r in ngram_counts(df, "text", n=3).collect()}
+    assert tri == {"the cat sat": 1, "the cat ran": 1}
+    uni = {r.ngram: r.cnt for r in ngram_counts(df, "text", n=1).collect()}
+    assert uni["cat"] == 3
