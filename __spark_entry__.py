@@ -4807,6 +4807,26 @@ GROUP BY 1, 2
 """
 
 
+def q_exact_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC twin of exact_quantiles
+    (extensions/analytics.py exact_quantiles_disc): smallest actual
+    value reaching each cumulative probability — distinct-collapse +
+    prefix sum + one broadcast position probe per p."""
+    from hdp_tez_spark.extensions.analytics import exact_quantiles_disc
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles_disc(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+_SQL_EXACT_QUANTILES_DISC = """
+SELECT p, round(q, 6) AS q FROM (
+  SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS p,
+         unnest(quantile_disc(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99])) AS q
+  FROM lineitem
+)
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of event values
     (extensions/analytics.py time_weighted_avg): each value holds until
@@ -4916,6 +4936,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
     "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
+    "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4942,7 +4963,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
-    "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
     "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
@@ -4986,6 +5006,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # fresh prefix evidence via inverted_index + heavy_hitters
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
+    # chunk_documents rotated below for r04: r03-green, curation family
+    # keeps fresh prefix evidence via bloom_decontaminate
+    "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
     "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),

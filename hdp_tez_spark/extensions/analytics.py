@@ -118,6 +118,45 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_disc(
+    df: DataFrame, value_col: str, probs: Sequence[float]
+) -> DataFrame:
+    """EXACT percentile_disc(p): the smallest actual value whose
+    cumulative distribution reaches p (rank ceil(p*n), clamped to >= 1)
+    — no interpolation, always a value present in the data. Same
+    distributed shape as `exact_quantiles` (distinct-collapse, prefix
+    sum, broadcast position probe; shuffle is O(|distinct|)), but each p
+    probes ONE order statistic. Output: (p, q) rounded to 6 dp.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob out of [0,1]: {p}")
+    v = F.col(value_col).cast("double").alias("__v")
+    counts = df.select(v).groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").localCheckpoint()
+    total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    targets = (
+        F.broadcast(probs_df)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("p") * F.col("__n")).cast("long")
+            ).alias("__pos"),
+        )
+    )
+    hits = cum.join(
+        F.broadcast(targets),
+        (F.col("__pos") >= F.col("__hi") - F.col("__cnt") + 1)
+        & (F.col("__pos") <= F.col("__hi")),
+    )
+    return hits.select("p", F.round("__v", 6).alias("q")).orderBy("p")
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,
