@@ -380,3 +380,12 @@ def test_triangle_wedge_join_is_equi_not_nested_loop(spark):
     # nested loops only ever join single-row aggregate legs (Cross type)
     for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
         assert m.group(1) == "Cross", plan
+
+
+def test_ngram_counts_tokenizes_once(spark):
+    """The tokenizer regex must be evaluated once per document behind a
+    projection boundary — inlined into the n-gram lambda it re-runs per
+    element (measured 5x at sf0.1)."""
+    df = E.queries()["ngram_counts"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower(") == 1, plan
