@@ -4104,6 +4104,77 @@ GROUP BY l_returnflag
 """
 
 
+def q_dag_edge_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the three non-shuffle edge managers
+    (plans/pipeline.py): a DAG whose vertices are connected by a RANGE
+    edge (total-order routing — Sort.java's TotalOrderPartitioner,
+    tez-tests/.../examples/Sort.java:43,164-169), a BROADCAST edge
+    (BroadcastEdgeManager, tez-dag/.../Edge.java:142), and a CUSTOM edge
+    (EdgeManagerPlugin parity, tez-api/.../EdgeManagerPlugin.java:36).
+    Every movement only re-routes rows, so the aggregate result is
+    partition-layout-independent — exactly what the oracle checks."""
+    from hdp_tez_spark.plans.pipeline import (
+        BROADCAST,
+        CUSTOM,
+        RANGE,
+        SCATTER_GATHER,
+        Pipeline,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = Pipeline("dag_edge_routing")
+    p.source("lineitem", li).source("supplier", supp)
+    # RANGE edge: lineitem rows arrive range-partitioned on the price
+    p.vertex(
+        "per_supplier",
+        lambda ins: ins["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev")),
+    )
+    p.edge("lineitem", "per_supplier", movement=RANGE, keys=["l_extendedprice"])
+    # BROADCAST edge: the supplier dim reaches the join replicated
+    p.vertex(
+        "joined",
+        lambda ins: ins["per_supplier"].join(
+            ins["supplier"],
+            ins["per_supplier"]["l_suppkey"] == ins["supplier"]["s_suppkey"],
+        ),
+    )
+    p.edge("per_supplier", "joined", movement=SCATTER_GATHER, keys=["l_suppkey"])
+    p.edge("supplier", "joined", movement=BROADCAST)
+    # CUSTOM edge: user-defined routing (here: co-locate by nation)
+    p.vertex(
+        "by_nation",
+        lambda ins: ins["joined"]
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("rev"), 2).alias("rev"),
+        ),
+    )
+    p.edge(
+        "joined",
+        "by_nation",
+        movement=CUSTOM,
+        movement_fn=lambda df: df.repartition(5, "s_nationkey"),
+    )
+    return p.run()["by_nation"]
+
+
+_SQL_DAG_EDGE_ROUTING = """
+SELECT s_nationkey, count(*) AS n_suppliers, round(sum(rev), 2) AS rev
+FROM (
+  SELECT l_suppkey, round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem GROUP BY l_suppkey
+) per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TaskCounter parity end-to-end (metrics.py CounterRegistry):
     record-level counters ride the job via df.observe and are read back
@@ -4937,6 +5008,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
+    "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -4960,7 +5032,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     change or newest operator families) ---
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
@@ -5006,6 +5077,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # fresh prefix evidence via inverted_index + heavy_hitters
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     # chunk_documents rotated below for r04: r03-green, curation family
     # keeps fresh prefix evidence via bloom_decontaminate
     "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
