@@ -4175,6 +4175,54 @@ GROUP BY s_nationkey
 """
 
 
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/sinks.py stream_merge_upsert):
+    events arrive as a change stream (op 'U', seq = event_id) and are
+    merged into a versioned snapshot table per micro-batch, published
+    atomically via the _LATEST pointer rename; the returned table is
+    read back THROUGH read_snapshot, so a green row proves the whole
+    merge->version->point->read path. With availableNow over a
+    single-file copy the snapshot equals the batch latest-wins result —
+    the oracle's check. The micro-batch MERGE surface Hive-on-Tez users
+    run as nightly batch (SURVEY §2.7), at streaming latency."""
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming.sinks import read_snapshot, stream_merge_upsert
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.lit("U").alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+    src = tempfile.mkdtemp(prefix="hdp_tez_cdc_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    base = tempfile.mkdtemp(prefix="hdp_tez_cdc_tbl_") + f"/t_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="hdp_tez_cdc_ckpt_")
+    with _stream_state_partitions(spark):
+        q = (
+            stream_merge_upsert(sdf, base, ["user_id"], "seq", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_snapshot(spark, base)
+
+
+_SQL_STREAM_CDC_UPSERT = """
+SELECT user_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TaskCounter parity end-to-end (metrics.py CounterRegistry):
     record-level counters ride the job via df.observe and are read back
@@ -5009,6 +5057,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
+    "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
     # --- NEW this round (layout / bucketing / streaming / kmeans oracle) ---
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
@@ -5019,7 +5068,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
-    "unpivot": (q_unpivot, _SQL_UNPIVOT),
     "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
@@ -5078,6 +5126,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25": (q_bm25, _SQL_BM25),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    # unpivot rotated below for r04: r03-family green (pivot r02, unpivot
+    # committed pre-r04 with its own plan test); aggregates family keeps
+    # fresh prefix evidence via grouping_sets twins
+    "unpivot": (q_unpivot, _SQL_UNPIVOT),
     # chunk_documents rotated below for r04: r03-green, curation family
     # keeps fresh prefix evidence via bloom_decontaminate
     "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),

@@ -108,6 +108,7 @@ HEADLINE = [
     "cohort_retention",
     "time_weighted_avg",
     "ngram_counts",
+    "stream_cdc_upsert",
 ]
 
 

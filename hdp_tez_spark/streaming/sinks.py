@@ -12,7 +12,7 @@ checkpoint advance) must not double-publish.
 from __future__ import annotations
 
 import uuid
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -119,6 +119,96 @@ def stream_to_sinks(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         commit_batch(batch_df, batch_id, sinks, fmt)
+
+    return sdf.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_snapshot(spark, table_dir: str, fmt: str = "parquet") -> DataFrame | None:
+    """Load the current version of a `stream_merge_upsert` table, or None
+    before the first publish. Readers only ever see fully-written
+    versions: the _LATEST pointer is renamed into place after the
+    version directory is complete."""
+    from py4j.protocol import Py4JJavaError  # noqa: F401 (doc: jvm errors)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    pointer = HPath(f"{table_dir}/_LATEST")
+    fs = pointer.getFileSystem(conf)
+    if not fs.exists(pointer):
+        return None
+    stream = fs.open(pointer)
+    try:
+        version = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+    return spark.read.format(fmt).load(f"{table_dir}/{version}")
+
+
+def stream_merge_upsert(
+    sdf: DataFrame,
+    table_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+    fmt: str = "parquet",
+) -> DataStreamWriter:
+    """Streaming CDC apply: every micro-batch of change rows is merged
+    into a versioned snapshot table with `cdc.merge_upsert` (latest-wins
+    by `seq_col`, op 'D' deletes) and published atomically — the merged
+    result is written to `{table_dir}/v{batch_id}` and the `_LATEST`
+    pointer file is renamed over only after the write completes, so
+    readers (`read_snapshot`) never observe a torn table. Batch-replay
+    after a crash is idempotent: an existing version directory is
+    re-pointed, not re-written.
+
+    This is the streaming half of the CDC surface (Hive MERGE on Tez at
+    micro-batch latency). Scale shape per batch = merge_upsert's: the
+    window shuffles only the change batch; the snapshot moves through an
+    anti-join + union and a rewrite — on a real deployment the rewrite
+    is the table-format layer's job (Delta/Iceberg MERGE), and this
+    operator is that contract over plain parquet.
+    """
+    keys = list(key_cols)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from hdp_tez_spark.extensions.cdc import merge_upsert
+
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(table_dir).getFileSystem(conf)
+        version = f"v{batch_id:010d}"
+        vdir = HPath(f"{table_dir}/{version}")
+        payload = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+        if not fs.exists(vdir):
+            base = read_snapshot(spark, table_dir, fmt)
+            if base is None:
+                base = spark.createDataFrame(
+                    [], batch_df.select(*payload).schema
+                )
+            merged = merge_upsert(base, batch_df, keys, seq_col, op_col)
+            merged.write.format(fmt).mode("errorifexists").save(
+                f"{table_dir}/{version}"
+            )
+        # atomic publish: write pointer aside, rename into place
+        tmp = HPath(f"{table_dir}/_LATEST.{batch_id}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(version.encode()))
+        finally:
+            out.close()
+        latest = HPath(f"{table_dir}/_LATEST")
+        if fs.exists(latest):
+            fs.delete(latest, False)
+        if not fs.rename(tmp, latest):
+            raise IOError(f"pointer publish failed for {version}")
 
     return sdf.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -108,3 +108,51 @@ def test_stream_to_sinks_end_to_end(spark):
     bx = {d for d in os.listdir(sinks["x"]) if d.startswith("batch=")}
     by = {d for d in os.listdir(sinks["y"]) if d.startswith("batch=")}
     assert bx == by and bx
+
+
+def test_stream_merge_upsert_incremental_batches(spark):
+    """Two incremental availableNow runs against one table: versioned
+    snapshots accumulate, the pointer advances atomically, deletes and
+    latest-wins updates apply, and untouched keys survive."""
+    from hdp_tez_spark.streaming.sinks import read_snapshot, stream_merge_upsert
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    tbl = tempfile.mkdtemp(prefix="cdc_tbl_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    schema = "k int, v string, op string, seq long"
+    assert read_snapshot(spark, tbl) is None  # nothing published yet
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{fname}")
+        sdf = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        q = (
+            stream_merge_upsert(sdf, tbl, ["k"], "seq", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: inserts, with an in-batch seq race (seq 2 must win for k=1)
+    run_batch(
+        [(1, "a", "U", 1), (1, "a2", "U", 2), (2, "b", "U", 1), (3, "c", "U", 1)],
+        "b1",
+    )
+    snap1 = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
+    assert snap1 == {1: "a2", 2: "b", 3: "c"}
+
+    # batch 2 (same checkpoint, new file only): update k=1, delete k=2
+    run_batch([(1, "a3", "U", 10), (2, "b", "D", 11)], "b2")
+    snap2 = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
+    assert snap2 == {1: "a3", 3: "c"}
+
+    # both versions exist on disk; the pointer names the newer one
+    versions = sorted(
+        d for d in os.listdir(tbl) if d.startswith("v")
+    )
+    assert len(versions) == 2
+    with open(f"{tbl}/_LATEST") as fh:
+        assert fh.read().strip() == versions[-1]
