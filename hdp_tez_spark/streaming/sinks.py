@@ -130,8 +130,6 @@ def read_snapshot(spark, table_dir: str, fmt: str = "parquet") -> DataFrame | No
     before the first publish. Readers only ever see fully-written
     versions: the _LATEST pointer is renamed into place after the
     version directory is complete."""
-    from py4j.protocol import Py4JJavaError  # noqa: F401 (doc: jvm errors)
-
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path

@@ -4,7 +4,10 @@ Runs every `queries()` entry on Spark and its `oracle_sql()` twin on DuckDB
 against the same parquet tables, compares row count, schema (column names),
 and values (sorted columns + rows, float tolerance). Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs the queries on an untuned SparkSession (default-memory JVM,
+no AQE profile) — the exact session the external driver uses.
 """
 
 from __future__ import annotations
@@ -113,9 +116,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_session("correctness-check", master="local[8]")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # exact driver contract: an untuned session (default 1g JVM, no
+        # AQE/partition profile) — what the external harness runs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_session("correctness-check", master="local[8]")
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
