@@ -304,3 +304,39 @@ def test_gap_fill_grid_and_conservation(spark, rows):
             else:
                 assert r.bucket not in sums.index
                 assert abs(r.val - last) < 1e-9  # LOCF carries prior value
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 3), st.integers(0, 3)),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 3), st.integers(0, 3)),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_dataset_diff_matches_dict_reference(spark, old, new):
+    from hdp_tez_spark.extensions.cdc import dataset_diff
+
+    od = {k: (a, b) for k, a, b in old}
+    nd = {k: (a, b) for k, a, b in new}
+    expect = {}
+    for k in od.keys() | nd.keys():
+        if k not in nd:
+            expect[k] = "removed"
+        elif k not in od:
+            expect[k] = "added"
+        elif od[k] != nd[k]:
+            expect[k] = "changed"
+    schema = "k int, a int, b int"
+    odf = spark.createDataFrame(old, schema)
+    ndf = spark.createDataFrame(new, schema)
+    got = {
+        r.k: r.status
+        for r in dataset_diff(odf, ndf, ["k"], ["a", "b"]).collect()
+    }
+    assert got == expect
