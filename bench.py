@@ -109,6 +109,10 @@ HEADLINE = [
     "time_weighted_avg",
     "ngram_counts",
     "stream_cdc_upsert",
+    # round-4 third batch: BFS hops, exact prefix-filter join, EWMA
+    "bfs_distances",
+    "prefix_filter_join",
+    "ewma",
 ]
 
 

@@ -332,6 +332,60 @@ def time_weighted_avg(
     )
 
 
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: int = 8,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the trailing
+    `k` observations (the newest inclusive), normalized over the weights
+    actually present:
+
+        ewma_t = sum_{j=0..k-1} (1-a)^j * x_{t-j} / sum_{j present} (1-a)^j
+
+    The bounded-window formulation is deliberate: the textbook recursive
+    EWMA (y_t = a*x_t + (1-a)*y_{t-1}) is a sequential scan — on Spark
+    that's either a driver loop or a numerically explosive closed form
+    ((1-a)^(-i) overflows for long series). Truncating at k terms keeps
+    every weight in [(1-a)^(k-1), 1], makes the result an exact, finite
+    column expression, and loses at most (1-a)^k of the mass (<0.6% for
+    the defaults a=0.3, k=8).
+
+    Output: (key, order, value, ewma) — ewma rounded to 6 dp.
+
+    Scale shape: ONE window sort per key drives all k lag() terms (a
+    single shuffle + one in-partition sort run, exactly the secondary-
+    sort primitive, SURVEY §2.5); the smoothing itself is a fixed-size
+    JVM expression tree — zero Python, zero extra shuffles, memory
+    independent of series length.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    lags = [F.lag(v, j).over(w) if j else v for j in range(k)]
+    weights = [(1.0 - alpha) ** j for j in range(k)]
+    num = sum(
+        (F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(F.lit(0.0)) for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0)) for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(value_col),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str,

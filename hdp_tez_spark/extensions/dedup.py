@@ -165,6 +165,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k: int = 1,
+) -> DataFrame:
+    """Exact set-Jaccard join with PPJoin-style prefix filtering over
+    word-k-gram shingle sets (k=1 -> plain token sets).
+
+    Same output contract (and, at the same k/threshold, the same result
+    set) as `ngram_jaccard_pairs` — (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard >= threshold, exact (zero false negatives: the
+    prefix-filter theorem guarantees any pair at Jaccard >= t shares at
+    least one element among each side's first `|d| - ceil(t*|d|) + 1`
+    elements under a fixed global order) — but with a candidate stage
+    that scales much further:
+
+    - tokens are globally ordered rarest-first (by corpus document
+      frequency, ties by hash), so the equi-join key space is dominated
+      by rare tokens: the classic all-shared-tokens self-join blows up
+      on stopwords ("the" pairs every document with every other); the
+      prefix join never touches a token outside the prefixes;
+    - a length filter (ceil(t*|a|) <= |b|) prunes candidates whose size
+      ratio already caps Jaccard below t, before verification;
+    - verification joins candidate pairs back to the (doc, token) lists
+      — intersection counts are computed ONLY for candidates.
+
+    Shuffles carry 8-byte token hashes, never text (same tradeoff note
+    as ngram_jaccard_pairs).
+    """
+    toks = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
+            ).alias("tok"),
+        )
+    )
+    # global document frequency -> canonical rarest-first order (df, tok)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc").orderBy("__df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .select(
+            "doc",
+            "tok",
+            F.row_number().over(w).alias("__pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("__sz"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1
+    prefixes = ranked.where(
+        F.col("__pos") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).localCheckpoint()  # feeds the candidate self-join twice: compute the
+    # window pass once, not once per join side
+    pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok")) & (F.col("pa.doc") < F.col("pb.doc")),
+        )
+        # length filter: |b| >= ceil(t*|a|) (a is the smaller-id side, not
+        # necessarily the smaller set — apply both directions)
+        .where(
+            (F.col("pb.__sz") >= F.ceil(F.lit(threshold) * F.col("pa.__sz")))
+            & (F.col("pa.__sz") >= F.ceil(F.lit(threshold) * F.col("pb.__sz")))
+        )
+        .select(
+            F.col("pa.doc").alias("id_a"),
+            F.col("pb.doc").alias("id_b"),
+            F.col("pa.__sz").alias("size_a"),
+            F.col("pb.__sz").alias("size_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("id_a"), "tok")
+    tb = toks.select(F.col("doc").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("__inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

@@ -94,6 +94,63 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source node, bounded
+    by `max_hops`. Third iterative operator next to `pagerank` and
+    `dedup.connected_components` (the multi-round DAG class Tez clients
+    hand-build; SURVEY §4.5).
+
+    `sources` is a one-column DataFrame (`node`). Output: (node, dist)
+    for every node reachable within max_hops, dist = exact minimum hops
+    (sources themselves at dist 0).
+
+    Scale shape per round — textbook frontier expansion, which is the
+    shape that survives 100 TB graphs:
+    - one equi-join `frontier ⋈ edges` on the source endpoint: the join
+      is keyed, never all-pairs, and the frontier is usually a small
+      fraction of the node set;
+    - newly reached nodes are de-duplicated (`distinct`) BEFORE the
+      anti-join against the visited set, so the anti-join probes each
+      candidate once however many in-edges it has;
+    - the visited set is the only growing state, checkpointed per round
+      (`localCheckpoint` here; reliable `checkpoint` on a real cluster —
+      same note as `pagerank`);
+    - rounds with an empty frontier short-circuit via a cheap
+      `observe`-free isEmpty (frontier row counts are bounded by |V|,
+      and isEmpty only materializes one partition's first row).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    if max_hops >= 1:
+        e = e.localCheckpoint()  # scanned once per round
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__src"])
+            .select(F.col("__dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(
+            nxt.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return dist.orderBy("node")
+
+
 def cooccurrence_edges(
     df: DataFrame,
     basket_col: str,

@@ -231,3 +231,122 @@ def test_funnel_strictly_after_semantics(spark):
     df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
     out = {r.stage_idx: r.n_users for r in funnel(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
     assert out == {0: 2, 1: 1}
+
+
+# ------------------------------------------------------------ bfs_distances
+
+
+def test_bfs_distances_path_graph(spark):
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    # path 1 -> 2 -> 3 -> 4 -> 5: hops bound at 3 stops before node 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src int, dst int"
+    )
+    sources = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_min_over_multiple_paths(spark):
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    # 1->2->4 and 1->4: node 4 is distance 1, not 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 4), (4, 5)], "src int, dst int"
+    )
+    sources = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 5: 2}
+
+
+def test_bfs_distances_multi_source_and_unreachable(spark):
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (20, 21)], "src int, dst int"
+    )
+    sources = spark.createDataFrame([(1,), (10,)], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, sources, max_hops=3).collect()}
+    # 20/21 unreachable from either source; both sources at dist 0
+    assert got == {1: 0, 2: 1, 10: 0, 11: 1}
+
+
+def test_bfs_distances_zero_hops(spark):
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    sources = spark.createDataFrame([(1,)], "node int")
+    got = bfs_distances(edges, sources, max_hops=0).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(1, 0)]
+
+
+# ------------------------------------------------------- prefix_filter_join
+
+
+def test_prefix_filter_join_matches_ngram_jaccard(spark):
+    """The prefix-filtered join must produce the identical pair set as
+    the all-shared-shingles exact join (zero false negatives/positives)."""
+    from hdp_tez_spark.extensions.dedup import ngram_jaccard_pairs, prefix_filter_join
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    a = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_join(docs, "doc_id", "text", threshold=0.4, k=3).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4).collect()
+    }
+    assert a == b
+    assert a  # non-vacuous: the smoke corpus has near-dup pairs at 0.4
+
+
+def test_prefix_filter_join_identical_docs(spark):
+    from hdp_tez_spark.extensions.dedup import prefix_filter_join
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id int, text string",
+    )
+    rows = prefix_filter_join(df, "doc_id", "text", threshold=0.9, k=1).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+# ------------------------------------------------------------- ewma_smooth
+
+
+def test_ewma_matches_reference_formula(spark):
+    from hdp_tez_spark.extensions.analytics import ewma_smooth
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+    )
+    out = {
+        r["i"]: r["ewma"]
+        for r in ewma_smooth(df, "k", "i", "v", alpha=0.3, k=4).collect()
+    }
+    for t in range(len(vals)):
+        window = vals[max(0, t - 3): t + 1][::-1]  # newest first
+        ws = [0.7 ** j for j in range(len(window))]
+        expect = sum(w * x for w, x in zip(ws, window)) / sum(ws)
+        assert out[t] == pytest.approx(expect, abs=1e-6)
+
+
+def test_ewma_first_row_is_value(spark):
+    from hdp_tez_spark.extensions.analytics import ewma_smooth
+
+    df = spark.createDataFrame([(1, 0, 42.5), (2, 0, -7.0)], "k int, i int, v double")
+    out = {r["k"]: r["ewma"] for r in ewma_smooth(df, "k", "i", "v").collect()}
+    assert out == {1: 42.5, 2: -7.0}
+
+
+def test_ewma_rejects_bad_params(spark):
+    from hdp_tez_spark.extensions.analytics import ewma_smooth
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, i int, v double")
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "k", "i", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "k", "i", "v", k=0)
