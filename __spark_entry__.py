@@ -5153,6 +5153,127 @@ FROM s
 _SQL_EWMA = _ewma_oracle_sql()
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every click,
+    with its purchase within the prior 10 minutes or NULLs. Outer rows
+    are emitted by watermark eviction, so the drain appends one sentinel
+    event per side at a far-future timestamp (2030) to push both
+    watermarks past all real data; availableNow's final no-data batch
+    then flushes every unmatched click (verified semantics of
+    streaming/windows.py interval_join how='left_outer'). Sentinels
+    carry user_id -1 and are filtered from the result, so the table
+    equals the batch LEFT JOIN the oracle computes."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    far = datetime.datetime(2030, 1, 1)
+    sentinels = spark.createDataFrame(
+        [
+            (-98, -1, far, "click", 0.0),
+            (-99, -1, far, "purchase", 0.0),
+        ],
+        ev.schema,
+    )
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_loj_")
+    ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = WIN.interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "p_ts", "10 minutes",
+        how="left_outer",
+    )
+    # sentinel rows are NOT filtered inside the streaming plan: a filter on
+    # the preserved side's user_id would be pushed below the watermark
+    # operators (and inferred onto the other side through the equi-join
+    # constraint), silently removing the sentinels from watermark
+    # accumulation — the watermark would then stall 1h before end-of-data
+    # and the last unmatched clicks would never flush. Filter on the
+    # drained (batch) table instead.
+    res = j.select("click_id", clicks["user_id"], "click_ts", "p_ts", "value")
+    qname = f"stream_left_join_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            res.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).where(F.col("user_id") >= 0)
+
+
+_SQL_STREAM_LEFT_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.ts AS p_ts, p.value
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 10 MINUTE
+ AND p.ts <= c.ts
+WHERE c.event_type = 'click'
+"""
+
+
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite round-trip (sources/catalog.py
+    insert_overwrite_partitions — Hive-on-Tez dynamic partition insert /
+    MROutput per-partition commit parity): write events partitioned by
+    event_type, then overwrite ONLY the 'click' partition with its
+    value>5 rows. Reading the table back proves partition isolation: the
+    click partition holds the filtered subset, every other partition is
+    untouched — a static overwrite would have truncated them all."""
+    import tempfile
+
+    from hdp_tez_spark.sources.catalog import insert_overwrite_partitions
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="hdp_tez_dynpart_") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    clicks_kept = ev.where(
+        (F.col("event_type") == "click") & (F.col("value") > 5)
+    )
+    insert_overwrite_partitions(clicks_kept, path, ["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_PARTITION_OVERWRITE = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total
+FROM events
+WHERE event_type <> 'click' OR value > 5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5170,6 +5291,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),
+    "stream_left_join": (q_stream_left_join, _SQL_STREAM_LEFT_JOIN),
+    "partition_overwrite": (q_partition_overwrite, _SQL_PARTITION_OVERWRITE),
     # --- NEW this round, second batch (graph census / weighted sampling /
     #     data quality / CMS / gap fill / fuzzy match / stream dedup) ---
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
@@ -5216,9 +5339,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # batch: all r03-green, and their families keep fresh prefix evidence
     # via exact_quantiles_disc (same module), bfs_distances (graph), and
     # cms_frequency + key_skew_stats (frequency/skew)
+    # ntile_buckets/lateral_topn rotated below for the third batch: both
+    # r03-green; ranking/window families keep fresh prefix evidence via
+    # window twins and exact_quantiles_disc
     "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
-    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
-    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
     # --- oldest-evidence families rotated into the prefix for r04 (last
     #     driver-green r01/r02; VERDICT r03 rotation list) ---
@@ -5243,6 +5367,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
+    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),

@@ -113,6 +113,8 @@ HEADLINE = [
     "bfs_distances",
     "prefix_filter_join",
     "ewma",
+    "stream_left_join",
+    "partition_overwrite",
 ]
 
 

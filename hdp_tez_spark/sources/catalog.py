@@ -116,6 +116,38 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def insert_overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """INSERT OVERWRITE with *dynamic* partition replacement: only the
+    partitions present in `df` are rewritten; all other partitions under
+    `path` survive untouched.
+
+    Reference parity: Hive-on-Tez dynamic partition insert — the
+    partition columns route rows to per-partition `MROutput` committers
+    and DAG-success commit swaps exactly the written partitions
+    (`tez-mapreduce/.../output/MROutput.java:81`,
+    `tez-dag/.../dag/impl/DAGImpl.java` commitOrAbortOutputs). Spark's
+    `partitionOverwriteMode=dynamic` is the same contract on the
+    FileCommitProtocol.
+
+    Scale note: this is THE idempotent backfill primitive at 100 TB — a
+    day's re-run replaces that day's partitions atomically without
+    touching (or even listing) the other ~36 500 day-partitions of a
+    100-year-day table. Static overwrite mode would truncate the whole
+    table root; never use it for backfill.
+
+    The session conf is restored afterwards so a shared session keeps
+    its configured default.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

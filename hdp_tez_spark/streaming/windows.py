@@ -144,6 +144,7 @@ def interval_join(
     left_ts: str,
     right_ts: str,
     max_lag: str,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-key join where the right event must fall within
     [left_ts - max_lag, left_ts] — e.g. "purchase attributed to a click in
@@ -153,6 +154,13 @@ def interval_join(
     Streaming form: apply `withWatermark` to BOTH inputs before calling;
     the time bound lets Spark evict join state once the watermark passes
     (unbounded state otherwise — the stream-stream join hazard at scale).
+
+    `how="left_outer"` keeps unmatched left events with NULL right
+    columns. On a stream, an unmatched left row is emitted only once the
+    watermark proves no future match can arrive — correct-by-eviction,
+    which means outer results trail the watermark by design; a bounded
+    drain (availableNow) emits them in the final no-data batch provided
+    the watermark has advanced past the row's match horizon.
     """
     cond = None
     for k in keys:
@@ -160,7 +168,7 @@ def interval_join(
         cond = c if cond is None else cond & c
     lo = F.col(left_ts) - F.expr(f"INTERVAL {max_lag}")
     cond = cond & (F.col(right_ts) >= lo) & (F.col(right_ts) <= F.col(left_ts))
-    return left.join(right, cond)
+    return left.join(right, cond, how)
 
 
 def stream_dedup(

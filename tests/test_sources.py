@@ -147,3 +147,30 @@ def test_write_sorted_files_cover_disjoint_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_insert_overwrite_partitions_replaces_only_written_partitions(spark, tmp_path):
+    from hdp_tez_spark.sources.catalog import insert_overwrite_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id int, part string, v double",
+    )
+    df.write.partitionBy("part").parquet(path)
+    # dynamic overwrite of partition 'a' only
+    repl = spark.createDataFrame([(9, "a", 99.0)], "id int, part string, v double")
+    insert_overwrite_partitions(repl, path, ["part"])
+    back = {(r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert back == {(9, "a", 99.0), (3, "b", 30.0), (4, "c", 40.0)}
+
+
+def test_insert_overwrite_partitions_restores_session_conf(spark, tmp_path):
+    from hdp_tez_spark.sources.catalog import insert_overwrite_partitions
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id int, part string, v double")
+    insert_overwrite_partitions(df, str(tmp_path / "t2"), ["part"])
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)

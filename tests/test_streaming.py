@@ -111,3 +111,79 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream):
     b_purch = split(ev, "purchase", "p_ts", ["value"])
     batch = b_clicks.join(b_purch, cond).select("click_id", "purchase_id")
     assert _rows(spark, name) == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_left_outer_interval_join_matches_batch(spark):
+    """Left-outer stream-stream interval join: unmatched left rows are
+    emitted by watermark eviction. A far-future sentinel on EACH side
+    pushes both watermarks past all real data so the availableNow drain
+    flushes every unmatched click; sentinels are filtered AFTER the
+    drain (filtering inside the streaming plan would be pushed below the
+    watermark operators and starve them of the sentinels)."""
+    import datetime
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    far = datetime.datetime(2030, 1, 1)
+    sent = spark.createDataFrame(
+        [(-98, -1, far, "click", 0.0), (-99, -1, far, "purchase", 0.0)], ev.schema
+    )
+    d = tempfile.mkdtemp(prefix="events_loj_")
+    ev.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(ev.schema).parquet(d)
+
+    def clicks_of(df):
+        return df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+
+    def purch_of(df):
+        return df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+        )
+
+    cond_of = lambda: (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("p_ts") <= F.col("click_ts"))
+    )
+    streamed = (
+        clicks_of(sdf)
+        .withWatermark("click_ts", "1 hour")
+        .join(purch_of(sdf).withWatermark("p_ts", "1 hour"), cond_of(), "left_outer")
+        .select("click_id", "user_id", "click_ts", "p_ts", "value")
+    )
+    name = _run_stream(streamed, mode="append")
+    got = {
+        tuple(r)
+        for r in spark.table(name).where(F.col("user_id") >= 0).collect()
+    }
+    batch = (
+        clicks_of(ev)
+        .join(purch_of(ev), cond_of(), "left_outer")
+        .select("click_id", "user_id", "click_ts", "p_ts", "value")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # non-vacuous: the join has both matched and unmatched clicks
+    assert any(r[3] is None for r in want) and any(r[3] is not None for r in want)
+
+
+def test_interval_join_left_outer_batch_form(spark):
+    """Batch form of interval_join(how='left_outer') keeps unmatched
+    left rows with NULL right columns."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "k int, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", 7.0)], "k int, rts string, v double"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = WIN.interval_join(
+        left, right, ["k"], "lts", "rts", "10 minutes", how="left_outer"
+    ).select(left["k"], "rts", "v")
+    got = {(r["k"], r["rts"] is None, r["v"]) for r in out.collect()}
+    assert got == {(1, False, 7.0), (2, True, None)}
