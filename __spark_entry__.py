@@ -5274,6 +5274,106 @@ ORDER BY event_type
 """
 
 
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join — the leakage-safe feature
+    lookup (extensions/cdc.py point_in_time_join): build an SCD2 history
+    of each user's signup `props.k` attribute, then join every purchase
+    to the version valid AT THE PURCHASE'S event time
+    (valid_from <= ts < valid_to). A purchase before the user's first
+    signup has no version and drops out (inner). The equi-key drives one
+    hash shuffle; at most one version survives per fact because SCD2
+    intervals partition time."""
+    from hdp_tez_spark.extensions.cdc import point_in_time_join, scd2_build
+    from hdp_tez_spark.functions import collections as C
+
+    ev = _t(spark, sf_dir, "events")
+    signups = C.with_json_fields(
+        ev.where(F.col("event_type") == "signup"), "props", {"k": "$.k"}
+    ).withColumn("k", F.col("k").cast("int"))
+    dim = scd2_build(
+        signups, key_col="user_id", ts_col="ts", attr_col="k",
+        tiebreak_col="event_id",
+    ).select("user_id", "k", "valid_from", "valid_to")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return point_in_time_join(purchases, dim, "user_id", "ts").select(
+        "event_id", "user_id", "value", F.col("k").alias("k_at_purchase"),
+        "valid_from",
+    )
+
+
+_SQL_POINT_IN_TIME_JOIN = """
+WITH sign AS (
+  SELECT user_id, ts, event_id,
+         json_extract_string(props, '$.k')::INT AS k
+  FROM events WHERE event_type = 'signup'
+),
+flagged AS (
+  SELECT user_id, k, ts,
+         CASE WHEN lag(k) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR k <> lag(k) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg,
+         event_id
+  FROM sign
+),
+runs AS (
+  SELECT user_id, k, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+),
+collapsed AS (
+  SELECT user_id, run, min(k) AS k, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run
+),
+dim AS (
+  SELECT user_id, k, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM collapsed
+)
+SELECT p.event_id, p.user_id, p.value, d.k AS k_at_purchase, d.valid_from
+FROM events p
+JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event_type
+    sequence (extensions/analytics.py transition_counts): one lag()
+    window keyed by user, then a partial-aggregated groupBy whose
+    shuffle carries at most |event_types|^2 rows — the clickstream
+    path-analysis primitive."""
+    from hdp_tez_spark.extensions.analytics import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+
+
+_SQL_TRANSITION_COUNTS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS src_state,
+         event_type AS dst_state
+  FROM events
+)
+SELECT src_state, dst_state, count(*) AS n_transitions
+FROM seq WHERE src_state IS NOT NULL
+GROUP BY src_state, dst_state
+ORDER BY src_state, dst_state
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5293,6 +5393,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ewma": (q_ewma, _SQL_EWMA),
     "stream_left_join": (q_stream_left_join, _SQL_STREAM_LEFT_JOIN),
     "partition_overwrite": (q_partition_overwrite, _SQL_PARTITION_OVERWRITE),
+    "point_in_time_join": (q_point_in_time_join, _SQL_POINT_IN_TIME_JOIN),
+    "transition_counts": (q_transition_counts, _SQL_TRANSITION_COUNTS),
     # --- NEW this round, second batch (graph census / weighted sampling /
     #     data quality / CMS / gap fill / fuzzy match / stream dedup) ---
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
@@ -5342,8 +5444,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # ntile_buckets/lateral_topn rotated below for the third batch: both
     # r03-green; ranking/window families keep fresh prefix evidence via
     # window twins and exact_quantiles_disc
-    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
-    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    # bloom_decontaminate/null_safe_join rotated below for the third
+    # batch: r03-green; curation keeps per-commit oracle coverage via the
+    # sf0.001/sf0.01 suites, joins get fresh driver evidence via the new
+    # point_in_time_join + stream_left_join
     # --- oldest-evidence families rotated into the prefix for r04 (last
     #     driver-green r01/r02; VERDICT r03 rotation list) ---
     "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
@@ -5369,6 +5473,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
     "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
+    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),

@@ -115,6 +115,8 @@ HEADLINE = [
     "ewma",
     "stream_left_join",
     "partition_overwrite",
+    "point_in_time_join",
+    "transition_counts",
 ]
 
 

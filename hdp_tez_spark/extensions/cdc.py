@@ -119,6 +119,39 @@ def scd2_build(
     )
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension version that was valid at the
+    fact's timestamp: `valid_from <= ts < valid_to`, with a NULL
+    `valid_to` meaning "current". The temporal-correctness lookup every
+    training pipeline needs — probing the dimension *as of* the fact's
+    event time, so a feature computed for a 2023 sample can never read a
+    2024 attribute (point-in-time correctness / leakage safety; the
+    standard consumer of `scd2_build`'s half-open intervals).
+
+    `how="left"` keeps facts that predate the key's first version (NULL
+    dimension columns).
+
+    Scale shape: the key equality is the join's equi-component, so this
+    is one plain hash/sort-merge shuffle on the key — never a
+    nested-loop range join. The validity predicate filters the (few)
+    versions per key after the match; because SCD2 intervals partition
+    time per key, at most ONE version survives per fact — output rows ==
+    fact rows (inner: minus pre-history facts), with no fan-out to cap.
+    """
+    cond = (facts[key_col] == dim[key_col]) & (
+        facts[fact_ts] >= dim[valid_from]
+    ) & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
+    return facts.join(dim, cond, how).drop(dim[key_col])
+
+
 def dataset_diff(
     old: DataFrame,
     new: DataFrame,

@@ -350,3 +350,97 @@ def test_ewma_rejects_bad_params(spark):
         ewma_smooth(df, "k", "i", "v", alpha=0.0)
     with pytest.raises(ValueError):
         ewma_smooth(df, "k", "i", "v", k=0)
+
+
+# ------------------------------------------------------- point_in_time_join
+
+
+def test_point_in_time_join_picks_version_valid_at_ts(spark):
+    from hdp_tez_spark.extensions.cdc import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+            (1, "v2", "2024-01-10 00:00:00", None),
+            (2, "w1", "2024-01-05 00:00:00", None),
+        ],
+        "k int, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-09 23:59:59"),   # v1 (strictly before boundary)
+            (101, 1, "2024-01-10 00:00:00"),   # v2 (half-open: boundary -> new)
+            (102, 1, "2024-02-01 00:00:00"),   # v2 (current, NULL valid_to)
+            (103, 2, "2024-01-01 00:00:00"),   # before first version -> dropped
+        ],
+        "fid int, k int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["fid"], r["attr"])
+        for r in point_in_time_join(facts, dim, "k", "ts").collect()
+    }
+    assert got == {(100, "v1"), (101, "v2"), (102, "v2")}
+
+
+def test_point_in_time_join_left_keeps_prehistory_facts(spark):
+    from hdp_tez_spark.extensions.cdc import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "v1", "2024-01-10 00:00:00", None)],
+        "k int, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "2024-01-01 00:00:00")], "fid int, k int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = point_in_time_join(facts, dim, "k", "ts", how="left").collect()
+    assert len(rows) == 1 and rows[0]["attr"] is None
+
+
+def test_point_in_time_join_one_version_per_fact_on_scd2(spark):
+    """SCD2 intervals partition time, so the join never fans out."""
+    from hdp_tez_spark.extensions.cdc import point_in_time_join, scd2_build
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = scd2_build(
+        ev, key_col="user_id", ts_col="ts", attr_col="event_type",
+        tiebreak_col="event_id",
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    facts = ev.select("event_id", "user_id", "ts")
+    joined = point_in_time_join(facts, dim, "user_id", "ts")
+    assert joined.count() == facts.count()
+    assert joined.groupBy("event_id").count().agg(F.max("count")).first()[0] == 1
+
+
+# ------------------------------------------------------- transition_counts
+
+
+def test_transition_counts_hand_rolled(spark):
+    from hdp_tez_spark.extensions.analytics import transition_counts
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "a"),
+        (2, 1, "b"), (2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k int, i int, s string")
+    got = {
+        (r["src_state"], r["dst_state"]): r["n_transitions"]
+        for r in transition_counts(df, "k", ["i"], "s").collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 2}
+
+
+def test_transition_counts_single_event_keys_emit_nothing(spark):
+    from hdp_tez_spark.extensions.analytics import transition_counts
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k int, i int, s string"
+    )
+    assert transition_counts(df, "k", ["i"], "s").count() == 0
