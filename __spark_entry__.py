@@ -5374,6 +5374,104 @@ ORDER BY src_state, dst_state
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding corpus
+    (extensions/similarity.py embedding_covariance): per-partition
+    numpy sufficient statistics (one X.T @ X per Arrow batch) merged by
+    a |partitions|-bounded groupBy — the PCA/Mahalanobis input. Oracle
+    recomputes every upper-triangle cell from first principles with the
+    cell self-join."""
+    from hdp_tez_spark.extensions.similarity import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+_SQL_EMBEDDING_COVARIANCE = """
+WITH cells AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(a.x * b.x) AS s_xy, sum(a.x) AS s_x, sum(b.x) AS s_y
+  FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT i, j, round((s_xy - s_x * s_y / n.n) / n.n, 6) AS cov
+FROM pairs, n
+ORDER BY i, j
+"""
+
+
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) OLS fit of extendedprice against
+    quantity (extensions/analytics.py grouped_ols): sufficient
+    statistics in one partial-aggregated pass, slope/intercept as
+    column arithmetic — |keys| independent model fits, one shuffle."""
+    from hdp_tez_spark.extensions.analytics import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    )
+
+
+_SQL_GROUPED_OLS = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(l_quantity::DOUBLE) AS sx,
+         sum(l_extendedprice::DOUBLE) AS sy,
+         sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+         sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC treating event value as the score for predicting
+    purchases (extensions/analytics.py binary_auc): distinct-score
+    collapse, distributed prefix-sum average ranks (tie-correct), and
+    the Mann-Whitney identity — integer/half arithmetic end-to-end, so
+    the oracle matches bit-for-bit."""
+    from hdp_tez_spark.extensions.analytics import binary_auc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return binary_auc(ev, "value", "y")
+
+
+_SQL_BINARY_AUC = """
+WITH s AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (SELECT score, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY score),
+r AS (SELECT pos, cnt,
+             sum(cnt) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g),
+a AS (SELECT sum(pos * (cum - cnt + (cnt + 1) / 2.0)) AS prs,
+             sum(pos) AS p, sum(cnt) AS t
+      FROM r)
+SELECT p::BIGINT AS n_pos, (t - p)::BIGINT AS n_neg,
+       round(CASE WHEN p > 0 AND t - p > 0
+                  THEN (prs - p * (p + 1) / 2.0) / (p * (t - p)) END, 6)
+         AS auc
+FROM a
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5395,6 +5493,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "partition_overwrite": (q_partition_overwrite, _SQL_PARTITION_OVERWRITE),
     "point_in_time_join": (q_point_in_time_join, _SQL_POINT_IN_TIME_JOIN),
     "transition_counts": (q_transition_counts, _SQL_TRANSITION_COUNTS),
+    "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
+    "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
+    "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
     # --- NEW this round, second batch (graph census / weighted sampling /
     #     data quality / CMS / gap fill / fuzzy match / stream dedup) ---
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
@@ -5450,11 +5551,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # point_in_time_join + stream_left_join
     # --- oldest-evidence families rotated into the prefix for r04 (last
     #     driver-green r01/r02; VERDICT r03 rotation list) ---
-    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
-    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
+    # broadcast_hash_join / global_sort / cross_join rotated below for the
+    # fourth batch: the join family keeps five fresh in-prefix reps
+    # (stream_left_join, point_in_time_join, bucketed_join,
+    # stream_interval_join, interval_join) and range partitioning is
+    # exercised by zorder_stats + the prefix-sum machinery inside
+    # binary_auc / exact_quantiles_disc; the unique-family reps with the
+    # oldest evidence (sorted_group_apply, cogroup, scalar_functions,
+    # asof_join) stay.
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "cogroup": (q_cogroup, _SQL_COGROUP),
-    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     # --- operator-family representatives, driver-green r03, kept so core
@@ -5468,6 +5574,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
+    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
     "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),

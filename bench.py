@@ -117,6 +117,9 @@ HEADLINE = [
     "partition_overwrite",
     "point_in_time_join",
     "transition_counts",
+    "embedding_covariance",
+    "grouped_ols",
+    "binary_auc",
 ]
 
 

@@ -386,6 +386,108 @@ def ewma_smooth(
     )
 
 
+def grouped_ols(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key simple linear regression (ordinary least squares) in
+    closed form: one partially-aggregated pass computes the sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) and the slope/intercept fall out as
+    column arithmetic — thousands of independent model fits in a single
+    shuffle whose volume is |keys|, the distributed twin of
+    `GROUP BY ... regr_slope(...)`.
+
+    Output: (keys..., n, slope, intercept) rounded to 6 dp; slope NULL
+    for degenerate keys (all x equal, or a single row).
+
+    Scale: the same shape as any grouped aggregation — map-side partial
+    sums, |keys|-row shuffle, zero Python, no per-key iteration. The
+    closed form trades one pass for the cancellation hazard of
+    (nΣxy - ΣxΣy) on badly-scaled data; center x upstream if its mean
+    is huge relative to its spread.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    stats = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    den = stats["n"] * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        den != 0.0,
+        (stats["n"] * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    return stats.select(
+        *key_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / stats["n"], 6).alias(
+            "intercept"
+        ),
+    ).orderBy(*key_cols)
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of a binary classifier from (score, 0/1 label)
+    columns, at any scale, via the rank-sum (Mann-Whitney U) identity:
+
+        AUC = (Σ_{positives} avg_rank - P(P+1)/2) / (P * N)
+
+    with ties resolved by average ranks — the standard definition.
+
+    Scale shape: scores first collapse to DISTINCT values with (count,
+    positive-count) — the only pass over raw rows, a partial-aggregated
+    groupBy. Average ranks come from the distributed prefix sum over the
+    distinct-score table (range partition + broadcast offsets,
+    operators/sort.prefix_sum) — never a single-task global window. The
+    rank arithmetic is exact (integer counts and halves are exact in
+    doubles up to 2^53), so the result is bit-stable across engines.
+
+    Output: one row (n_pos, n_neg, auc), auc rounded to 6 dp and NULL
+    when a class is absent.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    g = (
+        df.select(
+            F.col(score_col).alias("__score"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("__score")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__y").alias("__pos"))
+    )
+    ranked = prefix_sum(g, [F.col("__score")], "__cnt", out="__cum").select(
+        "__pos",
+        (
+            F.col("__cum") - F.col("__cnt") + (F.col("__cnt") + F.lit(1)) / 2.0
+        ).alias("__avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__pos") * F.col("__avg_rank")).alias("__prs"),
+        F.sum("__pos").alias("__p"),
+    )
+    totals = g.agg(F.sum("__cnt").alias("__t"))
+    out = agg.crossJoin(F.broadcast(totals))
+    p = F.col("__p")
+    n = F.col("__t") - p
+    return out.select(
+        p.alias("n_pos"),
+        n.alias("n_neg"),
+        F.round(
+            F.when(
+                (p > 0) & (n > 0),
+                (F.col("__prs") - p * (p + 1) / 2.0) / (p * n),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
 def transition_counts(
     df: DataFrame,
     key_col: str,

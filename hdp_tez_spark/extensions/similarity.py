@@ -452,3 +452,69 @@ def assign_cells(
         )
     )
     return df.withColumn("cell", (-best["neg_cid"]).cast("int"))
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Population covariance matrix of an embedding column — the input
+    to PCA whitening, Mahalanobis outlier scoring, and ZCA decorrelation
+    over a vector corpus. Output: (i, j, cov) for the upper triangle
+    (i <= j), cov rounded to 6 dp.
+
+    Scale shape: one `mapInPandas` pass emits PER-PARTITION sufficient
+    statistics — n, per-coordinate sums, and the d x d sum of outer
+    products (one numpy `X.T @ X` per Arrow batch) — so each partition
+    contributes d(d+1)/2 rows regardless of row count, and the final
+    groupBy merges |partitions| partials. Python is the right tool here
+    (a documented exception to the stay-JVM rule): the column-expression
+    alternative explodes d^2/2 cells per ROW before partial aggregation
+    (~2000x row blowup at d=64), while BLAS computes the same partials
+    in one matrix multiply per batch. Values are widened float32 ->
+    float64 BEFORE multiplying, so products are bit-identical to a SQL
+    engine computing on DOUBLE.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i int, j int, n long, s_xy double, s_x double, s_y double"
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].to_numpy()
+            if not len(vecs):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            n, d = X.shape
+            S = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "n": np.full(len(iu), n, dtype=np.int64),
+                    "s_xy": S[iu, ju],
+                    "s_x": s[iu],
+                    "s_y": s[ju],
+                }
+            )
+
+    merged = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema=schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s_xy").alias("s_xy"),
+            F.sum("s_x").alias("s_x"),
+            F.sum("s_y").alias("s_y"),
+        )
+    )
+    return merged.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("s_xy") - F.col("s_x") * F.col("s_y") / F.col("n"))
+            / F.col("n"),
+            6,
+        ).alias("cov"),
+    ).orderBy("i", "j")

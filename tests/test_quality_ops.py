@@ -266,3 +266,90 @@ def test_ngram_counts_known_text(spark):
     assert tri == {"the cat sat": 1, "the cat ran": 1}
     uni = {r.ngram: r.cnt for r in ngram_counts(df, "text", n=1).collect()}
     assert uni["cat"] == 3
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from hdp_tez_spark.extensions.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 3).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id int, embedding array<float>",
+    ).repartition(5)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding").collect()
+    }
+    C = np.cov(X.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 6  # upper triangle of 3x3
+    for (i, j), v in got.items():
+        assert v == pytest.approx(C[i, j], abs=1e-6)
+
+
+def test_grouped_ols_recovers_planted_line(spark):
+    from hdp_tez_spark.extensions.analytics import grouped_ols
+
+    rows = []
+    for k, (a, b) in {"g1": (2.0, 5.0), "g2": (-1.5, 3.0)}.items():
+        for x in range(20):
+            rows.append((k, float(x), a * x + b))
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: (r["slope"], r["intercept"]) for r in grouped_ols(df, ["k"], "x", "y").collect()}
+    assert got["g1"] == (pytest.approx(2.0), pytest.approx(5.0))
+    assert got["g2"] == (pytest.approx(-1.5), pytest.approx(3.0))
+
+
+def test_grouped_ols_degenerate_x_gives_null_slope(spark):
+    from hdp_tez_spark.extensions.analytics import grouped_ols
+
+    df = spark.createDataFrame(
+        [("k", 1.0, 2.0), ("k", 1.0, 4.0)], "k string, x double, y double"
+    )
+    row = grouped_ols(df, ["k"], "x", "y").collect()[0]
+    assert row["slope"] is None
+
+
+def test_binary_auc_perfect_and_random_and_ties(spark):
+    from hdp_tez_spark.extensions.analytics import binary_auc
+
+    # perfectly separable: AUC = 1
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 10 else 0) for i in range(20)], "s double, y int"
+    )
+    assert binary_auc(sep, "s", "y").collect()[0]["auc"] == 1.0
+    # inverted: AUC = 0
+    inv = spark.createDataFrame(
+        [(float(i), 0 if i >= 10 else 1) for i in range(20)], "s double, y int"
+    )
+    assert binary_auc(inv, "s", "y").collect()[0]["auc"] == 0.0
+    # all scores tied: average ranks give AUC = 0.5 exactly
+    tied = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(10)], "s double, y int"
+    )
+    assert binary_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_binary_auc_matches_sklearn_style_reference(spark):
+    from hdp_tez_spark.extensions.analytics import binary_auc
+
+    # hand-rolled reference: P(score_pos > score_neg) + 0.5 P(equal)
+    scores = [0.1, 0.4, 0.35, 0.8, 0.8, 0.7, 0.2, 0.35]
+    labels = [0, 0, 1, 1, 0, 1, 0, 1]
+    pairs = [
+        (sp, sn)
+        for sp, lp in zip(scores, labels) if lp == 1
+        for sn, ln in zip(scores, labels) if ln == 0
+    ]
+    ref = sum(1.0 if a > b else 0.5 if a == b else 0.0 for a, b in pairs) / len(pairs)
+    df = spark.createDataFrame(list(zip(scores, labels)), "s double, y int")
+    assert binary_auc(df, "s", "y").collect()[0]["auc"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_binary_auc_single_class_is_null(spark):
+    from hdp_tez_spark.extensions.analytics import binary_auc
+
+    df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "s double, y int")
+    assert binary_auc(df, "s", "y").collect()[0]["auc"] is None
