@@ -120,6 +120,9 @@ HEADLINE = [
     "embedding_covariance",
     "grouped_ols",
     "binary_auc",
+    "rollup_maintain",
+    "schema_evolution",
+    "csv_scan",
 ]
 
 
