@@ -5588,6 +5588,84 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling of each user's event-value series into
+    6-hour buckets (extensions/analytics.py ohlc_downsample): open/close
+    via min_by/max_by on (ts, event_id) — a SINGLE grouped aggregation
+    with associative partials, no window sort. The oracle computes
+    first/last with rank windows, proving the agg formulation equals the
+    window formulation."""
+    from hdp_tez_spark.extensions.analytics import ohlc_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = ohlc_downsample(ev, "user_id", "ts", "value", "6 hours", "event_id")
+    return out.select(
+        "user_id", "bucket_start", "open", "high", "low", "close", "n", "mean"
+    )
+
+
+_SQL_OHLC_DOWNSAMPLE = """
+WITH b AS (
+  SELECT user_id, value, ts, event_id,
+         time_bucket(INTERVAL '6 hours', ts) AS bucket_start
+  FROM events
+),
+r AS (
+  SELECT user_id, bucket_start, value,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT user_id, bucket_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n,
+       round(avg(value), 6) AS mean
+FROM r
+GROUP BY user_id, bucket_start
+ORDER BY user_id, bucket_start
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (extensions/dedup.py golden_record): cluster
+    documents by exact content hash, then compose one record per
+    cluster whose lang and source each come from the highest-
+    (n_chars, doc_id) member with that attribute present — one grouped
+    aggregation, |clusters|-row shuffle. Oracle recomputes each
+    attribute with a rank window."""
+    from hdp_tez_spark.extensions.dedup import golden_record
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "cluster_key", F.md5(F.col("text"))
+    )
+    return golden_record(
+        docs, "cluster_key", "n_chars", ["lang", "source"], "doc_id"
+    ).orderBy("cluster")
+
+
+_SQL_GOLDEN_RECORD = """
+WITH d AS (SELECT md5(text) AS cluster, lang, source, n_chars, doc_id
+           FROM documents),
+r AS (
+  SELECT cluster, lang, source,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM d
+)
+SELECT cluster, count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN lang END) AS lang,
+       max(CASE WHEN rn = 1 THEN source END) AS source
+FROM r
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5612,6 +5690,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "ohlc_downsample": (q_ohlc_downsample, _SQL_OHLC_DOWNSAMPLE),
+    "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
     "rollup_maintain": (q_rollup_maintain, _SQL_ROLLUP_MAINTAIN),
     "schema_evolution": (q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "csv_scan": (q_csv_scan, _SQL_CSV_SCAN),
@@ -5620,7 +5700,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
-    "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
     "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
     "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
     "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
@@ -5689,14 +5768,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     surface evidence stays fresh ---
     # --- r02-evidence extension families rotated in (dedup-LSH,
     #     multimodal, textstats) ---
-    # simhash rotated below for the fifth batch: dedup keeps minhash_lsh
-    # as its fresh in-prefix representative
-    "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    # simhash/minhash_lsh rotated below for the sixth batch: dedup keeps
+    # prefix_filter_join + golden_record as fresh in-prefix representatives
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     # ------------------- driver-checked prefix ends here (50) -----------------
     # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),
     "simhash": (q_simhash, _SQL_SIMHASH),

@@ -123,6 +123,8 @@ HEADLINE = [
     "rollup_maintain",
     "schema_evolution",
     "csv_scan",
+    "ohlc_downsample",
+    "golden_record",
 ]
 
 

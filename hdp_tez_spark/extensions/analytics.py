@@ -386,6 +386,49 @@ def ewma_smooth(
     )
 
 
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Open/high/low/close downsampling: collapse an irregular per-key
+    series into fixed time buckets with the bucket's first value (open),
+    extrema (high/low), last value (close), count, and mean — the
+    resolution-reduction step that turns a 100 TB tick table into a
+    queryable bar table.
+
+    Output: (key, bucket_start, open, high, low, close, n, mean).
+
+    Determinism: open/close are `min_by`/`max_by` keyed on
+    (ts, tiebreak), so timestamp ties resolve identically on every
+    engine and every retry.
+
+    Scale shape: a single grouped aggregation — map-side partial
+    min_by/max_by/min/max/sum (all algebraic), one shuffle carrying
+    |key x bucket| rows. No window sort: min_by subsumes the
+    first/last-value window at a fraction of the cost (no per-partition
+    ordering pass, and partials merge associatively).
+    """
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_start")
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    v = F.col(value_col).cast("double")
+    return (
+        df.groupBy(F.col(key_col), b)
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(v), 6).alias("mean"),
+        )
+        .orderBy(key_col, "bucket_start")
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -26,6 +26,7 @@ Scale design notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -708,6 +709,41 @@ def dedup_keep_best(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    quality_col: str,
+    value_cols: Sequence[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Survivorship / record consolidation: one merged row per cluster
+    where each attribute independently takes its value from the
+    highest-quality row in which that attribute is NON-NULL — the
+    standard golden-record rule (a low-quality row can still donate the
+    only phone number anyone has).
+
+    Output: (cluster, n_members, <value_cols...>). Ties on quality
+    resolve by `tiebreak_col` (highest wins), so the merge is
+    deterministic on every engine and retry.
+
+    Scale shape: ONE grouped aggregation — each attribute is a
+    `max_by(col, CASE WHEN col IS NOT NULL THEN (quality, tiebreak) END)`
+    whose partials merge associatively map-side, so the shuffle carries
+    |clusters| rows however wide the cluster membership is. Contrast
+    with `dedup_keep_best`, which keeps one whole WINNING ROW (window
+    rank); golden_record composes the best of every row.
+    """
+    order = F.struct(F.col(quality_col), F.col(tiebreak_col))
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order)
+            ).alias(c)
+        )
+    return df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -389,3 +389,83 @@ def test_ngram_counts_tokenizes_once(spark):
     df = E.queries()["ngram_counts"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(lower(") == 1, plan
+
+
+def test_point_in_time_join_is_hash_join_not_nested_loop(spark):
+    """The validity predicate must ride a keyed equi-join, never a
+    BroadcastNestedLoopJoin/CartesianProduct over facts x versions."""
+    df = E.queries()["point_in_time_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """Candidate generation is the prefix-token equi-join; verification
+    joins candidates back by (doc, token) — all equi, nothing nested-loop."""
+    df = E.queries()["prefix_filter_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_counts_single_window_shuffle(spark):
+    """One exchange for the keyed lag() window, one for the (src, dst)
+    partial-aggregated groupBy — and the groupBy must partial-aggregate."""
+    df = E.queries()["transition_counts"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_grouped_ols_single_aggregation_pass(spark):
+    """All five sufficient statistics ride ONE grouped aggregation —
+    exactly one hash-partitioned exchange, with map-side partial sums."""
+    df = E.queries()["grouped_ols"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ewma_single_window_sort(spark):
+    """All k lag() terms share one window sort: a single hash exchange
+    on the key, no Python evaluation anywhere."""
+    df = E.queries()["ewma"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan  # pure JVM expression tree
+
+
+def test_binary_auc_no_global_window(spark):
+    """Average ranks come from the range-partitioned prefix sum — the
+    plan must not contain an empty-partition global window (the funnel)."""
+    df = E.queries()["binary_auc"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # Window.orderBy with no partitionBy renders as 'Window [...], [x ASC...]'
+    # after an Exchange SinglePartition over the FULL data; the offsets
+    # table (one row per range partition) is the only single-partition hop
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_partial_merge(spark):
+    """The d x d partials merge through a partial-aggregated groupBy;
+    the Arrow pass is the only Python stage."""
+    df = E.queries()["embedding_covariance"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan
+
+
+def test_bfs_frontier_join_is_equi(spark):
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    sources = spark.createDataFrame([(1,)], "node int")
+    df = bfs_distances(edges, sources, max_hops=2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -353,3 +353,70 @@ def test_binary_auc_single_class_is_null(spark):
 
     df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "s double, y int")
     assert binary_auc(df, "s", "y").collect()[0]["auc"] is None
+
+
+def test_ohlc_downsample_hand_rolled(spark):
+    from hdp_tez_spark.extensions.analytics import ohlc_downsample
+
+    rows = [
+        ("k", "2024-01-01 00:05:00", 1, 5.0),
+        ("k", "2024-01-01 00:10:00", 2, 9.0),
+        ("k", "2024-01-01 00:50:00", 3, 2.0),
+        ("k", "2024-01-01 01:10:00", 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id int, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["bucket_start"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc_downsample(df, "k", "ts", "v", "1 hour", "id").collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (5.0, 9.0, 2.0, 2.0, 3)
+    assert out["2024-01-01 01:00:00"] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_ohlc_downsample_tie_resolves_by_tiebreak(spark):
+    from hdp_tez_spark.extensions.analytics import ohlc_downsample
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", 2, 8.0),  # same ts: id decides
+        ("k", "2024-01-01 00:00:00", 1, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id int, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    r = ohlc_downsample(df, "k", "ts", "v", "1 hour", "id").collect()[0]
+    assert (r["open"], r["close"]) == (3.0, 8.0)
+
+
+def test_golden_record_attribute_wise_survivorship(spark):
+    from hdp_tez_spark.extensions.dedup import golden_record
+
+    rows = [
+        # best-quality row is missing the phone; lower-quality row donates it
+        (1, 10, 100, "alice@x.com", None),
+        (1, 20, 90, None, "555-1234"),
+        (2, 30, 50, "bob@x.com", "555-9999"),
+    ]
+    df = spark.createDataFrame(rows, "c int, id int, q int, email string, phone string")
+    got = {
+        r["cluster"]: (r["n_members"], r["email"], r["phone"])
+        for r in golden_record(df, "c", "q", ["email", "phone"], "id").collect()
+    }
+    assert got == {1: (2, "alice@x.com", "555-1234"), 2: (1, "bob@x.com", "555-9999")}
+
+
+def test_golden_record_quality_tie_uses_tiebreak(spark):
+    from hdp_tez_spark.extensions.dedup import golden_record
+
+    rows = [(1, 1, 5, "low-id"), (1, 2, 5, "high-id")]
+    df = spark.createDataFrame(rows, "c int, id int, q int, name string")
+    r = golden_record(df, "c", "q", ["name"], "id").collect()[0]
+    assert r["name"] == "high-id"
+
+
+def test_golden_record_all_null_attribute_stays_null(spark):
+    from hdp_tez_spark.extensions.dedup import golden_record
+
+    df = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, 9, None)], "c int, id int, q int, name string"
+    )
+    assert golden_record(df, "c", "q", ["name"], "id").collect()[0]["name"] is None
