@@ -5666,6 +5666,131 @@ ORDER BY cluster
 """
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 control-chart z-scores of each user's event values
+    (extensions/analytics.py rolling_zscore): baseline excludes the
+    current row; one keyed window sort drives both frame aggregates.
+    Returns only flagged rows (|z| > 2) so the result is the anomaly
+    report, not the full stream."""
+    from hdp_tez_spark.extensions.analytics import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    z = rolling_zscore(
+        ev, "user_id", ["ts", "event_id"], "value", k=20, min_periods=5
+    )
+    return z.where(F.abs(F.col("zscore")) > 2).select(
+        "user_id", "event_id", "value", "zscore"
+    )
+
+
+_SQL_ROLLING_ZSCORE = """
+WITH f AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS m,
+         greatest(avg(value * value) OVER w
+                    - avg(value) OVER w * avg(value) OVER w, 0)
+           AS var
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value,
+       round((value - m) / sqrt(var), 6) AS zscore
+FROM f
+WHERE n >= 5 AND var > 0 AND abs((value - m) / sqrt(var)) > 2
+"""
+
+
+def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 spenders: tumbling-day aggregation composed with a
+    ranked window (the grouped-topk pattern over time buckets). Rank is
+    row_number ordered by (total DESC, user) — deterministic under
+    ties; the per-day window partitions by day, so no global funnel."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("total").desc(), F.col("user_id"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("day", "user_id", "total", "rnk")
+        .orderBy("day", "rnk")
+    )
+
+
+_SQL_WINDOWED_TOPK = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+         round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT day, user_id, total,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY total DESC, user_id) AS rnk
+  FROM daily
+)
+SELECT day, user_id, total, rnk FROM r WHERE rnk <= 3
+ORDER BY day, rnk
+"""
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-overlap estimation (operators/aggregates.py
+    hll_set_overlap): how many users both click AND purchase, from two
+    single-sketch collapses + inclusion-exclusion — no key shuffle. Like
+    approx_distinct, the driver-checkable contract is the ERROR BOUND:
+    the query returns the exact counts plus booleans asserting each
+    estimate landed within tolerance; the oracle expects all TRUE."""
+    from hdp_tez_spark.operators.aggregates import hll_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    est = hll_set_overlap(clicks, purch, "user_id")
+    exact = (
+        clicks.agg(F.countDistinct("user_id").alias("exact_a"))
+        .crossJoin(purch.agg(F.countDistinct("user_id").alias("exact_b")))
+        .crossJoin(
+            clicks.intersect(purch).agg(
+                F.count(F.lit(1)).alias("exact_inter")
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        (F.abs(F.col("est_a") - F.col("exact_a")) / F.col("exact_a") < 0.1).alias(
+            "a_within_tol"
+        ),
+        (F.abs(F.col("est_b") - F.col("exact_b")) / F.col("exact_b") < 0.1).alias(
+            "b_within_tol"
+        ),
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_inter"))
+            / F.greatest(F.col("exact_inter"), F.lit(1))
+            < 0.25
+        ).alias("inter_within_tol"),
+    )
+
+
+_SQL_HLL_OVERLAP = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM c) AS exact_a,
+       (SELECT count(*) FROM p) AS exact_b,
+       (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+         AS exact_inter,
+       TRUE AS a_within_tol, TRUE AS b_within_tol, TRUE AS inter_within_tol
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5690,6 +5815,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
+    "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
+    "hll_overlap": (q_hll_overlap, _SQL_HLL_OVERLAP),
     "ohlc_downsample": (q_ohlc_downsample, _SQL_OHLC_DOWNSAMPLE),
     "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
     "rollup_maintain": (q_rollup_maintain, _SQL_ROLLUP_MAINTAIN),
@@ -5711,8 +5839,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
     "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
-    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
-    "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
@@ -5726,7 +5852,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
-    "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
@@ -5776,6 +5901,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),
+    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
+    "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),
     "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "interval_join": (q_interval_join, _SQL_INTERVAL_JOIN),

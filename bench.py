@@ -125,6 +125,9 @@ HEADLINE = [
     "csv_scan",
     "ohlc_downsample",
     "golden_record",
+    "rolling_zscore",
+    "windowed_topk",
+    "hll_overlap",
 ]
 
 

@@ -386,6 +386,49 @@ def ewma_smooth(
     )
 
 
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    k: int = 20,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Trailing-window anomaly score per key: how many standard
+    deviations the current value sits from the mean of the PREVIOUS `k`
+    observations (current row excluded, so a spike can't dilute its own
+    baseline — the control-chart convention). Rows with fewer than
+    `min_periods` predecessors, or a degenerate (zero-variance)
+    baseline, score NULL.
+
+    Output: (key, order..., value, zscore) — zscore rounded to 6 dp.
+
+    Scale shape: one shuffle on the key drives a single window sort;
+    mean and variance come from two frame aggregates (Σx, Σx²) over the
+    same rows-frame, var = E[x²] − E[x]² clamped at 0 against float
+    cancellation. Pure JVM expressions, memory independent of series
+    length — the streaming-friendly baseline formulation.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-k, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    var = F.greatest(F.avg(v * v).over(w) - mean * mean, F.lit(0.0))
+    z = F.when(
+        (n >= min_periods) & (var > 0), (v - mean) / F.sqrt(var)
+    )
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col),
+        F.round(z, 6).alias("zscore"),
+    )
+
+
 def ohlc_downsample(
     df: DataFrame,
     key_col: str,

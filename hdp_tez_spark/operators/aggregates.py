@@ -140,6 +140,44 @@ def hll_rollup(sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def hll_set_overlap(
+    a: DataFrame, b: DataFrame, col: str
+) -> DataFrame:
+    """Set-overlap estimation from mergeable HLL sketches: |A|, |B|,
+    |A ∪ B| directly from sketch union, and |A ∩ B| by
+    inclusion-exclusion — the constant-memory way to ask "how many users
+    appear in both of these 100 TB event streams" without shuffling
+    either key set.
+
+    Output: ONE row (est_a, est_b, est_union, est_intersection) of
+    double estimates. Each input collapses to a single sketch
+    (partial-aggregated, bytes not keys move); the final union merges
+    two sketch rows. Inclusion-exclusion compounds the sketches' rsd,
+    so small true intersections disappear into the noise — the driver
+    query pins the error contract against exact counts.
+    """
+    sa = a.agg(F.hll_sketch_agg(col).alias("sk"))
+    sb = b.agg(F.hll_sketch_agg(col).alias("sk"))
+    both = sa.unionByName(sb)
+    u = both.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    ea = sa.select(F.hll_sketch_estimate("sk").alias("est_a"))
+    eb = sb.select(F.hll_sketch_estimate("sk").alias("est_b"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
 def grouping_sets_agg(
     df: DataFrame,
     sets: Sequence[Sequence[str]],

@@ -420,3 +420,42 @@ def test_golden_record_all_null_attribute_stays_null(spark):
         [(1, 1, 5, None), (1, 2, 9, None)], "c int, id int, q int, name string"
     )
     assert golden_record(df, "c", "q", ["name"], "id").collect()[0]["name"] is None
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from hdp_tez_spark.extensions.analytics import rolling_zscore
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.2, 9.8, 100.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, i int, v double"
+    )
+    out = {r["i"]: r["zscore"] for r in rolling_zscore(df, "k", ["i"], "v", k=8, min_periods=5).collect()}
+    # early rows lack min_periods predecessors -> NULL
+    assert out[0] is None and out[4] is None
+    # the spike scores far above any in-baseline row
+    assert out[8] is not None and out[8] > 10
+    # normal rows near the baseline score small
+    assert abs(out[7]) < 2
+
+
+def test_rolling_zscore_constant_baseline_is_null(spark):
+    from hdp_tez_spark.extensions.analytics import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(10)], "k string, i int, v double"
+    )
+    out = rolling_zscore(df, "k", ["i"], "v", k=8, min_periods=3).collect()
+    assert all(r["zscore"] is None for r in out)  # zero variance everywhere
+
+
+def test_hll_set_overlap_estimates_near_exact_small_sets(spark):
+    from hdp_tez_spark.operators.aggregates import hll_set_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], "u long")
+    r = hll_set_overlap(a, b, "u").collect()[0]
+    # HLL is near-exact at these cardinalities
+    assert abs(r["est_a"] - 100) < 5
+    assert abs(r["est_b"] - 100) < 5
+    assert abs(r["est_union"] - 160) < 8
+    assert abs(r["est_intersection"] - 40) < 10
