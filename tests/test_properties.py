@@ -340,3 +340,131 @@ def test_dataset_diff_matches_dict_reference(spark, old, new):
         for r in dataset_diff(odf, ndf, ["k"], ["a", "b"]).collect()
     }
     assert got == expect
+
+
+graphs = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=graphs, n_sources=st.integers(1, 3), hops=st.integers(0, 4))
+@settings(**SETTINGS)
+def test_bfs_distances_matches_python_bfs(spark, edges, n_sources, hops):
+    from collections import deque
+
+    from hdp_tez_spark.extensions.graph import bfs_distances
+
+    sources = sorted({a for a, _ in edges})[:n_sources]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    sdf = spark.createDataFrame([(s,) for s in sources], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edf, sdf, max_hops=hops).collect()
+    }
+    # reference BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {s: 0 for s in sources}
+    frontier = deque(sources)
+    for d in range(1, hops + 1):
+        nxt = set()
+        while frontier:
+            u = frontier.popleft()
+            for v in adj.get(u, ()):
+                if v not in want:
+                    nxt.add(v)
+        for v in nxt:
+            want[v] = d
+        frontier = deque(nxt)
+        if not nxt:
+            break
+    assert got == want
+
+
+seqs = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30), st.sampled_from("abc")),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=seqs)
+@settings(**SETTINGS)
+def test_transition_counts_matches_python_reference(spark, rows):
+    from collections import Counter
+
+    from hdp_tez_spark.extensions.analytics import transition_counts
+
+    uniq = {(k, i): s for k, i, s in rows}  # dedupe (key, order) collisions
+    data = [(k, i, s) for (k, i), s in uniq.items()]
+    df = spark.createDataFrame(data, "k int, i int, s string")
+    got = {
+        (r["src_state"], r["dst_state"]): r["n_transitions"]
+        for r in transition_counts(df, "k", ["i"], "s").collect()
+    }
+    want = Counter()
+    bykey = {}
+    for k, i, s in data:
+        bykey.setdefault(k, []).append((i, s))
+    for k, items in bykey.items():
+        items.sort()
+        for (_, a), (_, b) in zip(items, items[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+
+
+ts_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40),
+              st.floats(-50, 50, allow_nan=False, width=32)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=ts_rows, alpha=st.sampled_from([0.2, 0.5, 0.9]), k=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_ewma_matches_python_reference(spark, rows, alpha, k):
+    from hdp_tez_spark.extensions.analytics import ewma_smooth
+
+    uniq = {(g, i): v for g, i, v in rows}
+    data = [(g, i, float(v)) for (g, i), v in uniq.items()]
+    df = spark.createDataFrame(data, "g int, i int, v double")
+    got = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in ewma_smooth(df, "g", "i", "v", alpha=alpha, k=k).collect()
+    }
+    bykey = {}
+    for g, i, v in data:
+        bykey.setdefault(g, []).append((i, v))
+    for g, items in bykey.items():
+        items.sort()
+        for t in range(len(items)):
+            window = [v for _, v in items[max(0, t - k + 1): t + 1]][::-1]
+            ws = [(1 - alpha) ** j for j in range(len(window))]
+            want = sum(w * x for w, x in zip(ws, window)) / sum(ws)
+            assert got[(g, items[t][0])] == pytest.approx(want, abs=1e-6)
+
+
+@given(rows=st.lists(
+    st.tuples(st.floats(-5, 5, allow_nan=False, width=16), st.integers(0, 1)),
+    min_size=2, max_size=40,
+))
+@settings(**SETTINGS)
+def test_binary_auc_matches_pairwise_reference(spark, rows):
+    from hdp_tez_spark.extensions.analytics import binary_auc
+
+    if not any(y for _, y in rows) or all(y for _, y in rows):
+        return  # single-class: operator returns NULL, covered elsewhere
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "s double, y int"
+    )
+    got = binary_auc(df, "s", "y").collect()[0]["auc"]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    ref = sum(
+        1.0 if a > b else 0.5 if a == b else 0.0 for a in pos for b in neg
+    ) / (len(pos) * len(neg))
+    assert got == pytest.approx(ref, abs=1e-6)

@@ -174,3 +174,37 @@ def test_insert_overwrite_partitions_restores_session_conf(spark, tmp_path):
     insert_overwrite_partitions(df, str(tmp_path / "t2"), ["part"])
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+def test_event_time_queries_immune_to_foreign_session_timezone(spark):
+    """The driver may hand the engine a session configured for any local
+    timezone; catalog.load_table pins UTC internally so every event-time
+    derivation (window buckets, epoch casts, day formatting) matches the
+    DuckDB oracle's naive-timestamp semantics regardless. Probe from the
+    verify recipe: flip the session to America/New_York, run event-time
+    queries, compare to their oracles, restore."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from hdp_tez_spark.sources.catalog import TABLES
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+            )
+        for name in ("tumbling_window", "range_frame_window", "windowed_topk"):
+            got = E.queries()[name](spark, SF_SMOKE).toPandas()
+            want = con.sql(E.oracle_sql()[name]).df()
+            got = got.reindex(sorted(got.columns), axis=1).astype(str)
+            want = want.reindex(sorted(want.columns), axis=1).astype(str)
+            assert sorted(got.apply(tuple, axis=1)) == sorted(
+                want.apply(tuple, axis=1)
+            ), name
+    finally:
+        spark.conf.set(key, prev)
