@@ -5791,6 +5791,93 @@ SELECT (SELECT count(*) FROM c) AS exact_a,
 """
 
 
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Welch t-test comparing click vs purchase event values
+    (extensions/experiments.py ab_ttest): each day's n/Σx/Σx² for both
+    arms ride ONE conditional-sum aggregation — an A/B readout over the
+    raw event stream in a single |days|-row shuffle. The oracle rebuilds
+    the identical closed-form arithmetic in SQL."""
+    from hdp_tez_spark.extensions.experiments import ab_ttest
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ab_ttest(ev, ["day"], "event_type", "value", "click", "purchase")
+
+
+def _ab_ttest_oracle_sql() -> str:
+    # mirror ab_ttest's expression tree operation-for-operation so the
+    # float arithmetic is identical
+    ma, mb = "(s_a / n_a)", "(s_b / n_b)"
+    va = f"((ss_a - n_a * {ma} * {ma}) / (n_a - 1))"
+    vb = f"((ss_b - n_b * {mb} * {mb}) / (n_b - 1))"
+    sea, seb = f"({va} / n_a)", f"({vb} / n_b)"
+    se2 = f"({sea} + {seb})"
+    ok = f"(n_a >= 2 AND n_b >= 2 AND {se2} > 0)"
+    t = f"CASE WHEN {ok} THEN ({ma} - {mb}) / sqrt({se2}) END"
+    dof = (
+        f"CASE WHEN {ok} THEN ({se2} * {se2}) / "
+        f"({sea} * {sea} / (n_a - 1) + {seb} * {seb} / (n_b - 1)) END"
+    )
+    return f"""
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS s_a,
+         sum(CASE WHEN event_type = 'click' THEN value * value END) AS ss_a,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS s_b,
+         sum(CASE WHEN event_type = 'purchase' THEN value * value END) AS ss_b
+  FROM events GROUP BY 1
+)
+SELECT day, n_a, n_b,
+       round({ma}, 6) AS mean_a, round({mb}, 6) AS mean_b,
+       round({t}, 6) AS t_stat, round({dof}, 6) AS dof
+FROM s ORDER BY day
+"""
+
+
+_SQL_AB_TTEST = _ab_ttest_oracle_sql()
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square for independence of event_type and user
+    parity (extensions/experiments.py chi_square_independence):
+    contingency cells from one partial-agg pass, marginals re-derived
+    from the cells, ABSENT cells re-materialized from the marginal grid
+    so their expected mass counts. Everything after the first pass is
+    O(r x c)."""
+    from hdp_tez_spark.extensions.experiments import chi_square_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    )
+    return chi_square_independence(ev, "event_type", "cohort")
+
+
+_SQL_CHI_SQUARE = """
+WITH cells AS (
+  SELECT event_type AS r, user_id % 2 AS c, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT r, sum(o)::BIGINT AS rt FROM cells GROUP BY r),
+ct AS (SELECT c, sum(o)::BIGINT AS ct FROM cells GROUP BY c),
+n AS (SELECT sum(o)::BIGINT AS n FROM cells),
+grid AS (
+  SELECT rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+)
+SELECT round(sum((o - rt::DOUBLE * ct::DOUBLE / n.n::DOUBLE)
+                 * (o - rt::DOUBLE * ct::DOUBLE / n.n::DOUBLE)
+                 / (rt::DOUBLE * ct::DOUBLE / n.n::DOUBLE)), 6) AS chi2,
+       ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+         AS dof,
+       max(n.n) AS n
+FROM grid, n
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5815,6 +5902,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
+    "chi_square": (q_chi_square, _SQL_CHI_SQUARE),
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "hll_overlap": (q_hll_overlap, _SQL_HLL_OVERLAP),
@@ -5828,7 +5917,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
-    "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
     "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
     "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
     "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
@@ -5838,7 +5926,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
     "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
-    "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
@@ -5901,6 +5988,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
+    "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
     "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),
     "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     "ngram_counts": (q_ngram_counts, _SQL_NGRAM_COUNTS),

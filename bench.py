@@ -128,6 +128,8 @@ HEADLINE = [
     "rolling_zscore",
     "windowed_topk",
     "hll_overlap",
+    "ab_ttest",
+    "chi_square",
 ]
 
 

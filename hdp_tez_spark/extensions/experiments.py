@@ -1,0 +1,130 @@
+"""Experimentation / statistical-testing operators.
+
+Beyond-reference extension: the A/B-readout aggregations every
+event-pipeline owner eventually hand-writes, built as single-pass
+sufficient-statistic aggregations (the `grouped_ols` shape) so a test
+over 100 TB of raw events is one partial-aggregated shuffle of
+|experiments x arms| rows.
+
+Both operators return TEST STATISTICS (t, chi-square), not p-values:
+converting to a p-value needs the t / chi-square CDF, which is neither a
+Spark built-in nor ANSI SQL — callers threshold the statistic (|t| >
+1.96 ~ p < 0.05 for large samples) or feed it to scipy driver-side.
+Keeping the output at the statistic also keeps every number
+oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ab_ttest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test per experiment group: compares
+    `value_col` between two arms with
+
+        t = (mean_a - mean_b) / sqrt(s2_a/n_a + s2_b/n_b)
+
+    (s2 = unbiased sample variance) plus the Welch-Satterthwaite
+    degrees of freedom. Output per group:
+    (group..., n_a, n_b, mean_a, mean_b, t_stat, dof), rounded to 6 dp;
+    t/dof NULL for degenerate arms (n < 2 or zero variance on both).
+
+    Scale shape: ONE grouped aggregation over the raw rows — each arm's
+    n, Σx, Σx² ride conditional partial sums, so the shuffle carries
+    |groups| rows. No per-arm scan, no pivot, no Python.
+    """
+    v = F.col(value_col).cast("double")
+    is_a = F.col(arm_col) == arm_a
+    is_b = F.col(arm_col) == arm_b
+
+    def _sums(pred, suffix):
+        return [
+            F.count(F.when(pred, 1)).alias(f"n_{suffix}"),
+            F.sum(F.when(pred, v)).alias(f"s_{suffix}"),
+            F.sum(F.when(pred, v * v)).alias(f"ss_{suffix}"),
+        ]
+
+    stats = df.groupBy(*group_cols).agg(*_sums(is_a, "a"), *_sums(is_b, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("s_a") / na
+    mb = F.col("s_b") / nb
+    # unbiased sample variance from sums: (Σx² − n·mean²) / (n−1)
+    va = (F.col("ss_a") - na * ma * ma) / (na - 1)
+    vb = (F.col("ss_b") - nb * mb * mb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when((na >= 2) & (nb >= 2) & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        (na >= 2) & (nb >= 2) & (se2 > 0),
+        (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+    )
+    return stats.select(
+        *group_cols,
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    ).orderBy(*group_cols)
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns: builds the contingency table, the expected counts under
+    independence (row_total * col_total / N), and Σ (O−E)²/E.
+
+    Output: ONE row (chi2, dof, n) — chi2 rounded to 6 dp,
+    dof = (rows−1)(cols−1).
+
+    Scale shape: one partial-aggregated groupBy builds the contingency
+    cells (|r×c| rows); marginals derive from the CELLS, not a second
+    raw scan. The full r×c grid is rebuilt from the marginals (cross
+    join of two tiny total tables) so ABSENT combinations still
+    contribute their expected mass — omitting zero cells understates
+    the statistic. Total work after the first pass is O(r×c),
+    independent of row count. Marginal products are computed in
+    float64: at 10^12 rows an int64 row_total*col_total would overflow.
+    """
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+        ).agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_tot = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    col_tot = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    n = cells.agg(F.sum("__o").alias("__n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(cells, ["__r", "__c"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    contrib = (F.col("__o") - e) * (F.col("__o") - e) / e
+    return grid.agg(
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col("__r")) - 1)
+            * (F.count_distinct(F.col("__c")) - 1)
+        ).alias("dof"),
+        F.max("__n").alias("n"),
+    )

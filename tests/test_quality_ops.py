@@ -459,3 +459,61 @@ def test_hll_set_overlap_estimates_near_exact_small_sets(spark):
     assert abs(r["est_b"] - 100) < 5
     assert abs(r["est_union"] - 160) < 8
     assert abs(r["est_intersection"] - 40) < 10
+
+
+def test_ab_ttest_matches_scipy_style_welch(spark):
+    import math
+
+    from hdp_tez_spark.extensions.experiments import ab_ttest
+
+    a = [10.1, 9.8, 10.5, 10.0, 9.7, 10.3]
+    b = [11.0, 11.4, 10.9, 11.2]
+    rows = [("e", "A", v) for v in a] + [("e", "B", v) for v in b]
+    df = spark.createDataFrame(rows, "exp string, arm string, v double")
+    r = ab_ttest(df, ["exp"], "arm", "v", "A", "B").collect()[0]
+    # hand-rolled Welch reference
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["dof"] == pytest.approx(dof, abs=1e-5)
+
+
+def test_ab_ttest_degenerate_arm_gives_null(spark):
+    from hdp_tez_spark.extensions.experiments import ab_ttest
+
+    df = spark.createDataFrame(
+        [("e", "A", 1.0), ("e", "B", 2.0), ("e", "B", 3.0)],
+        "exp string, arm string, v double",
+    )
+    r = ab_ttest(df, ["exp"], "arm", "v", "A", "B").collect()[0]
+    assert r["t_stat"] is None and r["dof"] is None
+
+
+def test_chi_square_independent_counts_score_zero(spark):
+    from hdp_tez_spark.extensions.experiments import chi_square_independence
+
+    # perfectly proportional table -> expected == observed -> chi2 == 0
+    rows = []
+    for r_, c_, cnt in [("x", 0, 10), ("x", 1, 20), ("y", 0, 20), ("y", 1, 40)]:
+        rows += [(r_, c_)] * cnt
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out["chi2"] == 0.0 and out["dof"] == 1 and out["n"] == 90
+
+
+def test_chi_square_counts_absent_cells_expected_mass(spark):
+    from hdp_tez_spark.extensions.experiments import chi_square_independence
+
+    # ('y', 1) never occurs; its expected mass must still contribute
+    rows = [("x", 0)] * 5 + [("x", 1)] * 5 + [("y", 0)] * 10
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    # reference: O = [[5,5],[10,0]]; E = [[7.5,2.5],[7.5,2.5]]
+    ref = (5-7.5)**2/7.5 + (5-2.5)**2/2.5 + (10-7.5)**2/7.5 + (0-2.5)**2/2.5
+    assert out["chi2"] == pytest.approx(ref, abs=1e-6)
