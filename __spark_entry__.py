@@ -5878,6 +5878,121 @@ FROM grid, n
 """
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's ACTIVE DAYS
+    (extensions/analytics.py gaps_and_islands): contiguous runs of
+    days-since-epoch collapse via the seq - row_number() anchor — one
+    window sort, one reusing aggregation, no self-join. The contiguity
+    audit behind outage windows and engagement streaks."""
+    from hdp_tez_spark.extensions.analytics import gaps_and_islands
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "active_day"
+        ),
+    )
+    return gaps_and_islands(ev, "user_id", "active_day")
+
+
+_SQL_GAPS_ISLANDS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS s
+  FROM events
+),
+a AS (
+  SELECT user_id, s,
+         s - row_number() OVER (PARTITION BY user_id ORDER BY s) AS anchor
+  FROM d
+)
+SELECT user_id, min(s) AS island_start, max(s) AS island_end,
+       count(*) AS n_values
+FROM a GROUP BY user_id, anchor
+ORDER BY user_id, island_start
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of extendedprice at [p05, p95]
+    (extensions/analytics.py winsorize): exact grouped percentiles make
+    a |keys|-row bounds table, broadcast back, clip as a column
+    expression. Returns per-group stats of the clipped column —
+    bounded means for heavy-tailed metrics."""
+    from hdp_tez_spark.extensions.analytics import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("clipped"), 6).alias("clipped_mean"),
+            F.round(F.min("clipped"), 6).alias("clipped_min"),
+            F.round(F.max("clipped"), 6).alias("clipped_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_WINSORIZE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+),
+c AS (
+  SELECT l.l_returnflag,
+         least(greatest(l.l_extendedprice, b.lo), b.hi) AS clipped
+  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag, count(*) AS n,
+       round(avg(clipped), 6) AS clipped_mean,
+       round(min(clipped), 6) AS clipped_min,
+       round(max(clipped), 6) AS clipped_max
+FROM c GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas of total event value: tumbling-day
+    aggregation then lag() on the |days|-row result — the window is
+    global but runs AFTER the data collapsed to one row per day, so the
+    single-partition hop moves ~30 rows, not the stream (the legitimate
+    use of an unpartitioned window)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn("prev_total", F.lag("total").over(w))
+        .withColumn(
+            "pct_change",
+            F.round(
+                (F.col("total") - F.col("prev_total")) / F.col("prev_total"),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_PERIOD_OVER_PERIOD = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, total,
+       lag(total) OVER (ORDER BY day) AS prev_total,
+       round((total - lag(total) OVER (ORDER BY day))
+               / lag(total) OVER (ORDER BY day), 6) AS pct_change
+FROM daily ORDER BY day
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -5902,6 +6017,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
+    "winsorize": (q_winsorize, _SQL_WINSORIZE),
+    "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),
     "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
     "chi_square": (q_chi_square, _SQL_CHI_SQUARE),
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
@@ -5918,14 +6036,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
     "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
-    "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
     "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
     "approx_percentile_bound": (
         q_approx_percentile_bound,
         _SQL_APPROX_PERCENTILE_BOUND,
     ),
-    "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
-    "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
@@ -5988,6 +6103,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
+    "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
+    "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT_RETENTION),
     "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
     "approx_distinct": (q_approx_distinct, _SQL_APPROX_DISTINCT),

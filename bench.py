@@ -130,6 +130,9 @@ HEADLINE = [
     "hll_overlap",
     "ab_ttest",
     "chi_square",
+    "gaps_islands",
+    "winsorize",
+    "period_over_period",
 ]
 
 

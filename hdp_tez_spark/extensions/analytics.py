@@ -386,6 +386,81 @@ def ewma_smooth(
     )
 
 
+def gaps_and_islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Collapse each key's integer sequence values into maximal
+    contiguous runs ("islands") — the classic gaps-and-islands idiom
+    behind missing-id detection, outage-window reconstruction, and
+    contiguity audits. Output: (key, island_start, island_end, n_values)
+    — one row per run; a gap is the space between consecutive islands.
+
+    The trick is pure window algebra: within a key, `seq - row_number()`
+    is constant exactly along a contiguous run, so grouping by that
+    anchor collapses each island with an ordinary aggregation — no
+    iteration, no self-join.
+
+    Scale shape: one shuffle on the key (window sort), then a grouped
+    aggregation that reuses the same partitioning (Catalyst collapses
+    the second exchange). Duplicate sequence values within a key must
+    be deduplicated upstream — row_number over duplicates would split
+    runs nondeterministically, so this operator distincts (key, seq)
+    first and documents it.
+    """
+    d = df.select(
+        F.col(key_col).alias("__k"), F.col(seq_col).cast("long").alias("__s")
+    ).distinct()
+    w = Window.partitionBy("__k").orderBy("__s")
+    anchored = d.withColumn("__anchor", F.col("__s") - F.row_number().over(w))
+    return (
+        anchored.groupBy("__k", "__anchor")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__s").alias("island_end"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            F.col("__k").alias(key_col), "island_start", "island_end", "n_values"
+        )
+        .orderBy(key_col, "island_start")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-key winsorization: clip `value_col` to that key's [lower,
+    upper] exact percentiles — the standard outlier-taming transform
+    before averaging heavy-tailed metrics. Returns the input rows with
+    a `clipped` column (original order-agnostic).
+
+    Scale shape: one grouped exact-percentile aggregation produces a
+    |keys|-row bounds table (Spark's percentile() is a single-pass
+    grouped aggregate); the bounds broadcast-join back onto the rows
+    and the clip is a pure column expression. Raw rows are scanned
+    twice but shuffled only once (the percentile agg); the join side is
+    |keys| rows, never the data.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {lower!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper!r})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), key_col)
+        .withColumn(
+            "clipped", F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     key_col: str,

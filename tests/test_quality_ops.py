@@ -517,3 +517,45 @@ def test_chi_square_counts_absent_cells_expected_mass(spark):
     # reference: O = [[5,5],[10,0]]; E = [[7.5,2.5],[7.5,2.5]]
     ref = (5-7.5)**2/7.5 + (5-2.5)**2/2.5 + (10-7.5)**2/7.5 + (0-2.5)**2/2.5
     assert out["chi2"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_gaps_and_islands_hand_rolled(spark):
+    from hdp_tez_spark.extensions.analytics import gaps_and_islands
+
+    rows = [(1, s) for s in [1, 2, 3, 7, 8, 12]] + [(2, s) for s in [5]]
+    df = spark.createDataFrame(rows, "k int, s int")
+    got = [
+        (r["k"], r["island_start"], r["island_end"], r["n_values"])
+        for r in gaps_and_islands(df, "k", "s").collect()
+    ]
+    assert got == [(1, 1, 3, 3), (1, 7, 8, 2), (1, 12, 12, 1), (2, 5, 5, 1)]
+
+
+def test_gaps_and_islands_dedupes_sequence_values(spark):
+    from hdp_tez_spark.extensions.analytics import gaps_and_islands
+
+    df = spark.createDataFrame(
+        [(1, 4), (1, 4), (1, 5)], "k int, s int"
+    )
+    got = [
+        (r["island_start"], r["island_end"], r["n_values"])
+        for r in gaps_and_islands(df, "k", "s").collect()
+    ]
+    assert got == [(4, 5, 2)]
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from hdp_tez_spark.extensions.analytics import winsorize
+
+    vals = list(range(1, 101))  # 1..100 per group
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, v double"
+    )
+    out = winsorize(df, "k", "v", 0.10, 0.90).select("clipped").collect()
+    clipped = sorted(r["clipped"] for r in out)
+    # exact percentile of 1..100 at 0.10 is 10.9; at 0.90 is 90.1
+    assert clipped[0] == pytest.approx(10.9)
+    assert clipped[-1] == pytest.approx(90.1)
+    assert len(clipped) == 100  # row count preserved
+    # interior values untouched
+    assert 50.0 in clipped
