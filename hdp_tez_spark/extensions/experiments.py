@@ -103,7 +103,11 @@ def chi_square_independence(
     cells = (
         df.groupBy(
             F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
-        ).agg(F.count(F.lit(1)).alias("__o"))
+        )
+        .agg(F.count(F.lit(1)).alias("__o"))
+        # four consumers (marginals, N, grid) — checkpoint the |r x c|-row
+        # cell table so the raw input is scanned ONCE, not once per use
+        .localCheckpoint()
     )
     row_tot = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
     col_tot = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))

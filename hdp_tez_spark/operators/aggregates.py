@@ -156,8 +156,10 @@ def hll_set_overlap(
     so small true intersections disappear into the noise — the driver
     query pins the error contract against exact counts.
     """
-    sa = a.agg(F.hll_sketch_agg(col).alias("sk"))
-    sb = b.agg(F.hll_sketch_agg(col).alias("sk"))
+    # each 1-row sketch feeds both the union and its own estimate —
+    # checkpoint so each input is scanned once, not once per consumer
+    sa = a.agg(F.hll_sketch_agg(col).alias("sk")).localCheckpoint()
+    sb = b.agg(F.hll_sketch_agg(col).alias("sk")).localCheckpoint()
     both = sa.unionByName(sb)
     u = both.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")

@@ -469,3 +469,61 @@ def test_bfs_frontier_join_is_equi(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_aggregation_no_window(spark):
+    """open/close ride min_by/max_by partials inside ONE grouped agg —
+    the plan must contain no Window operator and partial aggregates."""
+    df = E.queries()["ohlc_downsample"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_golden_record_single_aggregation(spark):
+    df = E.queries()["golden_record"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_rolling_zscore_one_window_sort(spark):
+    df = E.queries()["rolling_zscore"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # both frame aggregates share one Window over one exchange
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winsorize_broadcasts_bounds_table(spark):
+    df = E.queries()["winsorize"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # |keys|-row bounds side
+    assert "CartesianProduct" not in plan
+
+
+def test_chi_square_single_raw_scan_shape(spark):
+    """Marginals derive from the checkpointed cell table: the final
+    plan reads ONLY the |r x c|-row checkpoint (ExistingRDD), never the
+    raw parquet — the raw scan happened exactly once, at checkpoint
+    materialization."""
+    df = E.queries()["chi_square"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ab_ttest_single_aggregation_pass(spark):
+    df = E.queries()["ab_ttest"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gaps_islands_reuses_window_partitioning(spark):
+    """The island-collapse groupBy must reuse the window's hash
+    partitioning — one exchange total, not two."""
+    df = E.queries()["gaps_islands"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # distinct + window/agg
+    assert "Window" in plan
