@@ -5993,6 +5993,88 @@ FROM daily ORDER BY day
 """
 
 
+def q_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for each event type's
+    high-value-event rate (value > 10), via extensions/experiments.py
+    proportion_ci: one (n, successes) aggregation, closed-form interval
+    on the |groups|-row result. Oracle mirrors the arithmetic with the
+    identical z constants."""
+    from hdp_tez_spark.extensions.experiments import proportion_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 10).cast("int").alias("hi")
+    )
+    return proportion_ci(ev, ["event_type"], "hi")
+
+
+def _proportion_ci_oracle_sql(z: float = 1.959963984540054) -> str:
+    z2 = z * z
+    n, p = "CAST(n AS DOUBLE)", "(successes / CAST(n AS DOUBLE))"
+    denom = f"(1.0 + {z2!r} / {n})"
+    center = f"(({p} + {z2!r} / (2.0 * {n})) / {denom})"
+    half = (
+        f"({z!r} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z2!r} / (4.0 * {n} * {n})) / {denom})"
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN value > 10 THEN 1 ELSE 0 END)::BIGINT AS successes
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, successes,
+       round({p}, 6) AS rate,
+       round({center} - {half}, 6) AS ci_lo,
+       round({center} + {half}, 6) AS ci_hi
+FROM s ORDER BY event_type
+"""
+
+
+_SQL_PROPORTION_CI = _proportion_ci_oracle_sql()
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction per returnflag: extendedprice adjusted
+    by the quantity covariate (extensions/experiments.py cuped_adjust)
+    — theta, adjusted variance, and the achieved reduction from one
+    sufficient-statistics pass, via var(y-θx) = var(y) − cov²/var(x)."""
+    from hdp_tez_spark.extensions.experiments import cuped_adjust
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cuped_adjust(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+_SQL_CUPED = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_quantity::DOUBLE) AS sx,
+         sum(l_extendedprice::DOUBLE) AS sy,
+         sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+         sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+         sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+         sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS var_x,
+         syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS var_y,
+         sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov
+  FROM s
+)
+SELECT l_returnflag, n,
+       round(CASE WHEN var_x > 0 THEN cov / var_x END, 6) AS theta,
+       round(my, 6) AS mean_raw,
+       round(var_y, 6) AS var_raw,
+       round(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x
+                  ELSE var_y END, 6) AS var_adj,
+       round(CASE WHEN var_x > 0 AND var_y > 0
+                  THEN 1.0 - (var_y - cov * cov / var_x) / var_y
+                  ELSE 0.0 END, 6) AS var_reduction
+FROM m ORDER BY l_returnflag
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6017,6 +6099,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
+    "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "winsorize": (q_winsorize, _SQL_WINSORIZE),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),
@@ -6035,8 +6119,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
-    "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
-    "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
     "approx_percentile_bound": (
         q_approx_percentile_bound,
         _SQL_APPROX_PERCENTILE_BOUND,
@@ -6103,6 +6185,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
+    "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
     "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),
     "dataset_diff": (q_dataset_diff, _SQL_DATASET_DIFF),
     "key_skew_stats": (q_key_skew_stats, _SQL_KEY_SKEW_STATS),

@@ -133,6 +133,8 @@ HEADLINE = [
     "gaps_islands",
     "winsorize",
     "period_over_period",
+    "proportion_ci",
+    "cuped",
 ]
 
 

@@ -81,6 +81,108 @@ def ab_ttest(
     ).orderBy(*group_cols)
 
 
+def proportion_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group success
+    proportion (0/1 `success_col`) — the interval that behaves at small
+    n and extreme rates where the naive normal interval collapses or
+    escapes [0, 1]. Default z is the two-sided 95% quantile.
+
+    Output: (group..., n, successes, rate, ci_lo, ci_hi) rounded to
+    6 dp.
+
+    Scale shape: (n, successes) is one partial-aggregated groupBy; the
+    interval is closed-form column arithmetic on the |groups|-row
+    result. The standard conversion-rate readout over raw event
+    streams in a single shuffle.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return stats.select(
+        *group_cols,
+        "n",
+        "successes",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy(*group_cols)
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction: adjust a metric by a pre-experiment
+    covariate, y_adj = y - theta * (x - mean(x)), with
+    theta = cov(x, y) / var(x) estimated per group from one pass of
+    sufficient statistics. Reports the variance-reduction factor
+    (1 - rho^2) actually achieved — the fraction of metric variance the
+    covariate failed to explain.
+
+    Output: (group..., n, theta, mean_raw, var_raw, var_adj,
+    var_reduction) rounded to 6 dp; theta NULL when var(x) is 0.
+
+    The adjusted per-row values are recoverable map-side by joining the
+    |groups|-row theta table back (broadcast) — this operator returns
+    the group-level readout, which is what an experiment dashboard
+    consumes.
+
+    Scale shape: identical to `grouped_ols` — n, Σx, Σy, Σxy, Σx², Σy²
+    in one partial-aggregated pass; everything else is column
+    arithmetic on |groups| rows. var_adj uses the identity
+    var(y - θx) = var(y) - cov² / var(x) (population moments), so no
+    second pass over the rows is needed.
+    """
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("__sx") / n
+    my = F.col("__sy") / n
+    var_x = F.col("__sxx") / n - mx * mx
+    var_y = F.col("__syy") / n - my * my
+    cov = F.col("__sxy") / n - mx * my
+    theta = F.when(var_x > 0, cov / var_x)
+    var_adj = F.when(var_x > 0, var_y - cov * cov / var_x).otherwise(var_y)
+    reduction = F.when(
+        (var_x > 0) & (var_y > 0), 1.0 - (var_y - cov * cov / var_x) / var_y
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        *group_cols,
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(my, 6).alias("mean_raw"),
+        F.round(var_y, 6).alias("var_raw"),
+        F.round(var_adj, 6).alias("var_adj"),
+        F.round(reduction, 6).alias("var_reduction"),
+    ).orderBy(*group_cols)
+
+
 def chi_square_independence(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:

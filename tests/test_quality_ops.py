@@ -559,3 +559,61 @@ def test_winsorize_clips_to_group_bounds(spark):
     assert len(clipped) == 100  # row count preserved
     # interior values untouched
     assert 50.0 in clipped
+
+
+def test_proportion_ci_matches_wilson_reference(spark):
+    import math
+
+    from hdp_tez_spark.extensions.experiments import proportion_ci
+
+    df = spark.createDataFrame(
+        [("g", 1)] * 8 + [("g", 0)] * 12, "k string, s int"
+    )
+    r = proportion_ci(df, ["k"], "s").collect()[0]
+    z = 1.959963984540054
+    n, p = 20, 0.4
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r["rate"] == pytest.approx(0.4)
+    assert r["ci_lo"] == pytest.approx(center - half, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(center + half, abs=1e-6)
+    assert 0.0 <= r["ci_lo"] <= r["ci_hi"] <= 1.0
+
+
+def test_proportion_ci_extreme_rates_stay_in_unit_interval(spark):
+    from hdp_tez_spark.extensions.experiments import proportion_ci
+
+    df = spark.createDataFrame([("g", 1)] * 5, "k string, s int")  # rate 1.0
+    r = proportion_ci(df, ["k"], "s").collect()[0]
+    assert r["rate"] == 1.0 and r["ci_hi"] <= 1.0 and r["ci_lo"] < 1.0
+
+
+def test_cuped_removes_covariate_explained_variance(spark):
+    import random
+
+    from hdp_tez_spark.extensions.experiments import cuped_adjust
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(300):
+        x = rng.gauss(0, 1)
+        y = 2.0 * x + rng.gauss(0, 0.1)  # y almost fully explained by x
+        rows.append(("g", x, y))
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = cuped_adjust(df, ["k"], "y", "x").collect()[0]
+    assert r["theta"] == pytest.approx(2.0, abs=0.05)
+    assert r["var_reduction"] > 0.95       # covariate explains ~all variance
+    assert r["var_adj"] < r["var_raw"] * 0.05
+
+
+def test_cuped_degenerate_covariate(spark):
+    from hdp_tez_spark.extensions.experiments import cuped_adjust
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 1.0, 9.0)], "k string, x double, y double"
+    )
+    r = cuped_adjust(df, ["k"], "y", "x").collect()[0]
+    assert r["theta"] is None
+    assert r["var_adj"] == r["var_raw"]
+    assert r["var_reduction"] == 0.0
