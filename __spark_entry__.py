@@ -6075,6 +6075,55 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composed pipeline the dedup
+    operators exist for: shingle-Jaccard candidate pairs (>= 0.5) →
+    transitive closure into clusters (iterative min-label
+    connected_components) → golden-record survivorship per entity
+    (best lang/source by (n_chars, doc_id)). Three operators, one lazy
+    plan per stage, and the whole composition is still oracle-checkable:
+    the SQL twin rebuilds it with a recursive CTE + rank windows."""
+    from hdp_tez_spark.extensions.dedup import dedup_clusters, golden_record
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", "text", k=3, threshold=0.5)
+    merged = docs.join(clusters, "doc_id")
+    return golden_record(
+        merged, "rep", "n_chars", ["lang", "source"], "doc_id"
+    ).orderBy("cluster")
+
+
+_SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE {_SQL_TOKS_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jaccard_pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM jaccard_pairs WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+rep AS (SELECT src AS doc, min(dst) AS m FROM reach GROUP BY src),
+clustered AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         CAST(least(coalesce(r.m, d.doc_id), d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc
+),
+rnk AS (
+  SELECT cluster, lang, source,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM clustered
+)
+SELECT cluster, count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN lang END) AS lang,
+       max(CASE WHEN rn = 1 THEN source END) AS source
+FROM rnk GROUP BY cluster ORDER BY cluster
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6099,6 +6148,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_covariance": (q_embedding_covariance, _SQL_EMBEDDING_COVARIANCE),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
     "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
@@ -6119,10 +6169,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
-    "approx_percentile_bound": (
-        q_approx_percentile_bound,
-        _SQL_APPROX_PERCENTILE_BOUND,
-    ),
     "exact_quantiles_disc": (q_exact_quantiles_disc, _SQL_EXACT_QUANTILES_DISC),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
@@ -6185,6 +6231,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "approx_percentile_bound": (
+        q_approx_percentile_bound,
+        _SQL_APPROX_PERCENTILE_BOUND,
+    ),
     "stream_dedup": (q_stream_dedup, _SQL_STREAM_DEDUP),
     "cms_frequency": (q_cms_frequency, _SQL_CMS_FREQUENCY),
     "edit_distance_pairs": (q_edit_distance_pairs, _SQL_EDIT_DISTANCE_PAIRS),

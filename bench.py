@@ -135,6 +135,7 @@ HEADLINE = [
     "period_over_period",
     "proportion_ci",
     "cuped",
+    "entity_resolution",
 ]
 
 

