@@ -205,6 +205,12 @@ def prefix_filter_join(
                 F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
             ).alias("tok"),
         )
+        # four consumers (frequency table, rank pass, both verification
+        # sides) — without this the corpus is re-tokenized once per use.
+        # Materializing the (doc, token-hash) table once is the standard
+        # PPJoin layout; on a real cluster swap localCheckpoint for a
+        # reliable checkpoint / persisted token table.
+        .localCheckpoint()
     )
     # global document frequency -> canonical rarest-first order (df, tok)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))

@@ -468,3 +468,32 @@ def test_binary_auc_matches_pairwise_reference(spark, rows):
         1.0 if a > b else 0.5 if a == b else 0.0 for a in pos for b in neg
     ) / (len(pos) * len(neg))
     assert got == pytest.approx(ref, abs=1e-6)
+
+
+def test_hash_deterministic_queries_stable_across_partitioning(spark):
+    """Operators documented as retry/repartition-stable must give
+    bit-identical results when the physical partitioning changes — the
+    property that makes task retries and cluster resizes safe. Probe by
+    flipping spark.sql.shuffle.partitions around a few hash-derived
+    queries."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_SMOKE
+
+    names = ["train_test_split", "kfold_split", "weighted_sample",
+             "dedup_exact", "golden_record"]
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for parts in ("7", "31"):
+            spark.conf.set(key, parts)
+            for n in names:
+                rows = frozenset(
+                    tuple(str(v) for v in r)
+                    for r in E.queries()[n](spark, SF_SMOKE).collect()
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set(key, prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} changed under repartitioning"
