@@ -335,7 +335,7 @@ def time_weighted_avg(
 def ewma_smooth(
     df: DataFrame,
     key_col: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     alpha: float = 0.3,
     k: int = 8,
@@ -366,7 +366,11 @@ def ewma_smooth(
         raise ValueError("alpha must be in (0, 1]")
     if k < 1:
         raise ValueError("k must be >= 1")
-    w = Window.partitionBy(key_col).orderBy(order_col)
+    # accept one column or a list — pass a tiebreaker when the primary
+    # order can collide, or lag() visits tied rows in an engine-chosen
+    # order and the result is retry-nondeterministic
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     v = F.col(value_col).cast("double")
     lags = [F.lag(v, j).over(w) if j else v for j in range(k)]
     weights = [(1.0 - alpha) ** j for j in range(k)]
@@ -380,7 +384,7 @@ def ewma_smooth(
     )
     return df.select(
         F.col(key_col),
-        F.col(order_col),
+        *[F.col(c) for c in order_cols],
         F.col(value_col),
         F.round(num / den, 6).alias("ewma"),
     )
@@ -448,9 +452,11 @@ def winsorize(
     |keys| rows, never the data.
     """
     v = F.col(value_col).cast("double")
+    # Column-object percentile, not an F.expr f-string: interpolating the
+    # raw column name breaks on non-identifier names and invites injection
     bounds = df.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, {lower!r})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {upper!r})").alias("__hi"),
+        F.percentile(v, F.lit(lower)).alias("__lo"),
+        F.percentile(v, F.lit(upper)).alias("__hi"),
     )
     return (
         df.join(F.broadcast(bounds), key_col)
@@ -571,6 +577,10 @@ def grouped_ols(
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # complete pairs only: per-column null-skipping would draw each sum
+    # from a different row subset and the closed form would combine them
+    # into an arbitrary number instead of a fit
+    df = df.where(x.isNotNull() & y.isNotNull())
     stats = df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("__sx"),
@@ -621,6 +631,10 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         )
         .groupBy("__score")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__y").alias("__pos"))
+        # three consumers (prefix_sum reads it twice, totals once) —
+        # checkpoint the |distinct scores|-row table so the raw input is
+        # scanned exactly once
+        .localCheckpoint()
     )
     ranked = prefix_sum(g, [F.col("__score")], "__cnt", out="__cum").select(
         "__pos",

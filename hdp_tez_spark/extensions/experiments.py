@@ -39,6 +39,9 @@ def ab_ttest(
     degrees of freedom. Output per group:
     (group..., n_a, n_b, mean_a, mean_b, t_stat, dof), rounded to 6 dp;
     t/dof NULL for degenerate arms (n < 2 or zero variance on both).
+    Rows with a NULL metric value are not observations: they are
+    excluded from n as well as the sums (counting them would act like
+    zeros in the mean denominator and bias every statistic).
 
     Scale shape: ONE grouped aggregation over the raw rows — each arm's
     n, Σx, Σx² ride conditional partial sums, so the shuffle carries
@@ -50,7 +53,8 @@ def ab_ttest(
 
     def _sums(pred, suffix):
         return [
-            F.count(F.when(pred, 1)).alias(f"n_{suffix}"),
+            # count(v), not count(1): NULL metric rows are not trials
+            F.count(F.when(pred, v)).alias(f"n_{suffix}"),
             F.sum(F.when(pred, v)).alias(f"s_{suffix}"),
             F.sum(F.when(pred, v * v)).alias(f"ss_{suffix}"),
         ]
@@ -93,7 +97,8 @@ def proportion_ci(
     escapes [0, 1]. Default z is the two-sided 95% quantile.
 
     Output: (group..., n, successes, rate, ci_lo, ci_hi) rounded to
-    6 dp.
+    6 dp. Rows with a NULL success flag are not trials — excluded from
+    n and successes both.
 
     Scale shape: (n, successes) is one partial-aggregated groupBy; the
     interval is closed-form column arithmetic on the |groups|-row
@@ -101,7 +106,7 @@ def proportion_ci(
     streams in a single shuffle.
     """
     stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(success_col)).alias("n"),
         F.sum(F.col(success_col).cast("long")).alias("successes"),
     )
     n = F.col("n").cast("double")
@@ -153,6 +158,9 @@ def cuped_adjust(
     """
     x = F.col(covariate_col).cast("double")
     y = F.col(metric_col).cast("double")
+    # complete pairs only: mixing per-column null subsets would draw the
+    # five sums from different row sets and make theta arithmetic nonsense
+    df = df.where(x.isNotNull() & y.isNotNull())
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("__sx"),
@@ -202,10 +210,13 @@ def chi_square_independence(
     independent of row count. Marginal products are computed in
     float64: at 10^12 rows an int64 row_total*col_total would overflow.
     """
+    # NULL categories are excluded up front: a null key never matches the
+    # grid join, so its observed count would vanish while its mass stayed
+    # in the marginals and N — corrupting both chi2 and dof. Map NULL to a
+    # sentinel category upstream if it should participate.
     cells = (
-        df.groupBy(
-            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
-        )
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
         .agg(F.count(F.lit(1)).alias("__o"))
         # four consumers (marginals, N, grid) — checkpoint the |r x c|-row
         # cell table so the raw input is scanned ONCE, not once per use

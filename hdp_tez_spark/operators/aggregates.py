@@ -173,9 +173,12 @@ def hll_set_overlap(
             "est_a",
             "est_b",
             "est_union",
-            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
-                "est_intersection"
-            ),
+            # inclusion-exclusion can go slightly negative on disjoint
+            # sets (independent sketch errors) — clamp: it's a cardinality
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
         )
     )
 

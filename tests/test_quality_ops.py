@@ -617,3 +617,71 @@ def test_cuped_degenerate_covariate(spark):
     assert r["theta"] is None
     assert r["var_adj"] == r["var_raw"]
     assert r["var_reduction"] == 0.0
+
+
+def test_ab_ttest_null_metric_rows_are_not_trials(spark):
+    from hdp_tez_spark.extensions.experiments import ab_ttest
+
+    df = spark.createDataFrame(
+        [("e", "A", 2.0), ("e", "A", None), ("e", "A", 4.0),
+         ("e", "B", 1.0), ("e", "B", 2.0), ("e", "B", 3.0)],
+        "exp string, arm string, v double",
+    )
+    r = ab_ttest(df, ["exp"], "arm", "v", "A", "B").collect()[0]
+    assert r["n_a"] == 2 and r["mean_a"] == pytest.approx(3.0)
+
+
+def test_proportion_ci_null_flags_are_not_trials(spark):
+    from hdp_tez_spark.extensions.experiments import proportion_ci
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 0)], "k string, s int"
+    )
+    r = proportion_ci(df, ["k"], "s").collect()[0]
+    assert r["n"] == 2 and r["successes"] == 1 and r["rate"] == 0.5
+
+
+def test_chi_square_null_categories_excluded(spark):
+    from hdp_tez_spark.extensions.experiments import chi_square_independence
+
+    rows = [("x", 0)] * 5 + [("x", 1)] * 5 + [(None, 0)] * 10
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    # the null category is dropped entirely: remaining table is 1x2,
+    # perfectly balanced -> chi2 0, dof 0, n 10
+    assert out["n"] == 10 and out["chi2"] == 0.0 and out["dof"] == 0
+
+
+def test_grouped_ols_ignores_incomplete_pairs(spark):
+    from hdp_tez_spark.extensions.analytics import grouped_ols
+
+    df = spark.createDataFrame(
+        [("k", 0.0, 1.0), ("k", None, 4.0), ("k", 1.0, 3.0), ("k", 2.0, None)],
+        "k string, x double, y double",
+    )
+    r = grouped_ols(df, ["k"], "x", "y").collect()[0]
+    # only the two complete pairs (0,1) and (1,3) participate
+    assert r["n"] == 2
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(1.0)
+
+
+def test_hll_set_overlap_disjoint_sets_clamp_at_zero(spark):
+    from hdp_tez_spark.operators.aggregates import hll_set_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(5000, 6000)], "u long")
+    r = hll_set_overlap(a, b, "u").collect()[0]
+    assert r["est_intersection"] >= 0.0
+
+
+def test_ewma_tiebreak_list_order_cols(spark):
+    from hdp_tez_spark.extensions.analytics import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, 5, 0, 10.0), (1, 5, 1, 20.0)], "k int, t int, id int, v double"
+    )
+    out = {r["id"]: r["ewma"] for r in ewma_smooth(df, "k", ["t", "id"], "v", alpha=0.5, k=2).collect()}
+    # deterministic under the (t, id) tiebreak: id=0 first, id=1 second
+    assert out[0] == pytest.approx(10.0)
+    assert out[1] == pytest.approx((20.0 + 0.5 * 10.0) / 1.5)
