@@ -6124,6 +6124,48 @@ FROM rnk GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, at scale: every error
+    event opens a 5-minute incident window; count all events (any user)
+    inside each window — the blast-radius readout. Uses
+    operators/joins.py bucketed_interval_join: intervals explode into
+    300s buckets, the join is a bucket EQUI-join + exact post-filter,
+    never a nested-loop over events x windows. Oracle is the direct
+    range join (viable at oracle scale only)."""
+    from hdp_tez_spark.operators.joins import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 minutes")).alias("w_end"),
+    )
+    points = ev.select("ts", "value")
+    j = bucketed_interval_join(points, windows, "ts", "w_start", "w_end", 300)
+    return (
+        j.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("error_id")
+    )
+
+
+_SQL_INCIDENT_WINDOW_JOIN = """
+WITH w AS (
+  SELECT event_id AS error_id, ts AS w_start,
+         ts + INTERVAL 5 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.error_id, count(*) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY w.error_id
+ORDER BY w.error_id
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6149,6 +6191,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
+    "incident_window_join": (q_incident_window_join, _SQL_INCIDENT_WINDOW_JOIN),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
     "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
@@ -6181,7 +6224,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "funnel": (q_funnel, _SQL_FUNNEL),
-    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
@@ -6231,6 +6273,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "approx_percentile_bound": (
         q_approx_percentile_bound,
         _SQL_APPROX_PERCENTILE_BOUND,

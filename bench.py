@@ -136,6 +136,7 @@ HEADLINE = [
     "proportion_ci",
     "cuped",
     "entity_resolution",
+    "incident_window_join",
 ]
 
 

@@ -99,3 +99,38 @@ def test_dedup_keep_best_one_keeper_per_cluster(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_bucketed_interval_join_matches_direct_range_join(spark):
+    """The bucket-explode rewrite is exact: equal results to the direct
+    (nested-loop) range join, including windows spanning bucket
+    boundaries and points on interval edges."""
+    from pyspark.sql import functions as F
+
+    from hdp_tez_spark.operators.joins import bucketed_interval_join
+
+    points = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:00") for i, m in enumerate([0, 4, 5, 9, 10, 30])],
+        "pid int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wins = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+            (200, "2024-01-01 00:04:30", "2024-01-01 00:09:30"),
+        ],
+        "wid int, s string, e string",
+    ).select(
+        "wid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e")
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in bucketed_interval_join(points, wins, "ts", "s", "e", 120).collect()
+    }
+    direct = {
+        (r["pid"], r["wid"])
+        for r in points.join(
+            wins, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))
+        ).collect()
+    }
+    assert got == direct
+    assert (2, 100) in got  # boundary point ts == w_end included

@@ -527,3 +527,13 @@ def test_gaps_islands_reuses_window_partitioning(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2  # distinct + window/agg
     assert "Window" in plan
+
+
+def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
+    """The no-equi-key point-in-interval join must plan as a bucket
+    equi-join (hash/sort-merge on __bucket), never a nested loop or
+    cartesian over points x windows."""
+    df = E.queries()["incident_window_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
