@@ -6166,6 +6166,55 @@ ORDER BY w.error_id
 """
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming SESSION windows drained with availableNow —
+    the last streaming form without driver evidence. Append mode emits a
+    session only once the watermark passes its close, so one far-future
+    sentinel row pushes the global watermark past all real data and the
+    final no-data batch flushes every session; the sentinel's own
+    session is filtered AFTER the drain (an in-plan key filter would be
+    pushed below the watermark operator and stall it — same hazard
+    pinned by stream_left_join). Result equals the batch twin
+    `session_window`, which is exactly what the oracle computes."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sentinel = spark.createDataFrame(
+        [(-1, datetime.datetime(2030, 1, 1), 0.0)], ev.schema
+    )
+    src = tempfile.mkdtemp(prefix="hdp_tez_stream_sess_")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    res = WIN.stream_session_agg(
+        sdf,
+        ts_col="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+        watermark="1 hour",
+    )
+    qname = f"stream_session_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            res.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).where(F.col("user_id") >= 0).select(
+        "session_start", "session_end", "user_id", "n_events", "total"
+    )
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6192,6 +6241,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     "incident_window_join": (q_incident_window_join, _SQL_INCIDENT_WINDOW_JOIN),
+    "stream_session": (q_stream_session, _SQL_SESSION_WINDOW),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
     "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
@@ -6223,7 +6273,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
     "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
-    "funnel": (q_funnel, _SQL_FUNNEL),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
@@ -6273,6 +6322,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "approx_percentile_bound": (
         q_approx_percentile_bound,

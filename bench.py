@@ -137,6 +137,7 @@ HEADLINE = [
     "cuped",
     "entity_resolution",
     "incident_window_join",
+    "stream_session",
 ]
 
 
