@@ -6215,6 +6215,37 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF surface (Spark 4 @udtf + LATERAL join): a
+    word-splitting table function explodes every document and the query
+    aggregates the word-length histogram. API parity for the 1→N
+    processor surface (SURVEY §2.10) — the docstring of
+    functions/text.py register_split_words_udtf says when (not) to use
+    it; the JVM twin of this exact workload is `wordcount`."""
+    from hdp_tez_spark.functions.text import register_split_words_udtf
+
+    name = register_split_words_udtf(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT s.wlen, count(*) AS cnt
+        FROM __udtf_docs d, LATERAL {name}(d.text) s
+        GROUP BY s.wlen ORDER BY s.wlen
+        """
+    )
+
+
+_SQL_PYTHON_UDTF = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT len(word)::INT AS wlen, count(*)::BIGINT AS cnt
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6242,6 +6273,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     "incident_window_join": (q_incident_window_join, _SQL_INCIDENT_WINDOW_JOIN),
     "stream_session": (q_stream_session, _SQL_SESSION_WINDOW),
+    "python_udtf": (q_python_udtf, _SQL_PYTHON_UDTF),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
     "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
@@ -6306,7 +6338,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # binary_auc / exact_quantiles_disc; the unique-family reps with the
     # oldest evidence (sorted_group_apply, cogroup, scalar_functions,
     # asof_join) stay.
-    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "cogroup": (q_cogroup, _SQL_COGROUP),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
@@ -6322,6 +6353,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # code unchanged since, and stays covered by the repo's own
     # sf0.001/sf0.01 DuckDB oracle suite on every test run.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "approx_percentile_bound": (

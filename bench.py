@@ -138,6 +138,7 @@ HEADLINE = [
     "entity_resolution",
     "incident_window_join",
     "stream_session",
+    "python_udtf",
 ]
 
 

@@ -97,3 +97,27 @@ def ordered_word_count(df: DataFrame, text_col: str, limit: int | None = None) -
     """
     out = word_count(df, text_col).orderBy(F.col("cnt").desc(), F.col("word").asc())
     return out.limit(limit) if limit else out
+
+
+def register_split_words_udtf(spark, name: str = "split_words"):
+    """Register a native Python UDTF (Spark 4 `@udtf`) that explodes a
+    string into (word, wlen) rows — the 1→N table-function surface
+    (LogicalIOProcessor writing multiple records per input, SURVEY
+    §2.10), exposed to SQL as a LATERAL-joinable function.
+
+    This is deliberately the API-parity path, NOT the recommended plan
+    for tokenization at scale: eval() runs row-at-a-time in Python,
+    while `explode(split(...))` (word_count above) stays in codegen'd
+    JVM expressions. Use a UDTF only when the 1→N logic genuinely needs
+    Python (external parsers, stateful emitters).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register(name, SplitWords)
+    return name
