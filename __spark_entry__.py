@@ -3933,6 +3933,39 @@ class _stream_state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _stage_single_file_stream(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Stage `df` as a one-file parquet directory and return a file-source
+    stream over it. One file -> one availableNow data batch, so no
+    cross-batch watermark drops; the serial coalesce(1) is the staging
+    cost, so prune `df` to the needed columns first."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def _drain_to_table(
+    spark: SparkSession, res: DataFrame, prefix: str, mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    uniquely named memory table and return it — shared drain for every
+    stream-parity query, with the state-store partition bound applied."""
+    import uuid
+
+    qname = f"{prefix}{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            res.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked Structured Streaming tumbling aggregation, driven to
     completion with an availableNow trigger against a single-file parquet
@@ -3941,20 +3974,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks. Beyond-reference extension: streaming is unsupported
     in the reference (tez-api/.../EdgeProperty.java:71-102 EPHEMERAL /
     CONCURRENT are @Unstable; SURVEY §2.9)."""
-    import tempfile
-    import uuid
-
     from hdp_tez_spark.streaming import windows as WIN
 
-    # prune to the aggregation's columns BEFORE the single-file stage: the
-    # serial coalesce(1) write is the setup cost, so it should carry only
-    # the bytes the stream needs
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_src_")
-    # one file -> one availableNow batch: no cross-batch watermark drops,
-    # so the complete-mode result is the full, deterministic window table
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    sdf = _stage_single_file_stream(spark, ev, "hdp_tez_stream_src_")
     res = WIN.stream_tumbling_agg(
         sdf,
         ts_col="ts",
@@ -3966,17 +3989,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         watermark="1 hour",
     )
-    qname = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
-        q = (
-            res.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).select(
+    return _drain_to_table(spark, res, "stream_tumbling_", "complete").select(
         "window_start", "window_end", "event_type", "cnt", "total"
     )
 
@@ -3989,18 +4002,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks. The time-bounded condition is what lets Spark evict
     join state at the watermark on a real stream (streaming/windows.py
     interval_join docstring)."""
-    import tempfile
-    import uuid
-
     from hdp_tez_spark.streaming import windows as WIN
 
     # prune to the join's columns before the serial single-file stage
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_ij_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    sdf = _stage_single_file_stream(spark, ev, "hdp_tez_stream_ij_")
     clicks = (
         sdf.where(F.col("event_type") == "click")
         .select(
@@ -4019,17 +4027,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, ["user_id"], "click_ts", "p_ts", "10 minutes"
     )
     res = j.select("click_id", clicks["user_id"], "click_ts", "p_ts", "value")
-    qname = f"stream_interval_join_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
-        q = (
-            res.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname)
+    return _drain_to_table(spark, res, "stream_interval_join_", "append")
 
 
 def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5164,8 +5162,6 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry user_id -1 and are filtered from the result, so the table
     equals the batch LEFT JOIN the oracle computes."""
     import datetime
-    import tempfile
-    import uuid
 
     from hdp_tez_spark.streaming import windows as WIN
 
@@ -5180,9 +5176,9 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ev.schema,
     )
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_loj_")
-    ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
-    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    sdf = _stage_single_file_stream(
+        spark, ev.unionByName(sentinels), "hdp_tez_stream_loj_"
+    )
     clicks = (
         sdf.where(F.col("event_type") == "click")
         .select(
@@ -5209,17 +5205,9 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the last unmatched clicks would never flush. Filter on the
     # drained (batch) table instead.
     res = j.select("click_id", clicks["user_id"], "click_ts", "p_ts", "value")
-    qname = f"stream_left_join_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
-        q = (
-            res.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).where(F.col("user_id") >= 0)
+    return _drain_to_table(spark, res, "stream_left_join_", "append").where(
+        F.col("user_id") >= 0
+    )
 
 
 _SQL_STREAM_LEFT_JOIN = """
@@ -6177,8 +6165,6 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by stream_left_join). Result equals the batch twin
     `session_window`, which is exactly what the oracle computes."""
     import datetime
-    import tempfile
-    import uuid
 
     from hdp_tez_spark.streaming import windows as WIN
 
@@ -6186,9 +6172,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = spark.createDataFrame(
         [(-1, datetime.datetime(2030, 1, 1), 0.0)], ev.schema
     )
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_sess_")
-    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
-    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    sdf = _stage_single_file_stream(
+        spark, ev.unionByName(sentinel), "hdp_tez_stream_sess_"
+    )
     res = WIN.stream_session_agg(
         sdf,
         ts_col="ts",
@@ -6200,18 +6186,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         watermark="1 hour",
     )
-    qname = f"stream_session_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
-        q = (
-            res.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).where(F.col("user_id") >= 0).select(
-        "session_start", "session_end", "user_id", "n_events", "total"
+    return (
+        _drain_to_table(spark, res, "stream_session_", "append")
+        .where(F.col("user_id") >= 0)
+        .select("session_start", "session_end", "user_id", "n_events", "total")
     )
 
 
@@ -6274,18 +6252,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incident_window_join": (q_incident_window_join, _SQL_INCIDENT_WINDOW_JOIN),
     "stream_session": (q_stream_session, _SQL_SESSION_WINDOW),
     "python_udtf": (q_python_udtf, _SQL_PYTHON_UDTF),
+    "funnel": (q_funnel, _SQL_FUNNEL),
+    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
+    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
     "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "winsorize": (q_winsorize, _SQL_WINSORIZE),
-    "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),
     "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
     "chi_square": (q_chi_square, _SQL_CHI_SQUARE),
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
-    "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "hll_overlap": (q_hll_overlap, _SQL_HLL_OVERLAP),
     "ohlc_downsample": (q_ohlc_downsample, _SQL_OHLC_DOWNSAMPLE),
-    "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
     "rollup_maintain": (q_rollup_maintain, _SQL_ROLLUP_MAINTAIN),
     "schema_evolution": (q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "csv_scan": (q_csv_scan, _SQL_CSV_SCAN),
@@ -6330,14 +6308,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # point_in_time_join + stream_left_join
     # --- oldest-evidence families rotated into the prefix for r04 (last
     #     driver-green r01/r02; VERDICT r03 rotation list) ---
-    # broadcast_hash_join / global_sort / cross_join rotated below for the
-    # fourth batch: the join family keeps five fresh in-prefix reps
-    # (stream_left_join, point_in_time_join, bucketed_join,
-    # stream_interval_join, interval_join) and range partitioning is
-    # exercised by zorder_stats + the prefix-sum machinery inside
-    # binary_auc / exact_quantiles_disc; the unique-family reps with the
-    # oldest evidence (sorted_group_apply, cogroup, scalar_functions,
-    # asof_join) stay.
+    # broadcast_hash_join / global_sort / cross_join rotated below: the
+    # join family keeps five fresh in-prefix reps (stream_left_join,
+    # point_in_time_join, bucketed_join, stream_interval_join,
+    # interval_join) and range partitioning is exercised by zorder_stats
+    # + the prefix-sum machinery in binary_auc / exact_quantiles_disc.
+    # The unique-family reps with the oldest driver evidence stay in the
+    # prefix: sorted_group_apply (r01, listed above), cogroup (r02),
+    # scalar_functions (r02), asof_join (r02). Rotated-below entries
+    # windowed_topk / period_over_period / golden_record are
+    # never-driver-checked COMPOSITIONS of primitives that are checked:
+    # ranked windows (window_rank r03), lag (lag_lead r01) after a
+    # day-collapse, and golden_record executing inside the in-prefix
+    # entity_resolution query.
     "cogroup": (q_cogroup, _SQL_COGROUP),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
@@ -6349,13 +6332,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # prefix_filter_join + golden_record as fresh in-prefix representatives
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     # ------------------- driver-checked prefix ends here (50) -----------------
-    # Every entry below is driver-green in CORRECTNESS_r01/r02/r03 with
-    # code unchanged since, and stays covered by the repo's own
-    # sf0.001/sf0.01 DuckDB oracle suite on every test run.
+    # Entries below the prefix are either (a) driver-green in
+    # CORRECTNESS_r01/r02/r03 with code unchanged since, or (b) marked
+    # in-line as never-driver-checked twins/compositions of primitives
+    # that ARE checked. ALL of them stay covered by the repo's own
+    # sf0.001 (per-commit) and sf0.01 (sweep) DuckDB oracle suites.
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
-    "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
-    "funnel": (q_funnel, _SQL_FUNNEL),
-    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
+    "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
+    "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),
+    "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
     "approx_percentile_bound": (
         q_approx_percentile_bound,
         _SQL_APPROX_PERCENTILE_BOUND,
