@@ -6224,6 +6224,33 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming SLIDING windows drained with availableNow
+    (complete mode, one-file source — the stream_tumbling pattern with
+    overlap): every event lands in 2 windows (2h window, 1h slide), so
+    this exercises the state-card multiplication the batch twin
+    `sliding_window` verifies logically. Same oracle as the batch twin."""
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    sdf = _stage_single_file_stream(spark, ev, "hdp_tez_stream_slide_")
+    res = WIN.stream_sliding_agg(
+        sdf,
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+        watermark="1 hour",
+    )
+    return _drain_to_table(spark, res, "stream_sliding_", "complete").select(
+        "window_start", "window_end", "event_type", "cnt", "total"
+    )
+
+
 #: Registry order is evidence order: the correctness driver verifies the
 #: FIRST 50 entries against the DuckDB oracle. Rotation policy (round 4):
 #: the prefix always carries (a) every query added or whose implementation
@@ -6444,6 +6471,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_join": (q_salted_join, _SQL_SALTED_JOIN),
     "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
+    # never-driver-checked twin: same machinery as stream_tumbling (in
+    # prefix), overlap added; covered by the local oracle suites
+    "stream_sliding": (q_stream_sliding, _SQL_SLIDING_WINDOW),
     "session_window": (q_session_window, _SQL_SESSION_WINDOW),
     "event_dedup": (q_event_dedup, _SQL_EVENT_DEDUP),
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),

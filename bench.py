@@ -139,6 +139,7 @@ HEADLINE = [
     "incident_window_join",
     "stream_session",
     "python_udtf",
+    "stream_sliding",
 ]
 
 

@@ -123,6 +123,24 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sliding windows: each event lands in duration/slide
+    overlapping windows; state per open window, evicted at the
+    watermark. Overlap multiplies state cards by duration/slide — size
+    the watermark accordingly."""
+    return sliding_agg(
+        sdf.withWatermark(ts_col, watermark), ts_col, duration, slide, keys, aggs
+    )
+
+
 def stream_session_agg(
     sdf: DataFrame,
     ts_col: str,

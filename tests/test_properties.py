@@ -497,3 +497,74 @@ def test_hash_deterministic_queries_stable_across_partitioning(spark):
         spark.conf.set(key, prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n} changed under repartitioning"
+
+
+ohlc_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 7200),
+              st.floats(-100, 100, allow_nan=False, width=16)),
+    min_size=1, max_size=30,
+)
+
+
+@given(rows=ohlc_rows)
+@settings(**SETTINGS)
+def test_ohlc_matches_pandas_reference(spark, rows):
+    import datetime
+
+    from hdp_tez_spark.extensions.analytics import ohlc_downsample
+
+    uniq = {(k, s): v for k, s, v in rows}  # unique (key, second) -> no ts ties
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, base + datetime.timedelta(seconds=s), i, float(v))
+        for i, ((k, s), v) in enumerate(sorted(uniq.items()))
+    ]
+    df = spark.createDataFrame(data, "k int, ts timestamp, id int, v double")
+    got = {
+        (r["k"], str(r["bucket_start"])): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc_downsample(df, "k", "ts", "v", "1 hour", "id").collect()
+    }
+    ref = {}
+    for k, ts, _, v in data:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        key = (k, str(b))
+        if key not in ref:
+            ref[key] = [v, v, v, v, 0]  # open, high, low, close, n
+        r = ref[key]
+        r[1] = max(r[1], v)
+        r[2] = min(r[2], v)
+        r[3] = v  # data sorted by ts: last write is close
+        r[4] += 1
+    assert set(got) == set(ref)
+    for key in ref:
+        o, h, l, c, n = ref[key]
+        go, gh, gl, gc, gn = got[key]
+        assert (go, gh, gl, gc, gn) == (pytest.approx(o), pytest.approx(h),
+                                        pytest.approx(l), pytest.approx(c), n)
+
+
+gr_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 9),
+              st.one_of(st.none(), st.sampled_from("xyz"))),
+    min_size=1, max_size=20,
+)
+
+
+@given(rows=gr_rows)
+@settings(**SETTINGS)
+def test_golden_record_matches_python_reference(spark, rows):
+    from hdp_tez_spark.extensions.dedup import golden_record
+
+    data = [(c, i, i, v) for i, (c, _, v) in enumerate(rows)]  # unique id
+    df = spark.createDataFrame(data, "c int, id int, q int, attr string")
+    got = {
+        r["cluster"]: (r["n_members"], r["attr"])
+        for r in golden_record(df, "c", "q", ["attr"], "id").collect()
+    }
+    ref = {}
+    for c, i, q, v in data:
+        m = ref.setdefault(c, [0, None, None])  # n, best_key, attr
+        m[0] += 1
+        if v is not None and (m[1] is None or (q, i) > m[1]):
+            m[1], m[2] = (q, i), v
+    assert got == {c: (n, attr) for c, (n, _, attr) in ref.items()}
