@@ -6262,6 +6262,166 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: covered by the repo's own per-commit sf0.001 DuckDB oracle suite
 #: (tests/test_entry_queries.py) plus the sf0.01 sweep
 #: (tools/check_correctness.py).
+
+
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by 3 rounds of
+    distributed power iteration (extensions/similarity.py
+    pca_top_component): w = C v computed straight from the rows — per
+    round ONE job aggregating d partial sums (map-side combined), only
+    d floats to the driver, covariance never materialized. Deterministic
+    via the kmeans_fit recipe (6-dp-rounded mean, start vector, and
+    per-round iterates), which is what lets the oracle unroll the same
+    3 rounds in SQL (the pagerank pattern)."""
+    from hdp_tez_spark.extensions.similarity import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), "embedding", iters=3)
+
+
+def _pca_iter_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+d{r} AS (SELECT vec_id, sum(x * val) AS dot
+         FROM cells JOIN v{p} USING (i) GROUP BY vec_id),
+muv{r} AS (SELECT sum(m * val) AS muv FROM mu JOIN v{p} USING (i)),
+s{r} AS (SELECT i, sum(x * dot) AS s
+         FROM cells JOIN d{r} USING (vec_id) GROUP BY i),
+w{r} AS (SELECT s{r}.i,
+                s{r}.s / (SELECT n FROM nn)
+                  - mu.m * (SELECT muv FROM muv{r}) AS w
+         FROM s{r} JOIN mu ON s{r}.i = mu.i),
+n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{r}),
+v{r} AS (SELECT i, round(w / (SELECT nrm FROM n{r}), 6) AS val FROM w{r})"""
+
+
+_SQL_PCA_COMPONENT = f"""
+WITH cells AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+mu AS (SELECT i, round(sum(x) / (SELECT n FROM nn), 6) AS m
+       FROM cells GROUP BY i),
+v0 AS (SELECT i, 0.125 AS val FROM mu),{_pca_iter_sql(1)},{_pca_iter_sql(2)},{_pca_iter_sql(3)}
+SELECT i, val AS loading FROM v3 ORDER BY i
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit of customer quasi-identifiers
+    (extensions/quality.py k_anonymity): one partial-agg groupBy over
+    the (nation, segment) tuple, then a 1-row rollup of the
+    |groups|-sized table — key_skew_stats cost profile."""
+    from hdp_tez_spark.extensions.quality import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+_SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       sum(sz)::BIGINT AS n_rows,
+       count(*) AS n_groups,
+       min(sz) AS min_group_size,
+       sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS violating_rows,
+       round(sum(CASE WHEN sz >= 5 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
+         AS anonymous_share
+FROM g
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (extensions/ranking.py
+    rrf_fuse): the BM25 top-20 fused with a document-length prior
+    top-20 — two bounded candidate lists, ranked per list and merged by
+    sum 1/(60+rank); corpus-sized data never reaches the fusion."""
+    from hdp_tez_spark.extensions.ranking import bm25_score, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_score(
+        docs, "doc_id", "text", ["spark", "table", "sort", "window"], limit=20
+    )
+    prior = (
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return rrf_fuse({"lex": lex, "prior": prior}, "doc_id", limit=20)
+
+
+_SQL_RRF_FUSION = f"""
+WITH {_SQL_TOK_CTE},
+dl AS (SELECT doc, len(t) AS dl FROM tok0),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'table', 'sort', 'window')
+       GROUP BY doc, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc,
+         ln(1 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
+),
+bm_top AS (
+  SELECT doc AS doc_id, round(sum(c), 6) AS score
+  FROM contrib GROUP BY doc
+  ORDER BY score DESC, doc_id LIMIT 20
+),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm_top),
+pr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+       FROM documents
+       QUALIFY r <= 20),
+u AS (SELECT doc_id, r FROM bm UNION ALL SELECT doc_id, r FROM pr)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf,
+       count(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of o_orderpriority against
+    the order-fulfilled target (extensions/analytics.py woe_iv): one
+    partial-agg groupBy (shuffle ∝ |categories|) plus a broadcast 1-row
+    totals cross join — the feature-screening pass."""
+    from hdp_tez_spark.extensions.analytics import woe_iv
+
+    orders = _t(spark, sf_dir, "orders")
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F", smooth=0.5
+    )
+
+
+_SQL_WOE_IV = """
+WITH cats AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS category, count(*) AS n,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_pos
+  FROM orders GROUP BY 1
+),
+cats2 AS (SELECT category, n, n_pos, n - n_pos AS n_neg FROM cats),
+tot AS (SELECT sum(n_pos)::DOUBLE AS pt, sum(n_neg)::DOUBLE AS nt FROM cats2)
+SELECT category, n, n_pos, n_neg,
+       round(ln(((n_pos + 0.5) / (pt + 1.0)) / ((n_neg + 0.5) / (nt + 1.0))),
+             6) AS woe,
+       round((((n_pos + 0.5) / (pt + 1.0)) - ((n_neg + 0.5) / (nt + 1.0)))
+               * ln(((n_pos + 0.5) / (pt + 1.0))
+                    / ((n_neg + 0.5) / (nt + 1.0))),
+             6) AS iv_contrib
+FROM cats2 CROSS JOIN tot
+ORDER BY category
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6277,13 +6437,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     "incident_window_join": (q_incident_window_join, _SQL_INCIDENT_WINDOW_JOIN),
-    "stream_session": (q_stream_session, _SQL_SESSION_WINDOW),
+    # --- NEW fourth batch (privacy audit / distributed PCA / hybrid
+    #     retrieval fusion / feature screening) ---
+    "pca_component": (q_pca_component, _SQL_PCA_COMPONENT),
+    "k_anonymity": (q_k_anonymity, _SQL_K_ANONYMITY),
+    "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
+    "woe_iv": (q_woe_iv, _SQL_WOE_IV),
     "python_udtf": (q_python_udtf, _SQL_PYTHON_UDTF),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
-    "cuped": (q_cuped, _SQL_CUPED),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "winsorize": (q_winsorize, _SQL_WINSORIZE),
     "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
@@ -6307,8 +6471,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
     "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
     "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
-    "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
-    "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
@@ -6364,6 +6526,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-line as never-driver-checked twins/compositions of primitives
     # that ARE checked. ALL of them stay covered by the repo's own
     # sf0.001 (per-commit) and sf0.01 (sweep) DuckDB oracle suites.
+    # stream_session/stream_interval_join/stream_stateful_totals/cuped
+    # rotated below for the fourth batch: streaming keeps THREE fresh
+    # in-prefix reps (stream_tumbling = watermarked agg, stream_left_join
+    # = stream-stream join, stream_cdc_upsert = stateful CDC) and the
+    # experiments family keeps ab_ttest + chi_square + proportion_ci
+    # in-prefix; the freed slots give the new pca/k-anonymity/rrf/woe
+    # operator families their first driver evidence
+    "stream_session": (q_stream_session, _SQL_SESSION_WINDOW),
+    "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
+    "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
+    "cuped": (q_cuped, _SQL_CUPED),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -782,3 +782,55 @@ def funnel(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value for a categorical
+    feature against a binary target — the feature-screening pass a
+    training pipeline runs to rank candidate features (IV > 0.3 ~=
+    strong) and to replace high-cardinality categories with a single
+    monotone numeric column. `label_col` may be a column name or a
+    boolean Column expression; truthy rows are the positive class.
+
+    Per category: woe = ln( ((pos_i + s) / (pos_tot + 2s)) /
+    ((neg_i + s) / (neg_tot + 2s)) ) with Laplace smoothing `s` so
+    one-sided categories stay finite; iv_contrib = (smoothed pos share -
+    smoothed neg share) * woe, so the feature's IV is sum(iv_contrib).
+    Output: (category as string, n, n_pos, n_neg, woe, iv_contrib)
+    ordered by category, both metrics rounded to 6 dp.
+
+    Scale shape: one partially-aggregated groupBy (shuffle ∝
+    |categories|), then the 1-row totals join back as a broadcast cross
+    join — the `key_skew_stats` cost profile. The encoded table is
+    |categories| rows: broadcastable back onto the corpus as the
+    WoE-encoding map join.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lab.cast("boolean").cast("long")
+    cats = df.groupBy(F.col(feature_col).cast("string").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(pos)).alias("n_neg"),
+    )
+    tot = cats.agg(
+        F.sum("n_pos").alias("__pt"), F.sum("n_neg").alias("__nt")
+    )
+    ps = (F.col("n_pos") + smooth) / (F.col("__pt") + 2 * smooth)
+    ns = (F.col("n_neg") + smooth) / (F.col("__nt") + 2 * smooth)
+    return (
+        cats.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(ps / ns), 6).alias("woe"),
+            F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_contrib"),
+        )
+        .orderBy("category")
+    )

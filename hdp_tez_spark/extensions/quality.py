@@ -153,3 +153,48 @@ def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key_value")
         .limit(top_n)
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit before a corpus release: is every row hidden in a
+    crowd of at least `k` sharing its quasi-identifier combination?
+    Output: ONE row (k, n_rows, n_groups, min_group_size,
+    violating_groups, violating_rows, anonymous_share) where a
+    violating group has fewer than `k` rows and anonymous_share is the
+    fraction of rows that are k-anonymous (rounded to 6 dp).
+
+    Scale shape: one partially-aggregated groupBy over the
+    quasi-identifier tuple (shuffle ∝ |distinct combinations|) followed
+    by a 1-row aggregate of the |groups|-sized table — the same cost
+    profile as `key_skew_stats`; nothing row-shaped leaves the
+    executors. NULL quasi-identifier values form their own group, per
+    GROUP BY semantics — they are equally linkable.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    viol = F.col("sz") < k
+    return groups.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").alias("min_group_size"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("sz")).otherwise(0)).alias("violating_rows"),
+        F.round(
+            F.sum(F.when(viol, 0).otherwise(F.col("sz"))) / F.sum("sz"), 6
+        ).alias("anonymous_share"),
+    ).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "violating_groups",
+        "violating_rows",
+        "anonymous_share",
+    )

@@ -260,3 +260,59 @@ def heavy_hitters(
         .where(F.col("cnt") * denom >= F.col("__total"))
         .select("term", "cnt")
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    query_col: str | None = None,
+    k: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever outputs — the standard way
+    to combine a lexical ranking (BM25) with a vector ranking (cosine
+    ANN) or any other prior without score calibration:
+    rrf(d) = sum over lists of 1 / (k + rank_list(d)).
+
+    Input: named DataFrames of (id, score [, query]) candidate lists —
+    the TOP-k output of each retriever, not full corpora. Output:
+    ([query,] id, rrf, n_lists) — top `limit` by fused score desc, id
+    asc, rrf rounded to 6 dp; n_lists counts how many retrievers
+    surfaced the id. Ranks are dense row_numbers per list (score desc,
+    id asc), so fusion is fully deterministic.
+
+    Scale shape: each input is already a bounded candidate list (its
+    retriever's top-k), so the rank window runs over <= k rows per
+    query — partitioned by `query_col` when fusing many queries at
+    once (the batch-retrieval shape), single tiny partition otherwise.
+    The union + groupBy shuffles only |lists| x k candidate rows per
+    query; corpus-sized data never reaches this operator.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = []
+    for name, rdf in rankings.items():
+        w = (
+            Window.partitionBy(query_col) if query_col else Window.partitionBy()
+        ).orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            rdf.select(*keys, F.row_number().over(w).alias("__rank"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w_out = (
+        Window.partitionBy(query_col) if query_col else Window.partitionBy()
+    ).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        u.groupBy(*[F.col(c) for c in keys])
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(k) + F.col("__rank"))), 6).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .withColumn("__rn", F.row_number().over(w_out))
+        .where(F.col("__rn") <= limit)
+        .drop("__rn")
+    )

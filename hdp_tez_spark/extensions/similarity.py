@@ -518,3 +518,100 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
             6,
         ).alias("cov"),
     ).orderBy("i", "j")
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by distributed
+    power iteration — the direction PCA whitening, 1-d projection
+    indexes, and embedding drift monitors need first. Output: one row
+    per coordinate, (i, loading), the unit eigenvector of the
+    population covariance after `iters` rounds.
+
+    The covariance matrix is NEVER materialized: each round computes
+    w = C v = (1/n) * sum_rows x (x . v) - mu (mu . v) directly from
+    the rows — one job per round that explodes (pos, x*dot) cells and
+    partially aggregates d per-coordinate sums (the kmeans_fit
+    cell-means shape: scalar group keys keep codegen small, map-side
+    combine keeps the shuffle at d rows per partition), with the
+    current v baked in as an array literal. Only d floats reach the
+    driver per round (the kmeans_fit contract), so the corpus never
+    collects and nothing shuffles row-shaped data: at 100 TB this is
+    `iters` scans, each reducing to a d-float vector.
+
+    Determinism (the kmeans_fit recipe): the start vector is the
+    rounded uniform unit vector, the mean vector is rounded to 6 dp
+    once, and v is re-rounded to 6 dp after every normalization — so
+    any partitioning, retry, or other engine (the DuckDB oracle unrolls
+    the same rounds in SQL) reproduces the iterates bit-for-bit.
+    Float32 cells are widened to float64 before any product.
+    """
+    import math
+
+    d = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    base = _spread(df.select(F.col(vec_col).alias("v")))
+    stats = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("x").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    n = stats[0]["cnt"]
+    by_pos = {r["pos"]: r["s"] for r in stats}
+    mu = [round(by_pos[i] / n, 6) for i in range(d)]
+    v = [round(1.0 / math.sqrt(d), 6)] * d
+    spark = df.sparkSession
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("varr"), lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        # v rides in as a broadcast 1-row table rather than an array
+        # literal: the generated code is identical every round, so
+        # whole-stage codegen compiles once instead of per-iteration
+        vdf = spark.createDataFrame([(v,)], "varr array<double>")
+        rows = (
+            base.crossJoin(F.broadcast(vdf))
+            .select(dot.alias("dot"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("x").cast("double") * F.col("dot")).alias("s"))
+            .collect()
+        )
+        s = {r["pos"]: r["s"] for r in rows}
+        muv = sum(m * x for m, x in zip(mu, v))
+        w = [s[i] / n - mu[i] * muv for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [round(x / nrm, 6) for x in w]
+    return df.sparkSession.createDataFrame(
+        [(i, v[i]) for i in range(d)], "i int, loading double"
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    component: list[float],
+    mu: list[float] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "pc1",
+) -> DataFrame:
+    """Project every embedding onto a fixed component (from
+    `pca_top_component`): score = (x - mu) . v as a pure map-side
+    column expression — the component is baked in as an array literal,
+    so projection of a 100 TB corpus is a zero-shuffle scan. Output:
+    (id, pc1) rounded to 6 dp."""
+    varr = F.array(*[F.lit(float(x)) for x in component])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), varr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shift = sum(m * x for m, x in zip(mu, component)) if mu else 0.0
+    return df.select(F.col(id_col), F.round(dot - F.lit(shift), 6).alias(out))

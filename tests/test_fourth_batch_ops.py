@@ -1,0 +1,172 @@
+"""Behavioral tests for the fourth-batch operators: distributed PCA
+power iteration, k-anonymity audit, reciprocal-rank fusion, and
+weight-of-evidence feature screening — known-answer cases the
+sf0.001 oracle suite can't reach (planted principal directions, exact
+crowd sizes, hand-computed fusion scores, degenerate one-class labels).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdp_tez_spark.extensions.analytics import woe_iv
+from hdp_tez_spark.extensions.quality import k_anonymity
+from hdp_tez_spark.extensions.ranking import rrf_fuse
+from hdp_tez_spark.extensions.similarity import pca_project, pca_top_component
+
+
+def _planted_vectors():
+    """60 vectors in R^6 with variance overwhelmingly along axis 2."""
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(0.0, 0.05, size=(60, 6))
+    vecs[:, 2] += rng.normal(0.0, 3.0, size=60)
+    return [([float(x) for x in v],) for v in vecs]
+
+
+def test_pca_top_component_finds_planted_axis(spark):
+    df = spark.createDataFrame(_planted_vectors(), "embedding array<double>")
+    comp = {r.i: r.loading for r in pca_top_component(df, "embedding", iters=5).collect()}
+    assert set(comp) == set(range(6))
+    # unit norm (up to the 6dp per-coordinate rounding)
+    assert math.isqrt(1) and abs(sum(x * x for x in comp.values()) - 1.0) < 1e-4
+    # the planted axis dominates
+    assert abs(comp[2]) > 0.99
+    assert all(abs(comp[i]) < 0.1 for i in range(6) if i != 2)
+
+
+def test_pca_top_component_matches_numpy_eigendecomposition(spark):
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    comp = [
+        r.loading
+        for r in pca_top_component(df, "embedding", iters=8)
+        .orderBy("i")
+        .collect()
+    ]
+    X = np.array([r[0] for r in rows])
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, np.argmax(evals)]
+    cos = abs(float(np.dot(comp, top) / (np.linalg.norm(comp) * np.linalg.norm(top))))
+    assert cos > 0.9999
+
+
+def test_pca_project_is_centered_dot_product(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [5.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.pc1
+        for r in pca_project(
+            df, [1.0, 0.0], mu=[3.0, 0.0], vec_col="embedding"
+        ).collect()
+    }
+    assert out == {0: -2.0, 1: 0.0, 2: 2.0}
+
+
+def test_k_anonymity_exact_counts(spark):
+    # groups: (a: 3 rows), (b: 2 rows), (c: 1 row) with k=3
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "q string"
+    )
+    row = k_anonymity(df, ["q"], k=3).collect()[0]
+    assert row.k == 3
+    assert row.n_rows == 6
+    assert row.n_groups == 3
+    assert row.min_group_size == 1
+    assert row.violating_groups == 2
+    assert row.violating_rows == 3
+    assert row.anonymous_share == 0.5
+
+
+def test_k_anonymity_nulls_form_their_own_group(spark):
+    df = spark.createDataFrame([(None,), (None,), ("x",)], "q string")
+    row = k_anonymity(df, ["q"], k=2).collect()[0]
+    assert row.n_groups == 2
+    assert row.violating_groups == 1  # only the ("x",) singleton
+    assert row.violating_rows == 1
+
+
+def test_k_anonymity_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1,)], "q int")
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["q"], k=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id int, score double")
+    b = spark.createDataFrame([(2, 8.0), (4, 3.0)], "id int, score double")
+    out = {r.id: (r.rrf, r.n_lists) for r in rrf_fuse({"a": a, "b": b}, "id", k=60).collect()}
+    # ranks: a -> 1:1, 2:2, 3:3 ; b -> 2:1, 4:2
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[3] == (round(1 / 63, 6), 1)
+    assert out[4] == (round(1 / 62, 6), 1)
+
+
+def test_rrf_fuse_score_ties_break_by_id(spark):
+    a = spark.createDataFrame([(5, 1.0), (3, 1.0)], "id int, score double")
+    out = {r.id: r.rrf for r in rrf_fuse({"a": a}, "id").collect()}
+    assert out[3] == round(1 / 61, 6)  # lower id wins rank 1 on the tie
+    assert out[5] == round(1 / 62, 6)
+
+
+def test_rrf_fuse_per_query_partitioning(spark):
+    a = spark.createDataFrame(
+        [("q1", 1, 9.0), ("q2", 1, 4.0), ("q2", 7, 8.0)],
+        "q string, id int, score double",
+    )
+    out = {
+        (r.q, r.id): r.rrf
+        for r in rrf_fuse({"a": a}, "id", query_col="q", k=60).collect()
+    }
+    # ranks restart per query
+    assert out[("q1", 1)] == round(1 / 61, 6)
+    assert out[("q2", 7)] == round(1 / 61, 6)
+    assert out[("q2", 1)] == round(1 / 62, 6)
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse({}, "id")
+
+
+def test_woe_iv_hand_computed(spark):
+    # cat x: 3 pos, 1 neg; cat y: 1 pos, 3 neg; s=0.5
+    rows = [("x", 1)] * 3 + [("x", 0)] + [("y", 1)] + [("y", 0)] * 3
+    df = spark.createDataFrame(rows, "cat string, lab int")
+    out = {r.category: r for r in woe_iv(df, "cat", "lab", smooth=0.5).collect()}
+    ps_x, ns_x = (3 + 0.5) / (4 + 1), (1 + 0.5) / (4 + 1)
+    assert out["x"].n == 4 and out["x"].n_pos == 3 and out["x"].n_neg == 1
+    assert out["x"].woe == round(math.log(ps_x / ns_x), 6)
+    assert out["x"].iv_contrib == round((ps_x - ns_x) * math.log(ps_x / ns_x), 6)
+    # symmetric category mirrors with the opposite sign
+    assert out["y"].woe == -out["x"].woe
+
+
+def test_woe_iv_one_sided_category_stays_finite(spark):
+    df = spark.createDataFrame(
+        [("only_pos", 1), ("only_pos", 1), ("mixed", 1), ("mixed", 0)],
+        "cat string, lab int",
+    )
+    out = {r.category: r for r in woe_iv(df, "cat", "lab").collect()}
+    assert math.isfinite(out["only_pos"].woe)
+    assert out["only_pos"].n_neg == 0
+
+
+def test_woe_iv_accepts_column_expression_label(spark):
+    df = spark.createDataFrame(
+        [("a", "F"), ("a", "O"), ("b", "F")], "cat string, status string"
+    )
+    out = {
+        r.category: r.n_pos
+        for r in woe_iv(df, "cat", F.col("status") == "F").collect()
+    }
+    assert out == {"a": 1, "b": 1}
