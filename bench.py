@@ -10,6 +10,7 @@ transfer to the driver).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -140,6 +141,12 @@ HEADLINE = [
     "stream_session",
     "python_udtf",
     "stream_sliding",
+    # round-4 fourth batch: privacy audit, distributed PCA, hybrid
+    # retrieval fusion, feature screening
+    "k_anonymity",
+    "pca_component",
+    "rrf_fusion",
+    "woe_iv",
 ]
 
 
@@ -161,7 +168,7 @@ def main() -> None:
 
     collector = TaskMetricsCollector(spark)
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         # time the action alone — counter snapshots (status-store polling)
         # happen outside the measured window so they don't tax small queries
         def act(qname: str = name) -> None:
@@ -170,6 +177,14 @@ def main() -> None:
             timings[qname] = round(time.time() - t0, 3)
 
         collector.measure(name, act)
+        # Between queries (outside the timed window): drop Python-side
+        # DataFrame/RDD references and force one JVM GC so ContextCleaner
+        # releases localCheckpoint + broadcast blocks — without this, state
+        # from the iterative queries accumulates in the shared local JVM
+        # and measurably slows the tail of a 100+ query run.
+        gc.collect()
+        if i % 8 == 7:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     # per-query shuffle/spill bytes (BASELINE §C: byte counters via the

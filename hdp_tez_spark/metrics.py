@@ -127,17 +127,25 @@ class TaskMetricsCollector:
         empty_quantiles = gw.new_array(gw.jvm.double, 0)
         empty_list = gw.jvm.java.util.ArrayList()
         stages = store.stageList(empty_list, False, False, empty_quantiles, empty_list)
-        totals = dict.fromkeys(self.FIELDS, 0)
+        # Totals = every COMPLETE stage ever cached + the live stages not
+        # yet cached. Keeping evicted stages in the cache makes the totals
+        # MONOTONE even when the status store drops old stages under its
+        # spark.ui.retained* caps (the session profile caps them so a long
+        # bench run doesn't grow the driver heap) — otherwise an eviction
+        # between two snapshots would make a query's delta go negative.
+        live: list[dict[str, int]] = []
         for i in range(stages.size()):
             sd = stages.apply(i)
             key = (sd.stageId(), sd.attemptId())
-            cached = self._done_stages.get(key)
-            if cached is None:
-                vals = {field: getattr(sd, field)() for field in self.FIELDS}
-                if sd.status().toString() == "COMPLETE":
-                    self._done_stages[key] = vals
+            if key in self._done_stages:
+                continue
+            vals = {field: getattr(sd, field)() for field in self.FIELDS}
+            if sd.status().toString() == "COMPLETE":
+                self._done_stages[key] = vals
             else:
-                vals = cached
+                live.append(vals)
+        totals = dict.fromkeys(self.FIELDS, 0)
+        for vals in list(self._done_stages.values()) + live:
             for field in self.FIELDS:
                 totals[field] += vals[field]
         return totals

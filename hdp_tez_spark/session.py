@@ -78,6 +78,21 @@ def tuned_builder(app_name: str = "hdp-tez-spark") -> SparkSession.Builder:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # --- status-store retention ---------------------------------------
+        # The in-memory AppStatusStore tracks every job/stage/task even with
+        # the UI off (metrics.py reads it). The defaults retain 1000 stages
+        # + 100k tasks + 1000 SQL executions; over a 100+ query session that
+        # accumulation measurably degrades later queries (GC pressure in the
+        # shared local JVM). Cap retention well above any single query's
+        # needs; TaskMetricsCollector tolerates eviction (monotone cache).
+        .config("spark.ui.retainedJobs", "300")
+        .config("spark.ui.retainedStages", "500")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        # Periodic JVM GC so ContextCleaner's weak references actually fire
+        # and release dropped localCheckpoint/broadcast blocks during long
+        # multi-query sessions (default is 30 min — longer than the run).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
 
 
