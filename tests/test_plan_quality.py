@@ -537,3 +537,45 @@ def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_anonymity_two_aggregate_exchanges_only(spark):
+    """Quasi-identifier groupBy + the 1-row rollup: both partial-
+    aggregated, at most two hash exchanges, nothing row-shaped past the
+    first aggregate."""
+    df = E.queries()["k_anonymity"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1  # rollup is 1-partition
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Python" not in plan
+
+
+def test_woe_iv_single_grouped_pass_with_broadcast_totals(spark):
+    """Category stats ride one grouped aggregation; the totals come back
+    as a broadcast join, not a second corpus shuffle."""
+    df = E.queries()["woe_iv"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_rrf_fusion_no_corpus_shuffle_after_candidates(spark):
+    """Fusion runs over two top-20 candidate lists: no cartesian
+    product, and the rank windows stay JVM-side."""
+    df = E.queries()["rrf_fusion"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_pca_project_zero_shuffle(spark):
+    """Projection onto a fixed component is a pure map: no exchange of
+    any kind in the plan."""
+    from hdp_tez_spark.extensions.similarity import pca_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = pca_project(emb, [0.125] * 64, mu=[0.0] * 64)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
