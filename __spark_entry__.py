@@ -6422,6 +6422,45 @@ ORDER BY category
 """
 
 
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (extensions/experiments.py
+    calibration_bins): the cents-fraction of o_totalprice as a
+    deterministic pseudo-score against the order-fulfilled label —
+    one bin-keyed partial-agg groupBy, `bins` rows out."""
+    from hdp_tez_spark.extensions.experiments import calibration_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    return calibration_bins(
+        orders.select(
+            (F.col("o_totalprice") % 1.0).alias("score"),
+            "o_orderstatus",
+        ),
+        "score",
+        F.col("o_orderstatus") == "F",
+        bins=10,
+    )
+
+
+_SQL_CALIBRATION_BINS = """
+WITH rows_ AS (
+  SELECT least(greatest(o_totalprice % 1.0, 0.0), 1.0) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+  FROM orders
+),
+binned AS (
+  SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, p FROM rows_
+)
+SELECT bin, round(bin / 10.0, 6) AS lo, round((bin + 1) / 10.0, 6) AS hi,
+       count(*) AS n, sum(p)::BIGINT AS n_pos,
+       round(avg(s), 6) AS avg_score,
+       round(avg(p::DOUBLE), 6) AS pos_rate
+FROM binned GROUP BY bin
+ORDER BY bin
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6537,6 +6576,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_interval_join": (q_stream_interval_join, _SQL_INTERVAL_JOIN),
     "stream_stateful_totals": (q_stream_stateful_totals, _SQL_STREAM_STATEFUL_TOTALS),
     "cuped": (q_cuped, _SQL_CUPED),
+    # never-driver-checked yet: same single-pass aggregate family as the
+    # in-prefix ab_ttest/chi_square; covered by the local oracle suites
+    # and a rotation candidate for r05
+    "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -245,3 +245,54 @@ def chi_square_independence(
         ).alias("dof"),
         F.max("__n").alias("n"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier: fixed-width
+    score bins vs observed positive rate — the companion readout to
+    `analytics.binary_auc` (AUC says the ranking is good; calibration
+    says the probabilities mean what they claim), and the sum of
+    n/N * |avg_score - pos_rate| over the rows is Expected Calibration
+    Error. `label_col` may be a column name or boolean Column; truthy
+    rows are positives.
+
+    Scores are clamped into [0, 1] and binned by floor(score * bins)
+    (score 1.0 lands in the top bin). Output per non-empty bin:
+    (bin, lo, hi, n, n_pos, avg_score, pos_rate), rounded to 6 dp,
+    ordered by bin.
+
+    Scale shape: one partial-aggregated groupBy keyed by the bin index
+    — the shuffle carries `bins` rows per partition no matter the
+    corpus size. Pure column expressions; the output is `bins` rows.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lab.cast("boolean").cast("long")
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    return (
+        df.select(b.alias("bin"), s.alias("__s"), pos.alias("__p"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__p").alias("n_pos"),
+            F.round(F.avg("__s"), 6).alias("avg_score"),
+            F.round(F.avg("__p"), 6).alias("pos_rate"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / bins, 6).alias("lo"),
+            F.round((F.col("bin") + 1) / bins, 6).alias("hi"),
+            "n",
+            "n_pos",
+            "avg_score",
+            "pos_rate",
+        )
+        .orderBy("bin")
+    )

@@ -170,3 +170,28 @@ def test_woe_iv_accepts_column_expression_label(spark):
         for r in woe_iv(df, "cat", F.col("status") == "F").collect()
     }
     assert out == {"a": 1, "b": 1}
+
+
+def test_calibration_bins_hand_computed(spark):
+    from hdp_tez_spark.extensions.experiments import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 1), (0.08, 0), (0.95, 1), (0.92, 1), (1.0, 1), (-0.2, 0)],
+        "score double, lab int",
+    )
+    out = {r.bin: r for r in calibration_bins(df, "score", "lab", bins=10).collect()}
+    assert set(out) == {0, 9}
+    # bin 0: scores 0.05, 0.08, clamped -0.2 -> 0.0
+    assert out[0].n == 3 and out[0].n_pos == 1
+    assert out[0].lo == 0.0 and out[0].hi == 0.1
+    assert out[0].pos_rate == round(1 / 3, 6)
+    # bin 9 catches score 1.0 (clamped into the top bin)
+    assert out[9].n == 3 and out[9].n_pos == 3 and out[9].pos_rate == 1.0
+
+
+def test_calibration_bins_rejects_bad_bins(spark):
+    from hdp_tez_spark.extensions.experiments import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, lab int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "lab", bins=0)
