@@ -3303,8 +3303,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BM25 = f"""
-WITH {_SQL_TOK_CTE},
+# Shared by _SQL_BM25 and _SQL_RRF_FUSION so the BM25 formula, query
+# terms, and k1/b constants live in exactly one oracle string.
+_SQL_BM25_TOP_CTE = f"""{_SQL_TOK_CTE},
 dl AS (SELECT doc, len(t) AS dl FROM tok0),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc, term, count(*) AS tf FROM tok
@@ -3316,10 +3317,16 @@ contrib AS (
          ln(1 + (n - df + 0.5) / (df + 0.5))
            * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
   FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
-)
-SELECT doc AS doc_id, round(sum(c), 6) AS score
-FROM contrib GROUP BY doc
-ORDER BY score DESC, doc_id LIMIT 20
+),
+bm_top AS (
+  SELECT doc AS doc_id, round(sum(c), 6) AS score
+  FROM contrib GROUP BY doc
+  ORDER BY score DESC, doc_id LIMIT 20
+)"""
+
+_SQL_BM25 = f"""
+WITH {_SQL_BM25_TOP_CTE}
+SELECT doc_id, score FROM bm_top ORDER BY score DESC, doc_id
 """
 
 
@@ -6356,24 +6363,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_RRF_FUSION = f"""
-WITH {_SQL_TOK_CTE},
-dl AS (SELECT doc, len(t) AS dl FROM tok0),
-stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc, term, count(*) AS tf FROM tok
-       WHERE term IN ('spark', 'table', 'sort', 'window')
-       GROUP BY doc, term),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-contrib AS (
-  SELECT tf.doc,
-         ln(1 + (n - df + 0.5) / (df + 0.5))
-           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
-  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
-),
-bm_top AS (
-  SELECT doc AS doc_id, round(sum(c), 6) AS score
-  FROM contrib GROUP BY doc
-  ORDER BY score DESC, doc_id LIMIT 20
-),
+WITH {_SQL_BM25_TOP_CTE},
 bm AS (SELECT doc_id,
               row_number() OVER (ORDER BY score DESC, doc_id) AS r
        FROM bm_top),

@@ -810,6 +810,8 @@ def woe_iv(
     |categories| rows: broadcastable back onto the corpus as the
     WoE-encoding map join.
     """
+    if smooth <= 0:
+        raise ValueError(f"smooth must be positive, got {smooth}")
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
     pos = lab.cast("boolean").cast("long")
     cats = df.groupBy(F.col(feature_col).cast("string").alias("category")).agg(

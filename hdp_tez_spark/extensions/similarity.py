@@ -547,11 +547,22 @@ def pca_top_component(
     once, and v is re-rounded to 6 dp after every normalization — so
     any partitioning, retry, or other engine (the DuckDB oracle unrolls
     the same rounds in SQL) reproduces the iterates bit-for-bit.
-    Float32 cells are widened to float64 before any product.
+    Driver-side rounding is half-away-from-zero to match SQL ROUND and
+    Spark F.round (Python's builtin round() is half-to-even and would
+    diverge on exact ties). Float32 cells are widened to float64 before
+    any product. A zero-variance corpus (C v = 0) short-circuits and
+    returns the current iterate — every direction is equally principal.
     """
     import math
 
-    d = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    def _round6(x: float) -> float:
+        # half-away-from-zero at 6 dp, the ROUND both SQL engines use
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None or probe["d"] is None:
+        raise ValueError(f"empty corpus or NULL {vec_col!r} in first row")
+    d = int(probe["d"])
     base = _spread(df.select(F.col(vec_col).alias("v")))
     stats = (
         base.select(F.posexplode("v").alias("pos", "x"))
@@ -562,10 +573,12 @@ def pca_top_component(
         )
         .collect()
     )
+    if not stats:
+        raise ValueError(f"no non-NULL {vec_col!r} vectors to fit")
     n = stats[0]["cnt"]
     by_pos = {r["pos"]: r["s"] for r in stats}
-    mu = [round(by_pos[i] / n, 6) for i in range(d)]
-    v = [round(1.0 / math.sqrt(d), 6)] * d
+    mu = [_round6(by_pos[i] / n) for i in range(d)]
+    v = [_round6(1.0 / math.sqrt(d))] * d
     spark = df.sparkSession
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("varr"), lambda x, w: x.cast("double") * w),
@@ -588,7 +601,9 @@ def pca_top_component(
         muv = sum(m * x for m, x in zip(mu, v))
         w = [s[i] / n - mu[i] * muv for i in range(d)]
         nrm = math.sqrt(sum(x * x for x in w))
-        v = [round(x / nrm, 6) for x in w]
+        if nrm == 0.0:
+            break  # zero-variance corpus: keep the current iterate
+        v = [_round6(x / nrm) for x in w]
     return df.sparkSession.createDataFrame(
         [(i, v[i]) for i in range(d)], "i int, loading double"
     )

@@ -127,12 +127,15 @@ class TaskMetricsCollector:
         empty_quantiles = gw.new_array(gw.jvm.double, 0)
         empty_list = gw.jvm.java.util.ArrayList()
         stages = store.stageList(empty_list, False, False, empty_quantiles, empty_list)
-        # Totals = every COMPLETE stage ever cached + the live stages not
-        # yet cached. Keeping evicted stages in the cache makes the totals
-        # MONOTONE even when the status store drops old stages under its
-        # spark.ui.retained* caps (the session profile caps them so a long
-        # bench run doesn't grow the driver heap) — otherwise an eviction
-        # between two snapshots would make a query's delta go negative.
+        # Totals = every terminal stage ever cached + the live stages not
+        # yet cached. Terminal means COMPLETE, FAILED, or SKIPPED — all of
+        # them have immutable metrics and all of them are eviction
+        # candidates (a failed attempt still shuffled real bytes). Keeping
+        # evicted stages in the cache makes the totals MONOTONE even when
+        # the status store drops old stages under its spark.ui.retained*
+        # caps (the session profile caps them so a long bench run doesn't
+        # grow the driver heap) — otherwise an eviction between two
+        # snapshots would make a query's delta go negative.
         live: list[dict[str, int]] = []
         for i in range(stages.size()):
             sd = stages.apply(i)
@@ -140,7 +143,7 @@ class TaskMetricsCollector:
             if key in self._done_stages:
                 continue
             vals = {field: getattr(sd, field)() for field in self.FIELDS}
-            if sd.status().toString() == "COMPLETE":
+            if sd.status().toString() in ("COMPLETE", "FAILED", "SKIPPED"):
                 self._done_stages[key] = vals
             else:
                 live.append(vals)

@@ -32,7 +32,7 @@ def test_pca_top_component_finds_planted_axis(spark):
     comp = {r.i: r.loading for r in pca_top_component(df, "embedding", iters=5).collect()}
     assert set(comp) == set(range(6))
     # unit norm (up to the 6dp per-coordinate rounding)
-    assert math.isqrt(1) and abs(sum(x * x for x in comp.values()) - 1.0) < 1e-4
+    assert abs(sum(x * x for x in comp.values()) - 1.0) < 1e-4
     # the planted axis dominates
     assert abs(comp[2]) > 0.99
     assert all(abs(comp[i]) < 0.1 for i in range(6) if i != 2)
@@ -195,3 +195,22 @@ def test_calibration_bins_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0.5, 1)], "score double, lab int")
     with pytest.raises(ValueError):
         calibration_bins(df, "score", "lab", bins=0)
+
+
+def test_pca_top_component_zero_variance_returns_iterate(spark):
+    df = spark.createDataFrame([([1.0, 2.0],)] * 5, "embedding array<double>")
+    comp = {r.i: r.loading for r in pca_top_component(df, "embedding").collect()}
+    # C = 0 short-circuits: the rounded uniform start vector comes back
+    assert comp == {0: 0.707107, 1: 0.707107}
+
+
+def test_pca_top_component_rejects_empty_corpus(spark):
+    df = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError):
+        pca_top_component(df, "embedding")
+
+
+def test_woe_iv_rejects_nonpositive_smooth(spark):
+    df = spark.createDataFrame([("a", 1)], "cat string, lab int")
+    with pytest.raises(ValueError):
+        woe_iv(df, "cat", "lab", smooth=0.0)

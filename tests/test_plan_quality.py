@@ -539,10 +539,10 @@ def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_k_anonymity_two_aggregate_exchanges_only(spark):
-    """Quasi-identifier groupBy + the 1-row rollup: both partial-
-    aggregated, at most two hash exchanges, nothing row-shaped past the
-    first aggregate."""
+def test_k_anonymity_single_hash_exchange(spark):
+    """Quasi-identifier groupBy is the only hash exchange (the 1-row
+    rollup rides an Exchange SinglePartition); both aggregates are
+    partial-aggregated and nothing row-shaped passes the first."""
     df = E.queries()["k_anonymity"](spark, SF_SMOKE)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 1  # rollup is 1-partition
