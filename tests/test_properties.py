@@ -568,3 +568,76 @@ def test_golden_record_matches_python_reference(spark, rows):
         if v is not None and (m[1] is None or (q, i) > m[1]):
             m[1], m[2] = (q, i), v
     assert got == {c: (n, attr) for c, (n, _, attr) in ref.items()}
+
+
+ranked_lists = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.lists(
+        st.tuples(st.integers(0, 9), st.floats(0.0, 10.0, allow_nan=False)),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(lists=ranked_lists)
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_python_reference(spark, lists):
+    from hdp_tez_spark.extensions.ranking import rrf_fuse
+
+    frames, expected = {}, {}
+    for name, pairs in lists.items():
+        # dedupe ids within a list (keep max score, like a retriever would)
+        best: dict[int, float] = {}
+        for i, s in pairs:
+            best[i] = max(best.get(i, float("-inf")), s)
+        frames[name] = spark.createDataFrame(
+            list(best.items()), "id int, score double"
+        )
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (i, _) in enumerate(ranked, start=1):
+            expected[i] = expected.get(i, 0.0) + 1.0 / (60 + rank)
+    got = {r.id: r.rrf for r in rrf_fuse(frames, "id", k=60, limit=100).collect()}
+    assert set(got) == set(expected)
+    for i, v in expected.items():
+        assert got[i] == round(v, 6)
+
+
+grouped_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=grouped_rows, k=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_k_anonymity_matches_python_reference(spark, rows, k):
+    from collections import Counter
+
+    from hdp_tez_spark.extensions.quality import k_anonymity
+
+    df = spark.createDataFrame(rows, "q int, other int")
+    sizes = Counter(q for q, _ in rows)
+    row = k_anonymity(df, ["q"], k=k).collect()[0]
+    assert row.n_rows == len(rows)
+    assert row.n_groups == len(sizes)
+    assert row.min_group_size == min(sizes.values())
+    assert row.violating_groups == sum(1 for s in sizes.values() if s < k)
+    assert row.violating_rows == sum(s for s in sizes.values() if s < k)
+
+
+@given(rows=grouped_rows)
+@settings(**SETTINGS)
+def test_woe_iv_contributions_sum_to_nonnegative_iv(spark, rows):
+    """IV = sum of contributions is >= 0 for ANY labeling (each term is
+    (p-q)ln(p/q) with p,q > 0 after smoothing — always nonnegative)."""
+    from hdp_tez_spark.extensions.analytics import woe_iv
+
+    df = spark.createDataFrame(rows, "cat int, lab int")
+    out = woe_iv(df, "cat", "lab", smooth=0.5).collect()
+    iv = sum(r.iv_contrib for r in out)
+    assert iv >= -1e-9
+    assert sum(r.n for r in out) == len(rows)
