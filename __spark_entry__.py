@@ -6451,6 +6451,42 @@ ORDER BY bin
 """
 
 
+
+
+def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims (extensions/similarity.py
+    random_project): md5-parity sign matrix broadcast as one row, the
+    whole operator a zero-shuffle map; exploded to scalar cells here
+    because the driver's hash cannot sort array cells."""
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        random_project(emb, out_dim=16, seed="jl")
+        .select("vec_id", F.posexplode("proj").alias("j", "val"))
+    )
+
+
+_SQL_RANDOM_PROJECT = """
+WITH cells AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+signs AS (
+  SELECT j.j, i.i,
+         CASE WHEN ('0x' || substr(md5('jl-' || j.j || '-' || i.i), 1, 15))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(16) j(j) CROSS JOIN range(64) i(i)
+)
+SELECT c.vec_id, CAST(signs.j AS INT) AS j,
+       round(sum(c.x * signs.s) / sqrt(16.0), 6) AS val
+FROM cells c JOIN signs ON c.i = signs.i
+GROUP BY c.vec_id, signs.j
+ORDER BY c.vec_id, j
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6570,6 +6606,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-prefix ab_ttest/chi_square; covered by the local oracle suites
     # and a rotation candidate for r05
     "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),
+    # never-driver-checked yet: zero-shuffle map twin of the in-prefix
+    # pca_component machinery; local oracle coverage, r05 rotation
+    # candidate
+    "random_project": (q_random_project, _SQL_RANDOM_PROJECT),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

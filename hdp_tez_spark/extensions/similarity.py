@@ -630,3 +630,56 @@ def pca_project(
     )
     shift = sum(m * x for m, x in zip(mu, component)) if mu else 0.0
     return df.select(F.col(id_col), F.round(dot - F.lit(shift), 6).alias(out))
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: str = "jl",
+    out: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto `out_dim` deterministic +-1 directions, scaled by
+    1/sqrt(out_dim) so pairwise distances are preserved in expectation
+    — the cheap pre-step that lets LSH/ANN/clustering run on 16 dims
+    instead of 768. Output: (id, proj array<double>), each coordinate
+    rounded to 6 dp.
+
+    The projection matrix is never stored: sign s[j][i] is the parity
+    of md5(f"{seed}-{j}-{i}") — the repo's standard engine-portable
+    hash, so any SQL engine replays the exact matrix. It rides in as a
+    broadcast 1-row array-of-arrays (the pca_top_component recipe:
+    stable codegen, no giant literal tree), making the whole operator a
+    ZERO-SHUFFLE map over the corpus — at 100 TB this is one scan, and
+    the sketch-sized output is what downstream stages shuffle instead
+    of the full-width vectors.
+    """
+    import hashlib
+    import math
+
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None or probe["d"] is None:
+        raise ValueError(f"empty corpus or NULL {vec_col!r} in first row")
+    d = int(probe["d"])
+
+    def sgn(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{seed}-{j}-{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    signs = [[sgn(j, i) for i in range(d)] for j in range(out_dim)]
+    sdf = df.sparkSession.createDataFrame(
+        [(signs,)], "__signs array<array<double>>"
+    )
+    scale = 1.0 / math.sqrt(out_dim)
+    proj = F.transform(
+        F.col("__signs"),
+        lambda s: F.round(_dot(F.col(vec_col), s) * scale, 6),
+    )
+    return (
+        df.crossJoin(F.broadcast(sdf))
+        .select(F.col(id_col), proj.alias(out))
+    )

@@ -214,3 +214,45 @@ def test_woe_iv_rejects_nonpositive_smooth(spark):
     df = spark.createDataFrame([("a", 1)], "cat string, lab int")
     with pytest.raises(ValueError):
         woe_iv(df, "cat", "lab", smooth=0.0)
+
+
+def test_random_project_preserves_norms_in_expectation(spark):
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    rows = _planted_vectors()  # 60 vectors in R^6
+    df = spark.createDataFrame(
+        [(i, v) for i, (v,) in enumerate(rows)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.proj
+        for r in random_project(df, out_dim=4, seed="t").collect()
+    }
+    assert len(out) == 60 and all(len(p) == 4 for p in out.values())
+    # E[||proj||^2] = ||x||^2; over 60 vectors the ratio should be
+    # within a loose JL band
+    num = sum(sum(p * p for p in out[i]) for i in out)
+    den = sum(sum(x * x for x in v) for (v,) in rows)
+    assert 0.3 < num / den < 3.0
+
+
+def test_random_project_is_seed_deterministic(spark):
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [0.5, -1.0, 4.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a = {r.vec_id: r.proj for r in random_project(df, out_dim=3, seed="s1").collect()}
+    b = {r.vec_id: r.proj for r in random_project(df, out_dim=3, seed="s1").collect()}
+    c = {r.vec_id: r.proj for r in random_project(df, out_dim=3, seed="s2").collect()}
+    assert a == b
+    assert a != c
+
+
+def test_random_project_rejects_bad_out_dim(spark):
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError):
+        random_project(df, out_dim=0)

@@ -579,3 +579,15 @@ def test_pca_project_zero_shuffle(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_random_project_zero_shuffle(spark):
+    """The JL projection is a broadcast-joined map: no hash or range
+    exchange anywhere in the plan."""
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(random_project(emb, out_dim=8))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Python" not in plan
