@@ -6487,6 +6487,55 @@ ORDER BY c.vec_id, j
 """
 
 
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution over the events stream
+    (extensions/analytics.py attribute_conversions): one keyed window
+    pass computes both models — no touches x conversions self-join."""
+    from hdp_tez_spark.extensions.analytics import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        value_col="value",
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         first_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                     IGNORE NULLS)
+           OVER w AS f_ts,
+         first_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+           OVER w AS f_tp,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS)
+           OVER w AS l_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS l_tp
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(epoch(ts), 6) AS conv_ts, value,
+       f_tp AS first_touch, round(epoch(f_ts), 6) AS first_ts,
+       l_tp AS last_touch, round(epoch(l_ts), 6) AS last_ts
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6610,6 +6659,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # pca_component machinery; local oracle coverage, r05 rotation
     # candidate
     "random_project": (q_random_project, _SQL_RANDOM_PROJECT),
+    # never-driver-checked yet: keyed-window twin of the in-prefix
+    # sessionize/range_frame_window machinery; local oracle coverage,
+    # r05 rotation candidate
+    "attribution": (q_attribution, _SQL_ATTRIBUTION),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -836,3 +836,60 @@ def woe_iv(
         )
         .orderBy("category")
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """First/last-touch attribution: for every conversion event, find
+    the earliest and latest preceding touch event by the same user —
+    the credit-assignment readout behind every marketing/funnel
+    dashboard. Output per conversion: (id, user, conv_ts, [value,]
+    first_touch, first_ts, last_touch, last_ts), timestamps as epoch
+    seconds rounded to 6 dp; touch columns are NULL for a conversion
+    with no prior touch.
+
+    Scale shape: ONE keyed window pass — first()/last() with
+    ignorenulls over the per-user rows-preceding frame compute both
+    models simultaneously, so the only shuffle is the (user) hash
+    partition of the events (the sessionize shape). No self-join of
+    touches x conversions, which is the quadratic trap when one user
+    has thousands of events. Ties at the same timestamp are ordered by
+    the event id, so attribution is retry-deterministic.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.when(
+        is_touch,
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")),
+    )
+    first_t = F.first(touch, ignorenulls=True).over(w)
+    last_t = F.last(touch, ignorenulls=True).over(w)
+    epoch = lambda c: F.round(c.cast("double"), 6)  # noqa: E731
+    cols = [
+        F.col(id_col),
+        F.col(user_col),
+        epoch(F.col(ts_col)).alias("conv_ts"),
+        *([F.col(value_col)] if value_col else []),
+        F.col("__f").tp.alias("first_touch"),
+        epoch(F.col("__f").ts).alias("first_ts"),
+        F.col("__l").tp.alias("last_touch"),
+        epoch(F.col("__l").ts).alias("last_ts"),
+    ]
+    return (
+        df.withColumn("__f", first_t)
+        .withColumn("__l", last_t)
+        .where(F.col(type_col) == conversion_type)
+        .select(*cols)
+    )

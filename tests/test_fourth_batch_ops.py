@@ -256,3 +256,52 @@ def test_random_project_rejects_bad_out_dim(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<double>")
     with pytest.raises(ValueError):
         random_project(df, out_dim=0)
+
+
+def test_attribution_first_and_last_touch(spark):
+    from hdp_tez_spark.extensions.analytics import attribute_conversions
+
+    rows = [
+        # user 1: view(t1) -> click(t2) -> purchase(t3) -> purchase(t4)
+        (1, 1, "2024-01-01 00:00:01", "view"),
+        (2, 1, "2024-01-01 00:00:02", "click"),
+        (3, 1, "2024-01-01 00:00:03", "purchase"),
+        (4, 1, "2024-01-01 00:00:04", "purchase"),
+        # user 2: purchase with no prior touch
+        (5, 2, "2024-01-01 00:00:05", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.event_id: r
+        for r in attribute_conversions(
+            df, "user_id", "ts", "event_type", "event_id",
+            conversion_type="purchase", touch_types=["click", "view"],
+        ).collect()
+    }
+    assert set(out) == {3, 4, 5}
+    assert out[3].first_touch == "view" and out[3].last_touch == "click"
+    # the second purchase still attributes to the same touches (a
+    # purchase is not a touch)
+    assert out[4].first_touch == "view" and out[4].last_touch == "click"
+    assert out[5].first_touch is None and out[5].last_touch is None
+
+
+def test_attribution_tie_at_same_timestamp_uses_event_id(spark):
+    from hdp_tez_spark.extensions.analytics import attribute_conversions
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:01", "click"),
+        (2, 1, "2024-01-01 00:00:01", "view"),
+        (3, 1, "2024-01-01 00:00:02", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = attribute_conversions(
+        df, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", touch_types=["click", "view"],
+    ).collect()[0]
+    assert row.first_touch == "click"  # event_id 1 orders first
+    assert row.last_touch == "view"
