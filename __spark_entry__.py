@@ -6536,6 +6536,64 @@ ORDER BY event_id
 """
 
 
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift readout between two slices of the events stream
+    (extensions/quality.py psi_drift): baseline min/max broadcast to
+    both sides, one bins-row groupBy per side — drift costs two scans."""
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        "value",
+        bins=10,
+    )
+
+
+_SQL_PSI_DRIFT = """
+WITH b AS (SELECT value::DOUBLE AS x FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL),
+c AS (SELECT value::DOUBLE AS x FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL),
+s AS (SELECT min(x) AS mn, max(x) AS mx FROM b),
+bin_b AS (
+  SELECT CAST(least(greatest(CASE WHEN (mx - mn) / 10 > 0
+                                  THEN floor((x - mn) / ((mx - mn) / 10))
+                                  ELSE 0 END, 0), 9) AS INT) AS bin,
+         count(*) AS n_base
+  FROM b CROSS JOIN s GROUP BY 1
+),
+bin_c AS (
+  SELECT CAST(least(greatest(CASE WHEN (mx - mn) / 10 > 0
+                                  THEN floor((x - mn) / ((mx - mn) / 10))
+                                  ELSE 0 END, 0), 9) AS INT) AS bin,
+         count(*) AS n_cur
+  FROM c CROSS JOIN s GROUP BY 1
+),
+j AS (
+  SELECT coalesce(bin_b.bin, bin_c.bin) AS bin,
+         coalesce(n_base, 0)::BIGINT AS n_base,
+         coalesce(n_cur, 0)::BIGINT AS n_cur
+  FROM bin_b FULL OUTER JOIN bin_c ON bin_b.bin = bin_c.bin
+),
+t AS (SELECT sum(n_base)::DOUBLE AS tb, sum(n_cur)::DOUBLE AS tc FROM j)
+SELECT bin,
+       round(mn + bin * (mx - mn) / 10, 6) AS lo,
+       round(mn + (bin + 1) * (mx - mn) / 10, 6) AS hi,
+       n_base, n_cur,
+       round((n_base + 0.5) / (tb + 5.0), 6) AS share_base,
+       round((n_cur + 0.5) / (tc + 5.0), 6) AS share_cur,
+       round(((n_cur + 0.5) / (tc + 5.0) - (n_base + 0.5) / (tb + 5.0))
+               * ln(((n_cur + 0.5) / (tc + 5.0))
+                    / ((n_base + 0.5) / (tb + 5.0))), 6) AS psi_contrib
+FROM j CROSS JOIN t CROSS JOIN s
+ORDER BY bin
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6663,6 +6721,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # sessionize/range_frame_window machinery; local oracle coverage,
     # r05 rotation candidate
     "attribution": (q_attribution, _SQL_ATTRIBUTION),
+    # never-driver-checked yet: same broadcast-stats + bin-groupBy family
+    # as the in-prefix profile_table/histogram; local oracle coverage,
+    # r05 rotation candidate
+    "psi_drift": (q_psi_drift, _SQL_PSI_DRIFT),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

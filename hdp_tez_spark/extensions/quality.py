@@ -198,3 +198,86 @@ def k_anonymity(
         "violating_rows",
         "anonymous_share",
     )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two drops of the same numeric
+    column — the standard drift alarm for recurring ingests (rule of
+    thumb: PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    Bin edges are fixed-width over the BASELINE's [min, max] (current
+    values outside clamp into the edge bins, so new mass beyond the old
+    range is visible as edge-bin drift). Per bin:
+    psi_contrib = (p_cur - p_base) * ln(p_cur / p_base), with both
+    shares Laplace-smoothed by 0.5 rows so empty bins stay finite; the
+    column's PSI is sum(psi_contrib). Output: (bin, lo, hi, n_base,
+    n_cur, share_base, share_cur, psi_contrib) ordered by bin, shares
+    and psi rounded to 6 dp.
+
+    Scale shape: one 1-row min/max aggregate over the baseline
+    (broadcast to both sides — the `histogram` recipe), then one
+    partial-agg groupBy per side whose shuffle is `bins` rows per
+    partition, and a |bins|-row join. Two scans total, nothing
+    row-shaped past the aggregates — drift-checking a 100 TB drop costs
+    the same as counting it.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    v = F.col(value_col).cast("double")
+    stats = baseline.agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        width = (F.col("__mx") - F.col("__mn")) / bins
+        raw = F.when(width > 0, F.floor((v - F.col("__mn")) / width)).otherwise(
+            F.lit(0)
+        )
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .where(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = binned(baseline, "n_base")
+    cur = binned(current, "n_cur")
+    joined = (
+        base.join(cur, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_base") + 0.5) / (F.col("__tb") + 0.5 * bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("__tc") + 0.5 * bins)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.round(
+                F.col("__mn") + F.col("bin") * (F.col("__mx") - F.col("__mn")) / bins, 6
+            ).alias("lo"),
+            F.round(
+                F.col("__mn")
+                + (F.col("bin") + 1) * (F.col("__mx") - F.col("__mn")) / bins,
+                6,
+            ).alias("hi"),
+            "n_base",
+            "n_cur",
+            F.round(p, 6).alias("share_base"),
+            F.round(q, 6).alias("share_cur"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )

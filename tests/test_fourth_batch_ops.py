@@ -305,3 +305,45 @@ def test_attribution_tie_at_same_timestamp_uses_event_id(spark):
     ).collect()[0]
     assert row.first_touch == "click"  # event_id 1 orders first
     assert row.last_touch == "view"
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    df = spark.createDataFrame([(float(i % 100),) for i in range(500)], "x double")
+    out = psi_drift(df, df, "x", bins=10).collect()
+    assert len(out) == 10
+    assert abs(sum(r.psi_contrib for r in out)) < 1e-9  # identical -> PSI 0
+    assert all(r.n_base == r.n_cur for r in out)
+
+
+def test_psi_drift_shift_lands_in_edge_bin(spark):
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    base = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    # current values all beyond the baseline max clamp into the top bin
+    cur = spark.createDataFrame([(1000.0,)] * 50, "x double")
+    out = {r.bin: r for r in psi_drift(base, cur, "x", bins=10).collect()}
+    assert out[9].n_cur == 50
+    assert sum(r.n_cur for r in out.values()) == 50
+    psi = sum(r.psi_contrib for r in out.values())
+    assert psi > 0.25  # a full shift must scream
+
+
+def test_psi_drift_constant_baseline_single_bin(spark):
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    base = spark.createDataFrame([(5.0,)] * 10, "x double")
+    cur = spark.createDataFrame([(5.0,)] * 7, "x double")
+    out = psi_drift(base, cur, "x", bins=10).collect()
+    # zero-width range: everything lands in bin 0, PSI ~ 0
+    assert [r.bin for r in out] == [0]
+    assert out[0].n_base == 10 and out[0].n_cur == 7
+
+
+def test_psi_drift_rejects_bad_bins(spark):
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "x", bins=0)
