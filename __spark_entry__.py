@@ -6594,6 +6594,56 @@ ORDER BY bin
 """
 
 
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping exposure intervals (extensions/
+    analytics.py merge_intervals): each event spans [ts, ts + value
+    seconds]; one keyed window pass, no interval self-join."""
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("double").alias("s"),
+        (F.col("ts").cast("double") + F.col("value")).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e")
+
+
+_SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id AS key, epoch(ts) AS s, epoch(ts) + value AS e
+  FROM events
+),
+marked AS (
+  SELECT key, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY key ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY key ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+numbered AS (
+  SELECT key, s, e,
+         sum(new_island) OVER (PARTITION BY key ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT key, island, min(s) AS i_s, max(e) AS i_e, count(*) AS cnt
+  FROM numbered GROUP BY key, island
+)
+SELECT key, sum(cnt)::BIGINT AS n_raw, count(*) AS n_merged,
+       round(sum(i_e - i_s), 6) AS covered_sec
+FROM islands GROUP BY key
+ORDER BY key
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6725,6 +6775,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # as the in-prefix profile_table/histogram; local oracle coverage,
     # r05 rotation candidate
     "psi_drift": (q_psi_drift, _SQL_PSI_DRIFT),
+    # never-driver-checked yet: gaps-and-islands twin of the in-prefix
+    # gaps_islands/sessionize machinery; local oracle coverage, r05
+    # rotation candidate
+    "merge_intervals": (q_merge_intervals, _SQL_MERGE_INTERVALS),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -147,6 +147,10 @@ HEADLINE = [
     "pca_component",
     "rrf_fusion",
     "woe_iv",
+    "calibration_bins",
+    "random_project",
+    "attribution",
+    "psi_drift",
 ]
 
 

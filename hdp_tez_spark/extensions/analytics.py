@@ -893,3 +893,63 @@ def attribute_conversions(
         .where(F.col(type_col) == conversion_type)
         .select(*cols)
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of overlapping/touching time intervals per key — the
+    coverage computation behind uptime, billing-hours, and
+    exposure-window readouts, where naive SUM(end - start) double-counts
+    every overlap. Output per key: (key, n_raw, n_merged, covered_sec)
+    with covered_sec = total length of the merged union in seconds
+    (rounded to 6 dp).
+
+    Scale shape: the gaps-and-islands trick in ONE keyed window pass —
+    an interval starts a new island when its start exceeds the running
+    max end of everything before it; islands then collapse with a
+    grouped agg. Both group-bys cluster by the window's partition key,
+    so Catalyst reuses the single hash exchange — one shuffle total,
+    no interval self-join (the quadratic trap when one key holds
+    thousands of intervals). Ties order by (start, end) and
+    end-touching intervals merge, so the island assignment is
+    retry-deterministic.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("double").alias("__s"),
+        F.col(end_col).cast("double").alias("__e"),
+    )
+    s, e = F.col("__s"), F.col("__e")
+    w = Window.partitionBy("key").orderBy(s, e)
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (
+        prev_max_end.isNull() | (s > prev_max_end)
+    ).cast("long")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        base.withColumn("__island", island)
+        .groupBy("key", "__island")
+        .agg(
+            F.min("__s").alias("__is"),
+            F.max("__e").alias("__ie"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    return (
+        islands.groupBy("key")
+        .agg(
+            F.sum("__cnt").alias("n_raw"),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.round(F.sum(F.col("__ie") - F.col("__is")), 6).alias(
+                "covered_sec"
+            ),
+        )
+        .select("key", "n_raw", "n_merged", "covered_sec")
+        .orderBy("key")
+    )

@@ -347,3 +347,31 @@ def test_psi_drift_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         psi_drift(df, df, "x", bins=0)
+
+
+def test_merge_intervals_hand_computed(spark):
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    rows = [
+        # key 1: [0,10] + [5,15] overlap -> [0,15]; [20,25] separate
+        (1, 0.0, 10.0), (1, 5.0, 15.0), (1, 20.0, 25.0),
+        # key 2: touching intervals merge ([0,5] + [5,9] -> [0,9])
+        (2, 0.0, 5.0), (2, 5.0, 9.0),
+        # key 3: contained interval ([0,100] swallows [10,20])
+        (3, 0.0, 100.0), (3, 10.0, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, s double, e double")
+    out = {r.key: r for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert out[1].n_raw == 3 and out[1].n_merged == 2
+    assert out[1].covered_sec == 20.0  # 15 + 5
+    assert out[2].n_merged == 1 and out[2].covered_sec == 9.0
+    assert out[3].n_merged == 1 and out[3].covered_sec == 100.0
+
+
+def test_merge_intervals_single_shuffle_plan(spark):
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    df = spark.createDataFrame([(1, 0.0, 1.0)], "k int, s double, e double")
+    plan = merge_intervals(df, "k", "s", "e")._jdf.queryExecution().executedPlan().toString()
+    # window + both collapses reuse ONE hash exchange on the key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
