@@ -6644,6 +6644,37 @@ ORDER BY key
 """
 
 
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM quality score per document
+    (extensions/textstats.py lm_score): map-side bigram zip, corpus
+    tables collapse to |bigram vocab| rows, keyed per-doc average —
+    the model-free KenLM-filter slot of the curation pipeline."""
+    from hdp_tez_spark.extensions.textstats import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_LM_SCORE = f"""
+WITH {_SQL_TOK_CTE},
+pos AS (SELECT doc, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM tok0),
+big AS (SELECT a.doc, a.w AS w1, b.w AS w2
+        FROM pos a JOIN pos b ON a.doc = b.doc AND b.i = a.i + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vv
+      FROM (SELECT w1 AS w FROM big UNION SELECT w2 FROM big)),
+lp AS (
+  SELECT big.doc, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vv)) AS lp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc AS id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+FROM lp GROUP BY doc
+ORDER BY id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6779,6 +6810,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # gaps_islands/sessionize machinery; local oracle coverage, r05
     # rotation candidate
     "merge_intervals": (q_merge_intervals, _SQL_MERGE_INTERVALS),
+    # never-driver-checked yet: same explode/partial-agg/vocab-join
+    # family as the in-prefix ngram/tfidf machinery; local oracle
+    # coverage, r05 rotation candidate
+    "lm_score": (q_lm_score, _SQL_LM_SCORE),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -201,3 +201,60 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality score WITHOUT an external model: each
+    document's average bigram log-probability under the corpus's own
+    bigram statistics, Laplace-smoothed —
+    score = avg over bigrams of ln((c2(w1,w2) + 0.5) / (c1(w1) + 0.5 V)).
+    Fluent, typical text scores high; keyboard mash, boilerplate-free
+    gibberish, and wrong-language text score low. This is the
+    'KenLM-style filter' slot of a curation pipeline (quality_score's
+    surface-statistics complement), self-trained on the corpus so the
+    whole thing stays inside the engine.
+
+    Output: (id, n_bigrams, lm_score) rounded to 6 dp; documents with
+    fewer than 2 tokens are excluded (no bigram evidence).
+
+    Scale shape: bigram pairs are built MAP-SIDE by zipping each token
+    array with its own tail (no positional explode join); the corpus
+    tables collapse by partial-agg groupBy to |distinct bigrams| and
+    |vocab| rows; scoring joins each document's bigrams against those
+    tables (AQE broadcasts the vocab side when it fits) and the final
+    per-document average is a keyed agg. Nothing is quadratic and no
+    stage holds more than the bigram vocabulary.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = big.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.count_distinct("w").alias("V")
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("V"))
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("lm_score"),
+        )
+        .orderBy("id")
+    )

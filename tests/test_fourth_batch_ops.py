@@ -375,3 +375,30 @@ def test_merge_intervals_single_shuffle_plan(spark):
     plan = merge_intervals(df, "k", "s", "e")._jdf.queryExecution().executedPlan().toString()
     # window + both collapses reuse ONE hash exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lm_score_repeated_text_beats_gibberish(spark):
+    from hdp_tez_spark.extensions.textstats import lm_score
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "the cat sat on the mat and the cat slept again"),
+        (3, "zq xv qj wk vz jx kq xw zj"),  # bigrams never repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.id: r.lm_score for r in lm_score(df, "doc_id", "text").collect()}
+    # documents built from the corpus's common bigrams outscore the
+    # one whose transitions are all singletons
+    assert out[1] > out[3] and out[2] > out[3]
+
+
+def test_lm_score_excludes_sub_bigram_docs(spark):
+    from hdp_tez_spark.extensions.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "hello world")],
+        "doc_id int, text string",
+    )
+    out = {r.id: r for r in lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {3}
+    assert out[3].n_bigrams == 1
