@@ -151,6 +151,8 @@ HEADLINE = [
     "random_project",
     "attribution",
     "psi_drift",
+    "merge_intervals",
+    "lm_score",
 ]
 
 
