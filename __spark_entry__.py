@@ -6472,6 +6472,7 @@ WITH cells AS (
   SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
          unnest(embedding)::DOUBLE AS x
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 signs AS (
   SELECT j.j, i.i,
@@ -6574,10 +6575,12 @@ bin_c AS (
   FROM c CROSS JOIN s GROUP BY 1
 ),
 j AS (
-  SELECT coalesce(bin_b.bin, bin_c.bin) AS bin,
+  SELECT sp.bin,
          coalesce(n_base, 0)::BIGINT AS n_base,
          coalesce(n_cur, 0)::BIGINT AS n_cur
-  FROM bin_b FULL OUTER JOIN bin_c ON bin_b.bin = bin_c.bin
+  FROM (SELECT CAST(r AS INT) AS bin FROM range(10) t(r)) sp
+  LEFT JOIN bin_b ON sp.bin = bin_b.bin
+  LEFT JOIN bin_c ON sp.bin = bin_c.bin
 ),
 t AS (SELECT sum(n_base)::DOUBLE AS tb, sum(n_cur)::DOUBLE AS tc FROM j)
 SELECT bin,
@@ -6614,6 +6617,7 @@ _SQL_MERGE_INTERVALS = """
 WITH iv AS (
   SELECT user_id AS key, epoch(ts) AS s, epoch(ts) + value AS e
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 marked AS (
   SELECT key, s, e,

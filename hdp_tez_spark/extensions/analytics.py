@@ -918,11 +918,15 @@ def merge_intervals(
     end-touching intervals merge, so the island assignment is
     retry-deterministic.
     """
+    # An interval without both endpoints is not an interval: dropping
+    # NULL rows up front also removes the engine-dependent NULL-ordering
+    # edge (Spark sorts NULLS FIRST, most SQL engines NULLS LAST) from
+    # the island assignment.
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(start_col).cast("double").alias("__s"),
         F.col(end_col).cast("double").alias("__e"),
-    )
+    ).where(F.col("__s").isNotNull() & F.col("__e").isNotNull())
     s, e = F.col("__s"), F.col("__e")
     w = Window.partitionBy("key").orderBy(s, e)
     prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -214,9 +214,11 @@ def psi_drift(
     range is visible as edge-bin drift). Per bin:
     psi_contrib = (p_cur - p_base) * ln(p_cur / p_base), with both
     shares Laplace-smoothed by 0.5 rows so empty bins stay finite; the
-    column's PSI is sum(psi_contrib). Output: (bin, lo, hi, n_base,
-    n_cur, share_base, share_cur, psi_contrib) ordered by bin, shares
-    and psi rounded to 6 dp.
+    column's PSI is sum(psi_contrib). Output: EXACTLY `bins` rows
+    (bin, lo, hi, n_base, n_cur, share_base, share_cur, psi_contrib)
+    ordered by bin — bins empty on both sides appear with zero counts
+    (a broadcast bin spine fills them), so the smoothed shares sum to 1
+    and a plot over the documented bucket edges has no holes.
 
     Scale shape: one 1-row min/max aggregate over the baseline
     (broadcast to both sides — the `histogram` recipe), then one
@@ -247,8 +249,12 @@ def psi_drift(
 
     base = binned(baseline, "n_base")
     cur = binned(current, "n_cur")
+    spine = baseline.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
     joined = (
-        base.join(cur, "bin", "full_outer")
+        spine.join(base, "bin", "left")
+        .join(cur, "bin", "left")
         .select(
             "bin",
             F.coalesce("n_base", F.lit(0)).alias("n_base"),

@@ -645,7 +645,8 @@ def random_project(
     1/sqrt(out_dim) so pairwise distances are preserved in expectation
     — the cheap pre-step that lets LSH/ANN/clustering run on 16 dims
     instead of 768. Output: (id, proj array<double>), each coordinate
-    rounded to 6 dp.
+    rounded to 6 dp; rows whose vector is NULL or differs in length
+    from the first row's are excluded (the matrix is sized once).
 
     The projection matrix is never stored: sign s[j][i] is the parity
     of md5(f"{seed}-{j}-{i}") — the repo's standard engine-portable
@@ -680,6 +681,11 @@ def random_project(
         lambda s: F.round(_dot(F.col(vec_col), s) * scale, 6),
     )
     return (
-        df.crossJoin(F.broadcast(sdf))
+        # NULL or ragged vectors are excluded, not silently projected to
+        # NULLs: the matrix was sized from the first row, and zip_with
+        # against a different length would pad with NULLs and poison the
+        # dot product
+        df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == d))
+        .crossJoin(F.broadcast(sdf))
         .select(F.col(id_col), proj.alias(out))
     )

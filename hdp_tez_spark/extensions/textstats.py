@@ -234,9 +234,13 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    # c1 and the vocabulary both derive from the already-collapsed c2
+    # table (c1(w1) = sum over w2 of c2; V = distinct words in c2's
+    # columns) — deriving them there instead of from `big` saves two
+    # full re-tokenization scans of the corpus
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = big.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
         F.count_distinct("w").alias("V")
     )
     scored = (

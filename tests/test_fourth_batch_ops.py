@@ -336,9 +336,21 @@ def test_psi_drift_constant_baseline_single_bin(spark):
     base = spark.createDataFrame([(5.0,)] * 10, "x double")
     cur = spark.createDataFrame([(5.0,)] * 7, "x double")
     out = psi_drift(base, cur, "x", bins=10).collect()
-    # zero-width range: everything lands in bin 0, PSI ~ 0
-    assert [r.bin for r in out] == [0]
+    # zero-width range: data lands in bin 0; the spine still emits all
+    # 10 bins so shares sum to 1 and plots have no holes
+    assert [r.bin for r in out] == list(range(10))
     assert out[0].n_base == 10 and out[0].n_cur == 7
+    assert all(r.n_base == 0 and r.n_cur == 0 for r in out[1:])
+    assert abs(sum(r.share_base for r in out) - 1.0) < 1e-5
+
+
+def test_psi_drift_always_emits_every_bin(spark):
+    from hdp_tez_spark.extensions.quality import psi_drift
+
+    base = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+    cur = spark.createDataFrame([(0.0,)], "x double")
+    out = psi_drift(base, cur, "x", bins=5).collect()
+    assert [r.bin for r in out] == list(range(5))
 
 
 def test_psi_drift_rejects_bad_bins(spark):
@@ -402,3 +414,24 @@ def test_lm_score_excludes_sub_bigram_docs(spark):
     out = {r.id: r for r in lm_score(df, "doc_id", "text").collect()}
     assert set(out) == {3}
     assert out[3].n_bigrams == 1
+
+
+def test_merge_intervals_drops_null_endpoints(spark):
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    rows = [(1, 0.0, 10.0), (1, 5.0, None), (1, None, 20.0)]
+    df = spark.createDataFrame(rows, "k int, s double, e double")
+    out = merge_intervals(df, "k", "s", "e").collect()
+    assert len(out) == 1
+    assert out[0].n_raw == 1 and out[0].covered_sec == 10.0
+
+
+def test_random_project_excludes_null_and_ragged_vectors(spark):
+    from hdp_tez_spark.extensions.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [1.0, 2.0, 3.0]), (3, [4.0, 5.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r.vec_id for r in random_project(df, out_dim=2).collect()}
+    assert out == {0, 3}
