@@ -6679,6 +6679,34 @@ ORDER BY id
 """
 
 
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling active users (extensions/analytics.py
+    rolling_active_users): events collapse to distinct (day, user)
+    first, then fan out <= 7x through a broadcast day-spine range join
+    — the non-decomposable moving COUNT(DISTINCT) without a window
+    funnel."""
+    from hdp_tez_spark.extensions.analytics import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+_SQL_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+  WHERE ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS day, count(DISTINCT x.u) AS active_users
+FROM days d JOIN du x
+  ON x.day <= d.day AND x.day >= d.day - 6
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6818,6 +6846,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # family as the in-prefix ngram/tfidf machinery; local oracle
     # coverage, r05 rotation candidate
     "lm_score": (q_lm_score, _SQL_LM_SCORE),
+    # never-driver-checked yet: broadcast-spine range-join twin of the
+    # in-prefix gap_fill/cohort_retention machinery; local oracle
+    # coverage, r05 rotation candidate
+    "rolling_active_users": (q_rolling_active_users, _SQL_ROLLING_ACTIVE_USERS),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -957,3 +957,48 @@ def merge_intervals(
         .select("key", "n_raw", "n_merged", "covered_sec")
         .orderBy("key")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-window distinct users per day — the WAU/MAU
+    engagement readout (7-day/28-day actives), which resists window
+    functions because COUNT(DISTINCT) over a moving frame is not
+    decomposable. Output: (day, active_users) for every day with at
+    least one event, counting users active in [day - window_days + 1,
+    day].
+
+    Scale shape: raw events collapse FIRST to distinct (day, user) —
+    the only pass over the corpus, partial-agg'd — then each of those
+    rows fans out to at most `window_days` spine days through a
+    broadcast range join against the |days|-sized day spine, and the
+    final distinct-count groups by day. Work after the collapse is
+    |daily actives| x window_days, independent of raw event volume;
+    nothing is ever quadratic in users or events.
+    """
+    if window_days <= 0:
+        raise ValueError(f"window_days must be positive, got {window_days}")
+    du = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(user_col).alias("u"),
+        )
+        .where(F.col("day").isNotNull())
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    return (
+        F.broadcast(days.alias("d"))
+        .join(
+            du.alias("x"),
+            (F.col("x.day") <= F.col("d.day"))
+            & (F.col("x.day") >= F.date_sub(F.col("d.day"), window_days - 1)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("x.u")).alias("active_users"))
+        .orderBy("day")
+    )

@@ -435,3 +435,20 @@ def test_random_project_excludes_null_and_ragged_vectors(spark):
     )
     out = {r.vec_id for r in random_project(df, out_dim=2).collect()}
     assert out == {0, 3}
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from hdp_tez_spark.extensions.analytics import rolling_active_users
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),  # dup day
+        (2, "2024-01-03 10:00:00"),
+        (1, "2024-01-10 10:00:00"),  # beyond 7d of Jan 1
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {str(r.day): r.active_users for r in rolling_active_users(df, "user_id", "ts").collect()}
+    assert out["2024-01-01"] == 1           # user 1
+    assert out["2024-01-03"] == 2           # users 1 (Jan 1) + 2
+    assert out["2024-01-10"] == 1           # Jan 3 user 2 is 7 days back? Jan 10-6=Jan 4 -> excluded
