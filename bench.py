@@ -153,6 +153,7 @@ HEADLINE = [
     "psi_drift",
     "merge_intervals",
     "lm_score",
+    "rolling_active_users",
 ]
 
 
