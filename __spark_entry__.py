@@ -6707,6 +6707,76 @@ ORDER BY d.day
 """
 
 
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (extensions/textstats.py collocations):
+    one corpus pass to bigram/unigram tables, min-count prune BEFORE
+    the vocab joins, TakeOrderedAndProject top-k."""
+    from hdp_tez_spark.extensions.textstats import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, top_k=20
+    )
+
+
+_SQL_COLLOCATIONS = f"""
+WITH {_SQL_TOK_CTE},
+uni AS (SELECT term AS w, count(*) AS u FROM tok GROUP BY term),
+nu AS (SELECT sum(u)::DOUBLE AS nu FROM uni),
+pos AS (SELECT doc, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM tok0),
+big AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+        FROM pos a JOIN pos b ON a.doc = b.doc AND b.i = a.i + 1
+        GROUP BY 1, 2),
+nb AS (SELECT sum(n_pair)::DOUBLE AS nb FROM big)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair / nb.nb)
+                / ((u1.u / nu.nu) * (u2.u / nu.nu))), 6) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN nb CROSS JOIN nu
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+
+
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard routing of customers into 8 shards
+    (extensions/splits.py rendezvous_shard), reported as per-shard
+    counts — pure map-side argmax of per-shard md5 scores; the router
+    whose resharding movement is ~1/(N+1), not ~1."""
+    from hdp_tez_spark.extensions.splits import rendezvous_shard
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        rendezvous_shard(cust, "c_custkey", shards=8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("shard")
+    )
+
+
+_SQL_RENDEZVOUS_SHARD = """
+WITH scored AS (
+  SELECT c_custkey, s.s AS shard,
+         ('0x' || substr(md5(s.s || '-' || CAST(c_custkey AS VARCHAR)),
+                         1, 15))::BIGINT AS score
+  FROM customer CROSS JOIN (SELECT CAST(r AS INT) AS s FROM range(8) t(r)) s
+),
+best AS (
+  SELECT c_custkey, shard,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY score DESC, shard) AS rn
+  FROM scored
+)
+SELECT shard, count(*) AS cnt FROM best WHERE rn = 1
+GROUP BY shard ORDER BY shard
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- NEW this round, third batch (BFS hops / exact prefix-filter
     #     similarity join / bounded EWMA) ---
@@ -6850,6 +6920,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-prefix gap_fill/cohort_retention machinery; local oracle
     # coverage, r05 rotation candidate
     "rolling_active_users": (q_rolling_active_users, _SQL_ROLLING_ACTIVE_USERS),
+    # never-driver-checked yet: bigram/vocab-join twin of the in-prefix
+    # tfidf/ngram machinery; local oracle coverage, r05 rotation
+    # candidate
+    "collocations": (q_collocations, _SQL_COLLOCATIONS),
+    # never-driver-checked yet: map-side md5-argmax twin of the
+    # in-prefix kfold/weighted-sample hash machinery; local oracle
+    # coverage, r05 rotation candidate
+    "rendezvous_shard": (q_rendezvous_shard, _SQL_RENDEZVOUS_SHARD),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),

@@ -154,6 +154,8 @@ HEADLINE = [
     "merge_intervals",
     "lm_score",
     "rolling_active_users",
+    "collocations",
+    "rendezvous_shard",
 ]
 
 

@@ -147,3 +147,40 @@ def cluster_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    key_col: str,
+    shards: int,
+    out: str = "shard",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment: each key
+    goes to argmax over shards of md5(f"{shard}-{key}") — the routing
+    rule whose defining property is MINIMAL MOVEMENT: growing N shards
+    to N+1 reassigns only ~1/(N+1) of keys (each key moves only if the
+    NEW shard wins its rendezvous), where mod-N hashing reshuffles
+    almost everything. That is what makes it the right router for
+    incrementally-resharded corpus outputs, stateful consumers, and
+    cache-affinity layouts at 100 TB. Adds an int `shard` column.
+
+    Scale shape: a pure map-side expression — `shards` md5s per row,
+    argmax via array_max over (score, -shard) structs (lowest shard id
+    wins a tie, deterministically); zero shuffle, zero state, and the
+    same row routes identically on any engine (the md5 recipe is the
+    repo's standard SQL-replayable hash).
+    """
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    key = F.col(key_col).cast("string")
+    candidates = F.array(
+        *[
+            F.struct(
+                _md5_long(F.concat(F.lit(f"{s}-"), key)).alias("score"),
+                F.lit(-s).alias("neg_shard"),
+            )
+            for s in range(shards)
+        ]
+    )
+    best = F.array_max(candidates)
+    return df.withColumn(out, (-best["neg_shard"]).cast("int"))

@@ -262,3 +262,72 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the adjacent
+    word pairs that co-occur far more than their unigram frequencies
+    predict — phrase-vocabulary discovery for tokenizer training and
+    multi-word-expression normalization.
+    PMI(w1, w2) = ln( (c2/Nb) / ((u(w1)/Nu) * (u(w2)/Nu)) ) with c2 the
+    bigram count (Nb bigrams total) and u the unigram counts (Nu tokens
+    total). Pairs below `min_count` are noise-filtered BEFORE scoring
+    (rare pairs otherwise dominate PMI). Output: top `top_k` by
+    (pmi desc, w1, w2), columns (w1, w2, n_pair, pmi) with pmi rounded
+    to 6 dp.
+
+    Scale shape: one corpus pass builds bigrams map-side (the lm_score
+    zip), collapsing by partial agg to |bigram vocab|; unigram counts
+    and both totals derive from |vocab|-sized tables; the min_count
+    filter prunes the pair table before the two vocab joins, and the
+    final top-k compiles to TakeOrderedAndProject. Nothing after the
+    first collapse is corpus-sized.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = _tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    exploded = df.select(
+        F.explode(toks).alias("w"),
+    )
+    uni = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+    nu = uni.agg(F.sum("u").alias("Nu"))
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    nb = big.agg(F.sum("n_pair").alias("Nb"))
+    scored = (
+        big.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("u").alias("u1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("u").alias("u2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("Nb"))
+                    / (
+                        (F.col("u1") / F.col("Nu"))
+                        * (F.col("u2") / F.col("Nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)

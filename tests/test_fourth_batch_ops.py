@@ -452,3 +452,59 @@ def test_rolling_active_users_hand_computed(spark):
     assert out["2024-01-01"] == 1           # user 1
     assert out["2024-01-03"] == 2           # users 1 (Jan 1) + 2
     assert out["2024-01-10"] == 1           # Jan 3 user 2 is 7 days back? Jan 10-6=Jan 4 -> excluded
+
+
+def test_collocations_finds_planted_phrase(spark):
+    from hdp_tez_spark.extensions.textstats import collocations
+
+    # "neural network" always adjacent; filler words are shuffled noise
+    docs = [(i, "neural network alpha beta gamma delta " * 3) for i in range(5)]
+    docs += [(100 + i, "alpha gamma beta delta epsilon zeta") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = collocations(df, "doc_id", "text", min_count=5, top_k=10).collect()
+    scores = {(r.w1, r.w2): r.pmi for r in out}
+    # the planted pair is surfaced, and scores above a co-frequent but
+    # less-predictive neighbor pair ("beta gamma" also repeats but beta
+    # and gamma each occur in BOTH doc types)
+    assert ("neural", "network") in scores
+    assert scores[("neural", "network")] > scores.get(("beta", "gamma"), float("-inf"))
+
+
+def test_collocations_min_count_filters(spark):
+    from hdp_tez_spark.extensions.textstats import collocations
+
+    df = spark.createDataFrame([(1, "rare pair"), (2, "a b a b a b a b a b")],
+                               "doc_id int, text string")
+    out = {(r.w1, r.w2) for r in collocations(df, "doc_id", "text", min_count=3).collect()}
+    assert ("rare", "pair") not in out
+    assert ("a", "b") in out
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    from hdp_tez_spark.extensions.splits import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(600)], "k long")
+    a = {r.k: r.shard for r in rendezvous_shard(df, "k", shards=8).collect()}
+    b = {r.k: r.shard for r in rendezvous_shard(df, "k", shards=9).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    # HRW guarantee: only keys won by the NEW shard move (~1/9 of keys);
+    # mod-hashing would move ~8/9. Allow generous sampling slack.
+    assert moved / 600 < 0.25
+    # every key that moved, moved TO the new shard 8
+    assert all(b[k] == 8 for k in a if a[k] != b[k])
+    # both assignments use all shards reasonably evenly
+    from collections import Counter
+    counts = Counter(a.values())
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 3 * min(counts.values())
+
+
+def test_rendezvous_shard_deterministic_and_validated(spark):
+    from hdp_tez_spark.extensions.splits import rendezvous_shard
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    a = {r.k: r.shard for r in rendezvous_shard(df, "k", 4).collect()}
+    b = {r.k: r.shard for r in rendezvous_shard(df.repartition(3), "k", 4).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        rendezvous_shard(df, "k", 0)
