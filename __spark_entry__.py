@@ -5394,7 +5394,7 @@ pairs AS (
   FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY a.i, b.i
 )
-SELECT i, j, round((s_xy - s_x * s_y / n.n) / n.n, 6) AS cov
+SELECT i, j, round((s_xy - s_x * s_y / n.n) / n.n, 4) AS cov
 FROM pairs, n
 ORDER BY i, j
 """
@@ -6302,12 +6302,18 @@ v{r} AS (SELECT i, round(w / (SELECT nrm FROM n{r}), 6) AS val FROM w{r})"""
 
 
 _SQL_PCA_COMPONENT = f"""
-WITH cells AS (
+WITH fit AS (
+  -- mirrors pca_top_component's guard: only non-NULL length-64 vectors
+  -- are fitted (64 = the corpus dim; v0's 0.125 literal = 1/sqrt(64))
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+cells AS (
   SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
          unnest(embedding)::DOUBLE AS x
-  FROM embeddings
+  FROM fit
 ),
-nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+nn AS (SELECT count(*)::DOUBLE AS n FROM fit),
 mu AS (SELECT i, round(sum(x) / (SELECT n FROM nn), 6) AS m
        FROM cells GROUP BY i),
 v0 AS (SELECT i, 0.125 AS val FROM mu),{_pca_iter_sql(1)},{_pca_iter_sql(2)},{_pca_iter_sql(3)}
@@ -6435,9 +6441,11 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CALIBRATION_BINS = """
 WITH rows_ AS (
+  -- NULL scores dropped, mirroring calibration_bins' guard
   SELECT least(greatest(o_totalprice % 1.0, 0.0), 1.0) AS s,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 binned AS (
   SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, p FROM rows_
@@ -6617,7 +6625,8 @@ _SQL_MERGE_INTERVALS = """
 WITH iv AS (
   SELECT user_id AS key, epoch(ts) AS s, epoch(ts) + value AS e
   FROM events
-  WHERE ts IS NOT NULL AND value IS NOT NULL
+  -- value >= 0 mirrors merge_intervals' inverted-interval (e < s) drop
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
 ),
 marked AS (
   SELECT key, s, e,

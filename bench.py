@@ -56,6 +56,9 @@ HEADLINE = [
     # streaming batch-twins
     "tumbling_window",
     "session_window",
+    # ^^^ the 28 queries above are the round-1 baseline-shared set: they are
+    # the only per-query timings inlined in the stdout JSON line (see
+    # _CORE_N below) — the full timings dict goes to BENCH_TIMINGS.json.
     # iterative / cogroup / interval paths (added round 2 per BASELINE §C)
     "dedup_clusters",
     "cogroup",
@@ -158,6 +161,13 @@ HEADLINE = [
     "rendezvous_shard",
 ]
 
+# How many HEADLINE entries form the baseline-shared core whose timings are
+# inlined on stdout. The driver captures only the last ~2000 chars of stdout;
+# 28 compact entries keep the line near ~700 chars with headroom, while the
+# full 100+-query dict (~3 KB) overflowed the capture in rounds 2-4 and the
+# driver recorded parsed=null.
+_CORE_N = 28
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,13 +222,22 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_COUNTERS.json"), "w") as f:
         json.dump({"sf": sf, "counters": counters}, f, indent=1)
+    # Full per-query timings live in a sidecar (same treatment as the
+    # counters): the stdout line below must stay short enough to survive
+    # the driver's stdout-tail capture intact.
+    with open(os.path.join(here, "BENCH_TIMINGS.json"), "w") as f:
+        json.dump(
+            {"sf": sf, "total_sec": total, "queries": timings}, f, indent=1
+        )
 
+    core = [n for n in HEADLINE[:_CORE_N] if n in timings]
     line = json.dumps(
         {
             "metric": "headline_query_set_wall_clock",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {n: timings[n] for n in core},
+            "n_queries": len(timings),
             "sf": sf,
         },
         separators=(",", ":"),

@@ -921,12 +921,19 @@ def merge_intervals(
     # An interval without both endpoints is not an interval: dropping
     # NULL rows up front also removes the engine-dependent NULL-ordering
     # edge (Spark sorts NULLS FIRST, most SQL engines NULLS LAST) from
-    # the island assignment.
+    # the island assignment. Inverted rows (end < start) are dropped for
+    # the same reason — kept, one would seed its own island with
+    # NEGATIVE length and silently shrink covered_sec (e.g. [0,10] plus
+    # inverted [12,8] would report 6.0 instead of 10.0).
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(start_col).cast("double").alias("__s"),
         F.col(end_col).cast("double").alias("__e"),
-    ).where(F.col("__s").isNotNull() & F.col("__e").isNotNull())
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__e").isNotNull()
+        & (F.col("__e") >= F.col("__s"))
+    )
     s, e = F.col("__s"), F.col("__e")
     w = Window.partitionBy("key").orderBy(s, e)
     prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -261,10 +261,12 @@ def calibration_bins(
     Error. `label_col` may be a column name or boolean Column; truthy
     rows are positives.
 
-    Scores are clamped into [0, 1] and binned by floor(score * bins)
-    (score 1.0 lands in the top bin). Output per non-empty bin:
-    (bin, lo, hi, n, n_pos, avg_score, pos_rate), rounded to 6 dp,
-    ordered by bin.
+    Rows with a NULL score are dropped (a probability the classifier
+    never emitted is not a calibration data point — the psi_drift
+    NULL-handling precedent); remaining scores are clamped into [0, 1]
+    and binned by floor(score * bins) (score 1.0 lands in the top bin).
+    Output per non-empty bin: (bin, lo, hi, n, n_pos, avg_score,
+    pos_rate), rounded to 6 dp, ordered by bin.
 
     Scale shape: one partial-aggregated groupBy keyed by the bin index
     — the shuffle carries `bins` rows per partition no matter the
@@ -277,7 +279,8 @@ def calibration_bins(
     s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
     return (
-        df.select(b.alias("bin"), s.alias("__s"), pos.alias("__p"))
+        df.where(F.col(score_col).isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), pos.alias("__p"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -458,7 +458,16 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     """Population covariance matrix of an embedding column — the input
     to PCA whitening, Mahalanobis outlier scoring, and ZCA decorrelation
     over a vector corpus. Output: (i, j, cov) for the upper triangle
-    (i <= j), cov rounded to 6 dp.
+    (i <= j), cov rounded to 4 dp.
+
+    Why 4 dp: the Spark side sums per-partition numpy partials while a
+    SQL oracle sums row-at-a-time in its own order; both totals agree to
+    ~1e-9 relative, but at 6 dp a cell sitting exactly on a rounding
+    boundary can round to different final digits depending on summation
+    order (observed once at sf0.01). 4 dp leaves ~1e2 headroom over the
+    float noise so the rounded values are order-independent, and loses
+    nothing for the PCA/Mahalanobis consumers (covariances at magnitude
+    ~1e-2).
 
     Scale shape: one `mapInPandas` pass emits PER-PARTITION sufficient
     statistics — n, per-coordinate sums, and the d x d sum of outer
@@ -515,7 +524,7 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
         F.round(
             (F.col("s_xy") - F.col("s_x") * F.col("s_y") / F.col("n"))
             / F.col("n"),
-            6,
+            4,
         ).alias("cov"),
     ).orderBy("i", "j")
 
@@ -546,7 +555,11 @@ def pca_top_component(
     rounded uniform unit vector, the mean vector is rounded to 6 dp
     once, and v is re-rounded to 6 dp after every normalization — so
     any partitioning, retry, or other engine (the DuckDB oracle unrolls
-    the same rounds in SQL) reproduces the iterates bit-for-bit.
+    the same rounds in SQL) reproduces the iterates up to 6-dp
+    rounding-boundary ties (partition-order float summation can still
+    flip the 6th decimal when an unrounded value sits exactly on a
+    rounding boundary; the rounding makes that event rare, not
+    impossible).
     Driver-side rounding is half-away-from-zero to match SQL ROUND and
     Spark F.round (Python's builtin round() is half-to-even and would
     diverge on exact ties). Float32 cells are widened to float64 before
@@ -563,7 +576,15 @@ def pca_top_component(
     if probe is None or probe["d"] is None:
         raise ValueError(f"empty corpus or NULL {vec_col!r} in first row")
     d = int(probe["d"])
-    base = _spread(df.select(F.col(vec_col).alias("v")))
+    # NULL or ragged vectors are excluded up front (the random_project
+    # guard): the fit is over length-d vectors only, n counts exactly
+    # those rows, and the oracle filters identically — without this a
+    # short vector would KeyError below and a NULL would silently skew n.
+    base = _spread(
+        df.select(F.col(vec_col).alias("v")).where(
+            F.col("v").isNotNull() & (F.size(F.col("v")) == d)
+        )
+    )
     stats = (
         base.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
@@ -574,8 +595,12 @@ def pca_top_component(
         .collect()
     )
     if not stats:
-        raise ValueError(f"no non-NULL {vec_col!r} vectors to fit")
-    n = stats[0]["cnt"]
+        raise ValueError(f"no non-NULL length-{d} {vec_col!r} vectors to fit")
+    # every surviving vector has length d, so all d position groups hold
+    # the same count — that count IS n (asserted, not assumed)
+    counts = {r["cnt"] for r in stats}
+    assert len(counts) == 1, f"ragged groups after length filter: {counts}"
+    n = counts.pop()
     by_pos = {r["pos"]: r["s"] for r in stats}
     mu = [_round6(by_pos[i] / n) for i in range(d)]
     v = [_round6(1.0 / math.sqrt(d))] * d

@@ -189,6 +189,19 @@ def test_calibration_bins_hand_computed(spark):
     assert out[9].n == 3 and out[9].n_pos == 3 and out[9].pos_rate == 1.0
 
 
+def test_calibration_bins_drops_null_scores(spark):
+    from hdp_tez_spark.extensions.experiments import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 1), (None, 1), (None, 0), (0.95, 0)],
+        "score double, lab int",
+    )
+    out = {r.bin: r for r in calibration_bins(df, "score", "lab", bins=10).collect()}
+    # no NULL-bin row; only the two real scores remain
+    assert set(out) == {0, 9}
+    assert out[0].n == 1 and out[9].n == 1
+
+
 def test_calibration_bins_rejects_bad_bins(spark):
     from hdp_tez_spark.extensions.experiments import calibration_bins
 
@@ -208,6 +221,18 @@ def test_pca_top_component_rejects_empty_corpus(spark):
     df = spark.createDataFrame([], "embedding array<double>")
     with pytest.raises(ValueError):
         pca_top_component(df, "embedding")
+
+
+def test_pca_top_component_ignores_null_and_ragged_vectors(spark):
+    # the clean corpus alone and the corpus polluted with NULL / ragged
+    # rows must produce the SAME component (the random_project guard)
+    clean = _planted_vectors()
+    polluted = clean + [(None,), ([1.0, 2.0],), ([0.5] * 9,)]
+    df_c = spark.createDataFrame(clean, "embedding array<double>")
+    df_p = spark.createDataFrame(polluted, "embedding array<double>")
+    comp_c = [r.loading for r in pca_top_component(df_c, "embedding").orderBy("i").collect()]
+    comp_p = [r.loading for r in pca_top_component(df_p, "embedding").orderBy("i").collect()]
+    assert comp_c == comp_p
 
 
 def test_woe_iv_rejects_nonpositive_smooth(spark):
@@ -378,6 +403,23 @@ def test_merge_intervals_hand_computed(spark):
     assert out[1].covered_sec == 20.0  # 15 + 5
     assert out[2].n_merged == 1 and out[2].covered_sec == 9.0
     assert out[3].n_merged == 1 and out[3].covered_sec == 100.0
+
+
+def test_merge_intervals_drops_inverted_intervals(spark):
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    rows = [
+        # the ADVICE r04 probe: [0,10] plus inverted [12,8] must cover
+        # 10.0, not 6.0 (the inverted row used to seed a negative-length
+        # island)
+        (1, 0.0, 10.0), (1, 12.0, 8.0),
+        # a key that is ONLY inverted rows vanishes entirely
+        (2, 9.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, s double, e double")
+    out = {r.key: r for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert set(out) == {1}
+    assert out[1].n_raw == 1 and out[1].covered_sec == 10.0
 
 
 def test_merge_intervals_single_shuffle_plan(spark):

@@ -286,7 +286,7 @@ def test_embedding_covariance_matches_numpy(spark):
     C = np.cov(X.astype(np.float64), rowvar=False, bias=True)
     assert len(got) == 6  # upper triangle of 3x3
     for (i, j), v in got.items():
-        assert v == pytest.approx(C[i, j], abs=1e-6)
+        assert v == pytest.approx(C[i, j], abs=1e-4)
 
 
 def test_grouped_ols_recovers_planted_line(spark):
