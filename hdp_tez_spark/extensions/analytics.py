@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 from hdp_tez_spark.operators.sort import prefix_sum
 
 
@@ -60,10 +62,10 @@ def exact_quantiles(
     # Materialize the cumulated distinct-value table once: it feeds the
     # total AND both probe joins, and without truncation each consumer
     # would re-scan the fact table. |distinct| rows — bounded by the
-    # value domain, not the corpus; on a real cluster swap
-    # localCheckpoint for reliable checkpoint (same note as
-    # dedup.connected_components).
-    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").localCheckpoint()
+    # value domain, not the corpus; truncate_lineage upgrades to a
+    # reliable checkpoint when the SparkContext has a checkpoint dir
+    # configured (plans/checkpoints.py).
+    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").transform(truncate_lineage)
     total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
 
     spark = df.sparkSession
@@ -135,7 +137,7 @@ def exact_quantiles_disc(
             raise ValueError(f"prob out of [0,1]: {p}")
     v = F.col(value_col).cast("double").alias("__v")
     counts = df.select(v).groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
-    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").localCheckpoint()
+    cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").transform(truncate_lineage)
     total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
     spark = df.sparkSession
     probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
@@ -634,7 +636,7 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         # three consumers (prefix_sum reads it twice, totals once) —
         # checkpoint the |distinct scores|-row table so the raw input is
         # scanned exactly once
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     ranked = prefix_sum(g, [F.col("__score")], "__cnt", out="__cum").select(
         "__pos",

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 # Shared modulus for minhash permutations: large prime, small enough that
 # a*x never overflows int64 (a, x < P -> a*x < 1e18 < 2^63).
 MINHASH_P = 1_000_000_007
@@ -172,6 +174,7 @@ def prefix_filter_join(
     text_col: str,
     threshold: float = 0.6,
     k: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard join with PPJoin-style prefix filtering over
     word-k-gram shingle sets (k=1 -> plain token sets).
@@ -205,13 +208,14 @@ def prefix_filter_join(
                 F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
             ).alias("tok"),
         )
-        # four consumers (frequency table, rank pass, both verification
-        # sides) — without this the corpus is re-tokenized once per use.
-        # Materializing the (doc, token-hash) table once is the standard
-        # PPJoin layout; on a real cluster swap localCheckpoint for a
-        # reliable checkpoint / persisted token table.
-        .localCheckpoint()
     )
+    # four consumers (frequency table, rank pass, both verification
+    # sides) — without this the corpus is re-tokenized once per use.
+    # Materializing the (doc, token-hash) table once is the standard
+    # PPJoin layout; `checkpoint_dir` (or a SparkContext-configured
+    # checkpoint dir) upgrades the cut to a reliable checkpoint on a
+    # real cluster (plans/checkpoints.py).
+    toks = truncate_lineage(toks, checkpoint_dir)
     # global document frequency -> canonical rarest-first order (df, tok)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc").orderBy("__df", "tok")
@@ -225,9 +229,13 @@ def prefix_filter_join(
         )
     )
     # prefix length p = n - ceil(t*n) + 1
-    prefixes = ranked.where(
-        F.col("__pos") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    ).localCheckpoint()  # feeds the candidate self-join twice: compute the
+    prefixes = truncate_lineage(
+        ranked.where(
+            F.col("__pos")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        ),
+        checkpoint_dir,
+    )  # feeds the candidate self-join twice: compute the
     # window pass once, not once per join side
     pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
     cand = (
@@ -571,6 +579,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, label) for every node in `edges`, where label is the minimum
     node id in the node's connected component.
@@ -578,10 +587,11 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min of
     its own label and its neighbors' labels; converges in O(component
     diameter) rounds (near-dup graphs are shallow — a handful of rounds).
-    `localCheckpoint` truncates the lineage every round so the plan does
-    not grow unboundedly — the standard requirement for iterative
-    DataFrame algorithms (use a reliable `checkpoint` dir on a real
-    cluster for fault tolerance across a long job).
+    Each round's lineage is truncated so the plan does not grow
+    unboundedly — the standard requirement for iterative DataFrame
+    algorithms. `localCheckpoint` by default; pass `checkpoint_dir` (or
+    configure one on the SparkContext) for a reliable checkpoint that
+    survives executor loss across a long job (plans/checkpoints.py).
 
     ONE job per round: the convergence check rides the checkpoint job as
     an `observe` metric (changed-label count computed inline while the
@@ -604,13 +614,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    sym = truncate_lineage(sym, checkpoint_dir)
+    labels = truncate_lineage(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
     for i in range(max_iter):
         nbr = (
@@ -635,8 +645,9 @@ def connected_components(
                 ).alias("changed"),
             )
             .drop("__old")
-            .localCheckpoint()  # eager: runs the round's one job
         )
+        # eager: runs the round's one job
+        new_labels = truncate_lineage(new_labels, checkpoint_dir)
         changed = obs.get["changed"]
         labels = new_labels
         if changed == 0:

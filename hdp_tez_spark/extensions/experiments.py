@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 
 def ab_ttest(
     df: DataFrame,
@@ -220,7 +222,7 @@ def chi_square_independence(
         .agg(F.count(F.lit(1)).alias("__o"))
         # four consumers (marginals, N, grid) — checkpoint the |r x c|-row
         # cell table so the raw input is scanned ONCE, not once per use
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     row_tot = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
     col_tot = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))

@@ -15,9 +15,12 @@ Scale shape per iteration:
   across rounds, so AQE reuses the exchange;
 - contributions aggregate with map-side partial sums (shuffle carries
   one row per (dst) per map partition, not one per edge);
-- `localCheckpoint` every round truncates the exponentially growing
-  plan (on a real cluster use `checkpoint(reliable)` — executor loss
-  under localCheckpoint forces a full recompute; same note as
+- every round's lineage is truncated through
+  `plans.checkpoints.truncate_lineage`: `localCheckpoint` by default
+  (sandbox-fast), upgraded to a reliable `checkpoint` when the operator
+  is given a `checkpoint_dir` or the SparkContext has one configured —
+  executor loss under localCheckpoint forces a full job restart, so a
+  real cluster should always set the dir (same note as
   connected_components).
 """
 
@@ -26,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -33,6 +38,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank with `iters` synchronous iterations over a directed edge
     list (duplicate edges count once — dedup upstream if needed).
@@ -48,7 +54,9 @@ def pagerank(
 
     The scalar N rides as a 1-row cross join — never collected; the
     per-round plan is two joins + one partial-aggregated groupBy, and
-    `localCheckpoint` keeps round i's plan independent of round i-1.
+    a per-round lineage cut keeps round i's plan independent of round
+    i-1 (`checkpoint_dir` upgrades it to a reliable checkpoint — see
+    plans/checkpoints.py).
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -57,14 +65,14 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = truncate_lineage(nodes, checkpoint_dir)
     n_df = nodes.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__od"))
     # degrees never change across rounds: pre-join them onto the edges once
     # (keeping __od as a column, so each round still computes rank/__od —
     # bit-identical arithmetic to joining outdeg per round)
-    ew = e.join(outdeg, "__src").localCheckpoint()
+    ew = truncate_lineage(e.join(outdeg, "__src"), checkpoint_dir)
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -89,8 +97,8 @@ def pagerank(
                     + damping * F.coalesce(F.col("__s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = truncate_lineage(ranks, checkpoint_dir)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
@@ -100,6 +108,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop count from any source node, bounded
     by `max_hops`. Third iterative operator next to `pagerank` and
@@ -119,8 +128,9 @@ def bfs_distances(
       anti-join against the visited set, so the anti-join probes each
       candidate once however many in-edges it has;
     - the visited set is the only growing state, checkpointed per round
-      (`localCheckpoint` here; reliable `checkpoint` on a real cluster —
-      same note as `pagerank`);
+      (`localCheckpoint` by default; pass `checkpoint_dir` or configure
+      one on the SparkContext for a reliable checkpoint on a real
+      cluster — same note as `pagerank`);
     - rounds with an empty frontier short-circuit via a cheap
       `observe`-free isEmpty (frontier row counts are bounded by |V|,
       and isEmpty only materializes one partition's first row).
@@ -129,10 +139,13 @@ def bfs_distances(
         raise ValueError("max_hops must be >= 0")
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
     if max_hops >= 1:
-        e = e.localCheckpoint()  # scanned once per round
-    dist = sources.select(
-        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("dist")
-    ).distinct().localCheckpoint()
+        e = truncate_lineage(e, checkpoint_dir)  # scanned once per round
+    dist = truncate_lineage(
+        sources.select(
+            F.col(sources.columns[0]).alias("node"), F.lit(0).alias("dist")
+        ).distinct(),
+        checkpoint_dir,
+    )
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         if frontier.isEmpty():
@@ -142,11 +155,12 @@ def bfs_distances(
             .select(F.col("__dst").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint()
         )
-        dist = dist.unionByName(
-            nxt.select("node", F.lit(hop).alias("dist"))
-        ).localCheckpoint()
+        nxt = truncate_lineage(nxt, checkpoint_dir)
+        dist = truncate_lineage(
+            dist.unionByName(nxt.select("node", F.lit(hop).alias("dist"))),
+            checkpoint_dir,
+        )
         frontier = nxt
     return dist.orderBy("node")
 
@@ -216,7 +230,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.least("__u", "__v").alias("__u"), F.greatest("__u", "__v").alias("__v")
         )
         .distinct()
-        .localCheckpoint()  # feeds degrees + orientation + closure: scan once
+        .transform(truncate_lineage)  # feeds degrees + orientation + closure: scan once
     )
     deg = (
         e.select(F.col("__u").alias("node"))
@@ -244,7 +258,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             .alias("__e")
         )
         .select(F.col("__e.s").alias("__s"), F.col("__e.t").alias("__t"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     w1 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__x"))
     w2 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__y"))

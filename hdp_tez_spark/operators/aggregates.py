@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 
 def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """GROUP BY keys with arbitrary aggregate expressions.
@@ -158,8 +160,8 @@ def hll_set_overlap(
     """
     # each 1-row sketch feeds both the union and its own estimate —
     # checkpoint so each input is scanned once, not once per consumer
-    sa = a.agg(F.hll_sketch_agg(col).alias("sk")).localCheckpoint()
-    sb = b.agg(F.hll_sketch_agg(col).alias("sk")).localCheckpoint()
+    sa = a.agg(F.hll_sketch_agg(col).alias("sk")).transform(truncate_lineage)
+    sb = b.agg(F.hll_sketch_agg(col).alias("sk")).transform(truncate_lineage)
     both = sa.unionByName(sb)
     u = both.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")

@@ -116,6 +116,41 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink: newline-delimited JSON (MROutput with TextOutputFormat
+    parity — `tez-mapreduce/.../output/MROutput.java:81`). One JSON
+    object per line, splittable at scale like any text source."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Source: JSON-lines scan (MRInput reads any InputFormat —
+    `tez-mapreduce/.../input/MRInput.java:84`).
+
+    Always pass `schema` in production: without it Spark runs a full
+    sampling pass over the files to infer one — at 100 TB that is an
+    entire extra job before the query starts.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink: ORC columnar write (Hive-on-Tez's native format;
+    OrcOutputFormat parity). Same FileCommitProtocol atomicity as the
+    parquet sink."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Source: ORC scan with predicate pushdown + column pruning —
+    filters reach the stripe-level min/max index, so an ORC fact table
+    prunes like parquet row-groups (OrcInputFormat parity)."""
+    return spark.read.orc(path)
+
+
 def insert_overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
     """INSERT OVERWRITE with *dynamic* partition replacement: only the
     partitions present in `df` are rewritten; all other partitions under
