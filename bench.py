@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
-from hdp_tez_spark.metrics import TaskMetricsCollector
+from hdp_tez_spark.metrics import TaskMetricsCollector, dump_query_profile
 from hdp_tez_spark.session import get_session, warm_up
 
 # Headline set: one per operator family (SURVEY §2) + the TPC-H-ish bench
@@ -229,6 +229,9 @@ def main() -> None:
         json.dump(
             {"sf": sf, "total_sec": total, "queries": timings}, f, indent=1
         )
+    # Per-query stage timeline (swimlane/ATS history parity): every
+    # stage's submission/first-task/completion timestamps + byte counters.
+    dump_query_profile(collector, os.path.join(here, "BENCH_PROFILE.json"))
 
     core = [n for n in HEADLINE[:_CORE_N] if n in timings]
     line = json.dumps(

@@ -110,10 +110,23 @@ class TaskMetricsCollector:
         # snapshots pay py4j round-trips only for stages created since the
         # last call, keeping measure() overhead flat across a long run
         self._done_stages: dict[tuple[int, int], dict[str, int]] = {}
+        # swimlane rows (stage timeline + bytes) per terminal stage, same
+        # keys as _done_stages — the UI/ATS history parity data
+        self._stage_meta: dict[tuple[int, int], dict[str, Any]] = {}
+        #: per-measured-query stage timeline rows (see `profile()`)
+        self.stage_rows: dict[str, list[dict[str, Any]]] = {}
         # the previous measure()'s after-snapshot doubles as the next
         # before-snapshot when measurements run back-to-back (bench loop):
         # halves the py4j/status-store work per query
         self._last_totals: dict[str, int] | None = None
+
+    @staticmethod
+    def _opt_ms(opt: Any) -> int | None:
+        """scala Option[java.util.Date] -> epoch millis (None if empty)."""
+        try:
+            return int(opt.get().getTime()) if opt.isDefined() else None
+        except Exception:
+            return None
 
     def _snapshot(self) -> dict[str, int]:
         sc = self._spark.sparkContext
@@ -145,6 +158,23 @@ class TaskMetricsCollector:
             vals = {field: getattr(sd, field)() for field in self.FIELDS}
             if sd.status().toString() in ("COMPLETE", "FAILED", "SKIPPED"):
                 self._done_stages[key] = vals
+                sub = self._opt_ms(sd.submissionTime())
+                launch = self._opt_ms(sd.firstTaskLaunchedTime())
+                done = self._opt_ms(sd.completionTime())
+                self._stage_meta[key] = {
+                    "stage_id": int(sd.stageId()),
+                    "attempt": int(sd.attemptId()),
+                    "status": sd.status().toString(),
+                    "name": str(sd.name()),
+                    "num_tasks": int(sd.numTasks()),
+                    "submitted_ms": sub,
+                    "first_task_ms": launch,
+                    "completed_ms": done,
+                    "duration_ms": (done - sub)
+                    if (done is not None and sub is not None)
+                    else None,
+                    **{out: int(vals[f]) for f, out in self.FIELDS.items()},
+                }
             else:
                 live.append(vals)
         totals = dict.fromkeys(self.FIELDS, 0)
@@ -159,6 +189,9 @@ class TaskMetricsCollector:
         touch the session between calls — anything else is attributed to
         the next measured action."""
         before = self._last_totals if self._last_totals is not None else self._snapshot()
+        # AFTER the before-snapshot: it may have just cached stages from
+        # un-measured session activity, which belong to no query
+        before_keys = set(self._done_stages)
         result = action()
         after = self._snapshot()
         self._last_totals = after
@@ -167,9 +200,40 @@ class TaskMetricsCollector:
             for field, out in self.FIELDS.items()
         }
         self.counters[name] = delta
+        # stages that became terminal during this action ARE this query's
+        # stages (measure() runs actions to completion, one at a time) —
+        # the swimlane attribution Tez gets from per-DAG vertex events
+        rows = [
+            self._stage_meta[k]
+            for k in self._stage_meta
+            if k not in before_keys
+        ]
+        rows.sort(key=lambda r: (r["submitted_ms"] or 0, r["stage_id"]))
+        self.stage_rows[name] = rows
         if self._registry is not None:
             self._registry.record(name, **delta)
         return result
+
+    def profile(self) -> dict[str, list[dict[str, Any]]]:
+        """Per-query stage timeline — the reference's swimlane/timeline
+        view (`tez-tools/swimlanes/`, ATS stage events) as plain data:
+        for every measured query, its stages with submission /
+        first-task / completion timestamps, duration, task count, and
+        the byte counters. Queryable as a table
+        (`spark.createDataFrame(flatten(profile()))`) or dumped as a
+        JSON sidecar via `dump_query_profile`."""
+        return self.stage_rows
+
+
+def dump_query_profile(collector: TaskMetricsCollector, path: str) -> None:
+    """Write the collector's per-query stage-timeline profile as JSON —
+    history/ATS observability parity (`tez-plugins/tez-yarn-timeline-*`,
+    `tez-tools/swimlanes/` render the same per-vertex timeline from YARN
+    ATS events; here it is a file any engine can re-load and query)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(collector.profile(), f, indent=1)
 
 
 # Mapping of the reference's TaskCounter names (TaskCounter.java:28-202) to

@@ -529,9 +529,11 @@ def test_rendezvous_shard_minimal_movement(spark):
     a = {r.k: r.shard for r in rendezvous_shard(df, "k", shards=8).collect()}
     b = {r.k: r.shard for r in rendezvous_shard(df, "k", shards=9).collect()}
     moved = sum(1 for k in a if a[k] != b[k])
-    # HRW guarantee: only keys won by the NEW shard move (~1/9 of keys);
-    # mod-hashing would move ~8/9. Allow generous sampling slack.
-    assert moved / 600 < 0.25
+    # HRW guarantee: only keys won by the NEW shard move, and the moved
+    # mass is ~1/(N+1) = 1/9 of keys. Binomial(600, 1/9) has mean 66.7,
+    # sigma 7.9 — a +-5 sigma band is [28, 106]; mod-hashing (~8/9 moved,
+    # ~533 keys) and a broken HRW (0 moved) both fall far outside it.
+    assert 28 <= moved <= 106, moved
     # every key that moved, moved TO the new shard 8
     assert all(b[k] == 8 for k in a if a[k] != b[k])
     # both assignments use all shards reasonably evenly
@@ -539,6 +541,31 @@ def test_rendezvous_shard_minimal_movement(spark):
     counts = Counter(a.values())
     assert set(counts) == set(range(8))
     assert max(counts.values()) < 3 * min(counts.values())
+
+
+def test_rendezvous_shard_matches_independent_python_hrw(spark):
+    """Second, fully independent HRW implementation (pure Python over the
+    documented md5 recipe: argmax over shards of the first 15 hex chars
+    of md5(f'{shard}-{key}'), lowest shard wins ties) must agree with
+    the Spark column expression on every key — catches any drift in the
+    struct-argmax encoding or the hash recipe."""
+    import hashlib
+
+    from hdp_tez_spark.extensions.splits import rendezvous_shard
+
+    def hrw(key: str, shards: int) -> int:
+        scores = [
+            (int(hashlib.md5(f"{s}-{key}".encode()).hexdigest()[:15], 16), -s)
+            for s in range(shards)
+        ]
+        return -max(scores)[1]
+
+    keys = [f"user-{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for n in (1, 3, 7):
+        got = {r.k: r.shard for r in rendezvous_shard(df, "k", n).collect()}
+        want = {k: hrw(k, n) for k in keys}
+        assert got == want, f"shards={n}"
 
 
 def test_rendezvous_shard_deterministic_and_validated(spark):

@@ -57,6 +57,31 @@ def test_orc_roundtrip(spark, nation):
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
 
 
+def test_json_helpers_explicit_schema(spark, nation):
+    from hdp_tez_spark.sources.catalog import read_json, write_json
+
+    d = tempfile.mkdtemp(prefix="sink_jsonh_") + "/t"
+    write_json(nation.select("n_nationkey", "n_name"), d)
+    back = read_json(spark, d, "n_nationkey long, n_name string")
+    assert dict(back.dtypes) == {"n_nationkey": "bigint", "n_name": "string"}
+    assert {(r.n_nationkey, r.n_name) for r in back.collect()} == {
+        (r.n_nationkey, r.n_name) for r in nation.collect()
+    }
+
+
+def test_orc_helpers_pushdown(spark, nation):
+    from hdp_tez_spark.sources.catalog import read_orc, write_orc
+
+    d = tempfile.mkdtemp(prefix="sink_orch_") + "/t"
+    write_orc(nation, d)
+    q = read_orc(spark, d).where(F.col("n_regionkey") == 1).select("n_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter reaches the ORC reader (stripe min/max skipping) and the
+    # scan reads only the projected + filtered columns
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split("PushedFilters:")[1][:120], plan
+    assert q.count() == nation.where(F.col("n_regionkey") == 1).count()
+
+
 def test_partitioned_write_prunes(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     d = tempfile.mkdtemp(prefix="sink_part_")
