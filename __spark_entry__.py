@@ -2310,6 +2310,38 @@ WHERE rn <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path against exact brute force
+    (extensions/similarity.py ann_recall): the acceptance readout that
+    turns the LSH/IVF speed-for-recall trade into a measured number.
+    Both inputs are k-bounded top-k tables, so the eval join is tiny by
+    construction; the oracle recomputes both searches in SQL and the
+    same intersection."""
+    from hdp_tez_spark.extensions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk_bruteforce(q, emb, k=5)
+    approx = SIM.cosine_topk_ivf(q, emb, k=5, n_centroids=16, n_probe=2)
+    return SIM.ann_recall(exact, approx)
+
+
+_SQL_ANN_RECALL = f"""
+WITH exact_r AS ({_SQL_COSINE_TOPK}),
+approx_r AS ({_SQL_COSINE_TOPK_IVF}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
+  FROM exact_r e
+  LEFT JOIN approx_r a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+       round(n_hit / n_exact, 6) AS recall
+FROM hits ORDER BY query_id
+"""
+
+
 def q_sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User code over sorted groups (Tez grouping-comparator semantics):
     per customer, days since the previous order, computed imperatively in
@@ -6928,13 +6960,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "scd2": (q_scd2, _SQL_SCD2),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
-    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
+    # new this round — takes the 50th prefix slot (robust_outliers,
+    # r03-green, rotates below)
+    "ann_recall": (q_ann_recall, _SQL_ANN_RECALL),
     # ------------- driver-checked prefix ends here (50) -------------
     # Entries below are driver-green in CORRECTNESS_r01-r04 (code
     # unchanged since their green round) and stay covered by the
     # repo's own per-commit sf0.001 + sweep sf0.01 oracle suites;
     # in-line notes marking never-driver-checked twins live with the
     # query definitions.
+    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

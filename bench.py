@@ -159,6 +159,10 @@ HEADLINE = [
     "rolling_active_users",
     "collocations",
     "rendezvous_shard",
+    # round-5 additions: source surface + ANN acceptance eval
+    "json_scan",
+    "orc_scan",
+    "ann_recall",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -217,6 +217,58 @@ def cosine_topk_ivf(
     )
 
 
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k readout for an approximate nearest-neighbor result
+    against the exact one — the acceptance metric every ANN deployment
+    (LSH planes, IVF probe counts, quantization bits) is tuned by.
+    `exact` and `approx` are top-k tables shaped like the engine's ANN
+    operators emit ((query_id, neighbor_id, ...)); duplicates are
+    collapsed. Output per query: (query_id, n_exact, n_hit, recall)
+    with recall = |approx ∩ exact| / |exact| rounded to 6 dp, ordered
+    by query_id.
+
+    Scale shape: both inputs are top-k tables — |queries| x k rows, a
+    sketch of the corpus, not the corpus — so the equi-join on
+    (query, neighbor) is tiny by construction; with a bounded query set
+    AQE broadcasts one side. The expensive parts (the ANN searches
+    themselves) are the INPUTS, already computed by their own
+    scale-shaped operators; the eval adds one k-bounded join, which is
+    why recall can be monitored continuously in production.
+    """
+    e = exact.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    ).distinct()
+    a = (
+        approx.select(
+            F.col(query_col).alias("query_id"),
+            F.col(neighbor_col).alias("neighbor_id"),
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -268,6 +268,43 @@ def test_ngram_counts_known_text(spark):
     assert uni["cat"] == 3
 
 
+def test_ann_recall_hand_computed(spark):
+    from hdp_tez_spark.extensions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        # q1 exact top-3: {10, 11, 12}; q2 exact top-2: {20, 21}
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1 finds 2 of 3 (plus a spurious 99); q2 finds none of its set
+        [(1, 10), (1, 12), (1, 99), (2, 77)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r.query_id: r for r in ann_recall(exact, approx).collect()}
+    assert out[1].n_exact == 3 and out[1].n_hit == 2
+    assert out[1].recall == round(2 / 3, 6)
+    assert out[2].n_exact == 2 and out[2].n_hit == 0 and out[2].recall == 0.0
+
+
+def test_ann_recall_perfect_for_exact_vs_itself(spark):
+    from hdp_tez_spark.extensions.similarity import (
+        ann_recall,
+        cosine_topk_bruteforce,
+    )
+
+    rng = __import__("numpy").random.RandomState(3)
+    X = rng.randn(30, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    exact = cosine_topk_bruteforce(df.where(F.col("vec_id") < 5), df, k=3)
+    out = ann_recall(exact, exact).collect()
+    assert len(out) == 5
+    assert all(r.recall == 1.0 and r.n_exact == 3 for r in out)
+
+
 def test_embedding_covariance_matches_numpy(spark):
     import numpy as np
 
