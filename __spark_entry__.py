@@ -1816,11 +1816,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # supplier/customer are fact-scaled even after the nation filter —
     # only the 25-row nation projections above carry broadcast hints;
-    # AQE decides the rest by measured size.
+    # AQE decides the rest by measured size. Join ORDER matters: reduce
+    # BOTH facts by their 2-of-25-nation dims BEFORE the fact-fact
+    # orderkey join, so it shuffles ~8% of each side — joining reduced
+    # lineitem against unreduced orders (the r01-r04 shape) shuffled
+    # 100% of orders and was the bench's worst query vs baseline (1.5x).
+    orders_f = orders.join(customer, orders.o_custkey == customer.c_custkey)
     joined = (
         li.join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (

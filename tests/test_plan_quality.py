@@ -460,6 +460,25 @@ def test_embedding_covariance_partial_merge(spark):
     assert "partial_sum" in plan
 
 
+def test_ann_recall_eval_join_is_hash_not_nested_loop(spark):
+    """The recall eval joins two k-bounded top-k tables on
+    (query_id, neighbor_id) — an equi-join that must plan as a hash
+    join. The only nested-loop allowed in the whole query is the ANN
+    inputs' own broadcast query-cross (their documented scale shape)."""
+    from hdp_tez_spark.extensions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, neighbor_id long"
+    )
+    plan = _plan(ann_recall(exact, approx))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "Join" in plan  # the equi-join survived (not rewritten away)
+
+
 def test_bfs_frontier_join_is_equi(spark):
     from hdp_tez_spark.extensions.graph import bfs_distances
 
