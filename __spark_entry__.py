@@ -6860,6 +6860,62 @@ ORDER BY pmi DESC, w1, w2 LIMIT 20
 
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training over the documents corpus
+    (extensions/textstats.py bpe_merges): corpus collapses ONCE to the
+    word-frequency table; each of the 6 greedy rounds counts adjacent
+    symbol pairs over that vocab table (partial-agg, vocab-sized) and
+    replaces the winner everywhere — only the winning pair reaches the
+    driver per round. Oracle unrolls the same 6 rounds in SQL (the
+    pca_component/kmeans pattern)."""
+    from hdp_tez_spark.extensions.textstats import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), "text", n_merges=6)
+
+
+def _bpe_iter_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+pc{r} AS (
+  SELECT pr AS pair, sum(cnt)::BIGINT AS pcnt
+  FROM (SELECT cnt,
+               unnest([s[i] || ' ' || s[i + 1] FOR i IN range(1, len(s))]) AS pr
+        FROM (SELECT cnt, string_split(seq, ' ') AS s FROM v{p}))
+  GROUP BY pr
+),
+b{r} AS (SELECT pair, pcnt FROM pc{r} ORDER BY pcnt DESC, pair LIMIT 1),
+v{r} AS (SELECT word, cnt,
+                trim(replace(' ' || seq || ' ',
+                             ' ' || (SELECT pair FROM b{r}) || ' ',
+                             ' ' || replace((SELECT pair FROM b{r}), ' ', '')
+                                 || ' ')) AS seq
+         FROM v{p})"""
+
+
+def _bpe_rank_sql(r: int) -> str:
+    return f"""
+SELECT {r} AS rank, string_split(pair, ' ')[1] AS left,
+       string_split(pair, ' ')[2] AS right,
+       replace(pair, ' ', '') AS merged, pcnt AS pair_count
+FROM b{r}"""
+
+
+_SQL_BPE_MERGES = f"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+v0 AS (
+  SELECT word, count(*)::BIGINT AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+  FROM words GROUP BY word
+),{",".join(_bpe_iter_sql(r) for r in range(1, 7))}
+SELECT * FROM ({" UNION ALL ".join(_bpe_rank_sql(r) for r in range(1, 7))})
+ORDER BY rank
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -6974,6 +7030,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-line notes marking never-driver-checked twins live with the
     # query definitions.
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
+    # new in r05 (never driver-checked yet — r06 rotation candidate):
+    # BPE tokenizer merge training; local oracle unrolls the 6 rounds
+    "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

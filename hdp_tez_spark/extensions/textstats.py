@@ -331,3 +331,108 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Byte-pair-encoding merge training over a text corpus — the
+    tokenizer-training pass of an LLM data pipeline. Learns `n_merges`
+    merge rules greedily: each round counts adjacent symbol pairs across
+    the word-frequency table (weighted by word count, overlapping
+    occurrences counted — the textbook get_stats), merges the most
+    frequent pair everywhere, repeats. Output: one row per learned rule,
+    (rank, left, right, merged, pair_count), ordered by rank.
+
+    Words are lowercase [a-z0-9]+ tokens split to characters with a
+    trailing `</w>` end-of-word symbol (the classic Sennrich setup).
+    Ties break deterministically: highest count, then lexicographically
+    smallest pair string.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    scanned ONCE, collapsing to the (word, count) vocabulary table (one
+    shuffle of words, the standard trainer input); every merge round
+    then works on that vocab table — pair explosion and partial-agg
+    count are O(|vocab| * word_len), independent of corpus size — and
+    only the single winning pair (2 short strings + a count) reaches
+    the driver per round, the kmeans_fit driver-traffic contract. The
+    vocab's lineage is cut every round (plans/checkpoints.truncate_
+    lineage: localCheckpoint, or a reliable checkpoint when
+    `checkpoint_dir`/the SparkContext provides one).
+
+    Merge application detail: the pair is replaced via string
+    `replace()` over the space-joined symbol sequence (symbols never
+    contain spaces, so patterns are unambiguous). `replace` scans left
+    to right and continues AFTER each replacement on Spark's JVM and on
+    every SQL engine alike, so for self-overlapping runs like
+    `a b a b` the first occurrence wins and the second's shared
+    boundary is consumed — deterministic and engine-portable, which is
+    what makes the operator oracle-checkable; textbook implementations
+    that re-scan per word agree on everything except that rare
+    self-overlap edge.
+    """
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    spark = df.sparkSession
+    vocab = (
+        _spread(df.select(text_col))
+        .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+                F.lit(" </w>"),
+            ).alias("seq"),
+        )
+    )
+    vocab = truncate_lineage(vocab, checkpoint_dir)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.col("seq"), " ")
+        # guard: sequence(1, 0) would generate a DESCENDING range
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        )
+        best = (
+            vocab.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pcnt"))
+            .orderBy(F.desc("pcnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, pcnt = best[0]["pair"], int(best[0]["pcnt"])
+        left, right = pair.split(" ")
+        merged = left + right
+        merges.append((r, left, right, merged, pcnt))
+        vocab = vocab.withColumn(
+            "seq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ),
+        )
+        vocab = truncate_lineage(vocab, checkpoint_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )

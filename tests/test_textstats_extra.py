@@ -79,3 +79,47 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(exact) == len(quant) == 100
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized recall {recall}"
+
+
+def test_bpe_merges_sennrich_example(spark):
+    """The classic BPE walkthrough corpus: 'low'x3 + 'lower' + 'newest'x2.
+    First rounds must learn l+o, lo+w (count 4 = 3 low + lower), then
+    low+</w> (count 3), then the count-2 tie resolves to the
+    lexicographically smallest pair 'e s'."""
+    from hdp_tez_spark.extensions.textstats import bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower newest newest",)], "text string"
+    )
+    out = [tuple(r) for r in bpe_merges(df, "text", n_merges=4).collect()]
+    assert out == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "low", "</w>", "low</w>", 3),
+        (4, "e", "s", "es", 2),
+    ]
+
+
+def test_bpe_merges_learned_rules_compose(spark):
+    """A word dominated by repetition merges all the way to a single
+    symbol within len(word) rounds, and each round's merged symbol is
+    the concatenation of the two sides."""
+    from hdp_tez_spark.extensions.textstats import bpe_merges
+
+    df = spark.createDataFrame([("abab abab abab",)], "text string")
+    rows = bpe_merges(df, "text", n_merges=4).collect()
+    for r in rows:
+        assert r.merged == r.left + r.right
+    # 'a b' is the most frequent pair (2 per word x 3 words = 6,
+    # counting both occurrences inside each word)
+    assert (rows[0].left, rows[0].right, rows[0].pair_count) == ("a", "b", 6)
+
+
+def test_bpe_merges_rejects_bad_n(spark):
+    import pytest
+
+    from hdp_tez_spark.extensions.textstats import bpe_merges
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_merges(df, "text", n_merges=0)
