@@ -6900,19 +6900,59 @@ SELECT {r} AS rank, string_split(pair, ' ')[1] AS left,
 FROM b{r}"""
 
 
-_SQL_BPE_MERGES = f"""
-WITH words AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+#: training CTE chain shared by the bpe_merges and bpe_encode oracles —
+#: doc_words carries doc_id so the encode oracle can join the final
+#: vocab back per document
+_SQL_BPE_TRAIN_CTES = f"""doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS word
   FROM documents
 ),
 v0 AS (
   SELECT word, count(*)::BIGINT AS cnt,
          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
-  FROM words GROUP BY word
-),{",".join(_bpe_iter_sql(r) for r in range(1, 7))}
+  FROM doc_words GROUP BY word
+),{",".join(_bpe_iter_sql(r) for r in range(1, 7))}"""
+
+_SQL_BPE_MERGES = f"""
+WITH {_SQL_BPE_TRAIN_CTES}
 SELECT * FROM ({" UNION ALL ".join(_bpe_rank_sql(r) for r in range(1, 7))})
 ORDER BY rank
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with the 6 rules just trained on
+    it (extensions/textstats.py bpe_encode): the rules collect to the
+    driver (|merges| rows — the bounded trainer output, the kmeans
+    centroid contract) and bake into a fixed chain of JVM replace()
+    expressions, making the encoder a ZERO-SHUFFLE scan. Output per doc:
+    word count and BPE token count — the compression readout. The
+    oracle replays training in SQL and joins the final per-word symbol
+    sequences back to the documents."""
+    from hdp_tez_spark.extensions.textstats import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs, "text", n_merges=6).collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", rules)
+    return (
+        enc.where(F.col("n_words") > 0)
+        .select("doc_id", "n_words", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BPE_ENCODE = f"""
+WITH {_SQL_BPE_TRAIN_CTES},
+wl AS (SELECT word, len(string_split(seq, ' '))::INT AS ntok FROM v6)
+SELECT doc_id, count(*)::INT AS n_words, sum(ntok)::INT AS n_tokens
+FROM doc_words JOIN wl USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 
@@ -7033,6 +7073,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # new in r05 (never driver-checked yet — r06 rotation candidate):
     # BPE tokenizer merge training; local oracle unrolls the 6 rounds
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -159,10 +159,12 @@ HEADLINE = [
     "rolling_active_users",
     "collocations",
     "rendezvous_shard",
-    # round-5 additions: source surface + ANN acceptance eval
+    # round-5 additions: source surface + ANN acceptance eval + tokenizer
     "json_scan",
     "orc_scan",
     "ann_recall",
+    "bpe_merges",
+    "bpe_encode",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

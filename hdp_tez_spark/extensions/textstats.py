@@ -436,3 +436,52 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned BPE merge rules (from `bpe_merges`, in rank order)
+    to every document — the tokenize step that turns the trained rules
+    into model-ready token streams. Output per document:
+    (id, n_words, n_tokens, tokens) where `tokens` is the full BPE
+    symbol sequence and n_tokens its length — the compression readout
+    (n_tokens shrinks toward n_words as rules are added).
+
+    Scale shape: a ZERO-SHUFFLE map over the corpus. Each rule becomes
+    one `replace()` on the space-joined symbol string of each word, so
+    the whole encoder is a fixed chain of |merges| JVM string
+    expressions inside whole-stage codegen — no Python, no state, no
+    join; the merge table (driver-side, |merges| rows — the bounded
+    trainer output) is baked into the plan like kmeans centroids.
+    Application uses the same left-to-right non-overlapping `replace`
+    semantics as training, so training and encoding agree by
+    construction (and so does any SQL engine replaying the rules).
+    """
+
+    def _encode_word(w: Column) -> Column:
+        s = F.concat(
+            F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w>")
+        )
+        for left, right in merges:
+            pair, merged = f"{left} {right}", f"{left}{right}"
+            s = F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), s, F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            )
+        return F.split(s, " ")
+
+    words = _tokens(F.col(text_col))
+    toks = F.flatten(F.transform(words, _encode_word))
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        toks.alias("tokens"),
+    )

@@ -123,3 +123,33 @@ def test_bpe_merges_rejects_bad_n(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         bpe_merges(df, "text", n_merges=0)
+
+
+def test_bpe_encode_tokens_and_compression(spark):
+    from hdp_tez_spark.extensions.textstats import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], "doc_id int, text string"
+    )
+    rules = [
+        (r.left, r.right)
+        for r in bpe_merges(df, "text", n_merges=4).collect()
+    ]
+    out = bpe_encode(df, "doc_id", "text", rules).collect()[0]
+    assert out.n_words == 6
+    # 3x low</w> (1) + lower (low,e,r,</w> = 4) + 2x newest
+    # (n,e,w,es,t,</w> = 6) = 3 + 4 + 12 = 19
+    assert out.n_tokens == 19 == len(out.tokens)
+    assert out.tokens[:3] == ["low</w>", "low</w>", "low</w>"]
+    # decoding invariant: stripping markers reconstructs the text's words
+    joined = "".join(out.tokens).replace("</w>", " ").strip()
+    assert joined == "low low low lower newest newest"
+
+
+def test_bpe_encode_zero_shuffle_plan(spark):
+    from hdp_tez_spark.extensions.textstats import bpe_encode
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    enc = bpe_encode(df, "doc_id", "text", [("a", "</w>")])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure map-side encoder
