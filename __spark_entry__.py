@@ -6885,10 +6885,18 @@ pc{r} AS (
 ),
 b{r} AS (SELECT pair, pcnt FROM pc{r} ORDER BY pcnt DESC, pair LIMIT 1),
 v{r} AS (SELECT word, cnt,
+                -- coalesce guards the merges-exhausted case: an empty
+                -- b{r} makes the scalar subquery NULL, and
+                -- replace(seq, NULL, ...) would NULL every seq from
+                -- this round on; the sentinel contains a space-free
+                -- token that can never match a ' l r ' pattern, so the
+                -- round becomes the identity instead
                 trim(replace(' ' || seq || ' ',
-                             ' ' || (SELECT pair FROM b{r}) || ' ',
-                             ' ' || replace((SELECT pair FROM b{r}), ' ', '')
-                                 || ' ')) AS seq
+                             coalesce(' ' || (SELECT pair FROM b{r}) || ' ',
+                                      chr(1)),
+                             coalesce(' ' || replace((SELECT pair FROM b{r}),
+                                                     ' ', '') || ' ',
+                                      chr(1)))) AS seq
          FROM v{p})"""
 
 

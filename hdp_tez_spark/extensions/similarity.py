@@ -624,9 +624,20 @@ def pca_top_component(
         # half-away-from-zero at 6 dp, the ROUND both SQL engines use
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None or probe["d"] is None:
-        raise ValueError(f"empty corpus or NULL {vec_col!r} in first row")
+    # The fit dimension is the corpus's MAJORITY vector length (ties ->
+    # smallest), from one map-side-combined agg over |distinct lengths|
+    # rows — NOT the physical first row, whose partition order is
+    # undefined: a ragged/NULL row surfacing first would size the fit
+    # from the pollution while the oracle fits the clean corpus.
+    probe = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .first()
+    )
+    if probe is None:
+        raise ValueError(f"no non-NULL {vec_col!r} vectors to fit")
     d = int(probe["d"])
     # NULL or ragged vectors are excluded up front (the random_project
     # guard): the fit is over length-d vectors only, n counts exactly
@@ -739,9 +750,18 @@ def random_project(
 
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive, got {out_dim}")
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None or probe["d"] is None:
-        raise ValueError(f"empty corpus or NULL {vec_col!r} in first row")
+    # majority vector length, not the order-undefined first row (same
+    # probe as pca_top_component — a ragged/NULL row surfacing first
+    # must not size the projection matrix)
+    probe = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .first()
+    )
+    if probe is None:
+        raise ValueError(f"no non-NULL {vec_col!r} vectors to project")
     d = int(probe["d"])
 
     def sgn(j: int, i: int) -> float:

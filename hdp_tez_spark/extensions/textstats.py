@@ -333,6 +333,31 @@ def collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
 
 
+def _word_seq(w: Column) -> Column:
+    """A word as its BPE start state: space-joined characters plus the
+    `</w>` end-of-word symbol ("hello" -> "h e l l o </w>"). Shared by
+    bpe_merges (training) and bpe_encode (application) so the two can
+    never drift."""
+    return F.concat(
+        F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w>")
+    )
+
+
+def _apply_merge(seq: Column, left: str, right: str) -> Column:
+    """Apply one merge rule to a space-joined symbol sequence via
+    left-to-right non-overlapping replace() — identical semantics on the
+    JVM and every SQL engine, and the single definition both training
+    and encoding use."""
+    pair, merged = f"{left} {right}", f"{left}{right}"
+    return F.trim(
+        F.replace(
+            F.concat(F.lit(" "), seq, F.lit(" ")),
+            F.lit(f" {pair} "),
+            F.lit(f" {merged} "),
+        )
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -384,14 +409,7 @@ def bpe_merges(
         .select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "word",
-            "cnt",
-            F.concat(
-                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
-                F.lit(" </w>"),
-            ).alias("seq"),
-        )
+        .select("word", "cnt", _word_seq(F.col("word")).alias("seq"))
     )
     vocab = truncate_lineage(vocab, checkpoint_dir)
 
@@ -422,16 +440,7 @@ def bpe_merges(
         left, right = pair.split(" ")
         merged = left + right
         merges.append((r, left, right, merged, pcnt))
-        vocab = vocab.withColumn(
-            "seq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            ),
-        )
+        vocab = vocab.withColumn("seq", _apply_merge(F.col("seq"), left, right))
         vocab = truncate_lineage(vocab, checkpoint_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
@@ -463,18 +472,9 @@ def bpe_encode(
     """
 
     def _encode_word(w: Column) -> Column:
-        s = F.concat(
-            F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w>")
-        )
+        s = _word_seq(w)
         for left, right in merges:
-            pair, merged = f"{left} {right}", f"{left}{right}"
-            s = F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), s, F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            )
+            s = _apply_merge(s, left, right)
         return F.split(s, " ")
 
     words = _tokens(F.col(text_col))

@@ -189,8 +189,13 @@ class TaskMetricsCollector:
         touch the session between calls — anything else is attributed to
         the next measured action."""
         before = self._last_totals if self._last_totals is not None else self._snapshot()
-        # AFTER the before-snapshot: it may have just cached stages from
-        # un-measured session activity, which belong to no query
+        # Captured AFTER any before-snapshot so a fresh snapshot's newly
+        # cached stages (un-measured session activity) are excluded. On
+        # the reused-snapshot fast path no snapshot runs here, so stages
+        # finished by un-measured activity since the previous measure()
+        # WILL be attributed to this query — the docstring's "only
+        # measured jobs may touch the session between calls" contract is
+        # what makes the fast path sound.
         before_keys = set(self._done_stages)
         result = action()
         after = self._snapshot()

@@ -8,6 +8,11 @@ SparkContext-configured dir) must (a) produce bit-identical results and
 1000-executor job depends on to survive executor loss mid-iteration
 (Tez analogue: re-fetchable PERSISTED edge output,
 `tez-api/.../dag/api/EdgeProperty.java:71-77`).
+
+The checkpoint dir is STICKY session state (see the module docstring),
+so every LOCAL baseline in this file is computed BEFORE the first
+reliable call, and the fixture resets both the context dir and the
+module's applied-dir record afterwards.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from hdp_tez_spark.plans import checkpoints as CK
 from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
 
@@ -29,72 +35,57 @@ def ckpt_dir(spark):
     # restore the default (no checkpoint dir) so other tests keep the
     # localCheckpoint fast path, then clean up
     spark.sparkContext._jsc.sc().setCheckpointDir(None)
+    CK._applied_dirs.clear()
     shutil.rmtree(d, ignore_errors=True)
 
 
-def _edges(spark):
-    # two components: {1,2,3} and {10,11}
-    return spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
-    )
+def _files_under(d: str) -> list[str]:
+    return [f for _, _, fs in os.walk(d) for f in fs]
 
 
 def test_truncate_lineage_reliable_branch_writes_files(spark, ckpt_dir):
     df = spark.range(100).withColumn("x", F.col("id") * 2)
     out = truncate_lineage(df, checkpoint_dir=ckpt_dir)
     assert out.count() == 100
-    assert out.isCheckpointed() if hasattr(out, "isCheckpointed") else True
-    walked = [f for _, _, fs in os.walk(ckpt_dir) for f in fs]
-    assert walked, "reliable checkpoint wrote nothing under checkpoint_dir"
+    assert _files_under(ckpt_dir), "reliable checkpoint wrote nothing"
+
+
+def test_truncate_lineage_sets_dir_once_not_per_round(spark, ckpt_dir):
+    """The context qualifies the dir and appends a UUID subdir, so naive
+    equality re-set it every call; the applied-dir record must keep all
+    rounds in ONE configured location (one top-level UUID dir)."""
+    for _ in range(4):
+        truncate_lineage(spark.range(10), checkpoint_dir=ckpt_dir).count()
+    top = [e for e in os.listdir(ckpt_dir)]
+    assert len(top) == 1, f"setCheckpointDir re-invoked per call: {top}"
 
 
 def test_truncate_lineage_uses_context_configured_dir(spark, ckpt_dir):
     spark.sparkContext.setCheckpointDir(ckpt_dir)
     out = truncate_lineage(spark.range(10))
     assert out.count() == 10
-    walked = [f for _, _, fs in os.walk(ckpt_dir) for f in fs]
-    assert walked, "context-configured dir was not used"
+    assert _files_under(ckpt_dir), "context-configured dir was not used"
 
 
-def test_connected_components_reliable_matches_local(spark, ckpt_dir):
-    from hdp_tez_spark.extensions.dedup import connected_components
-
-    edges = _edges(spark)
-    local = {(r.node, r.label) for r in connected_components(edges).collect()}
-    reliable = {
-        (r.node, r.label)
-        for r in connected_components(edges, checkpoint_dir=ckpt_dir).collect()
-    }
-    assert reliable == local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
-    walked = [f for _, _, fs in os.walk(ckpt_dir) for f in fs]
-    assert walked
-
-
-def test_pagerank_and_bfs_reliable_match_local(spark, ckpt_dir):
+def test_iterative_ops_reliable_match_local(spark, ckpt_dir):
+    """connected_components / pagerank / bfs / prefix_filter_join under a
+    reliable checkpoint dir produce bit-identical results to the
+    localCheckpoint path. ALL local baselines run first: the dir is
+    sticky, so any reliable call before a baseline would silently
+    upgrade the baseline too."""
+    from hdp_tez_spark.extensions.dedup import (
+        connected_components,
+        prefix_filter_join,
+    )
     from hdp_tez_spark.extensions.graph import bfs_distances, pagerank
 
-    edges = spark.createDataFrame(
+    cc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    pr_edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
     )
-    pr_local = {(r.node, r.rank) for r in pagerank(edges, iters=3).collect()}
-    pr_rel = {
-        (r.node, r.rank)
-        for r in pagerank(edges, iters=3, checkpoint_dir=ckpt_dir).collect()
-    }
-    assert pr_rel == pr_local
-
     srcs = spark.createDataFrame([(1,)], "node long")
-    d_local = {(r.node, r.dist) for r in bfs_distances(edges, srcs).collect()}
-    d_rel = {
-        (r.node, r.dist)
-        for r in bfs_distances(edges, srcs, checkpoint_dir=ckpt_dir).collect()
-    }
-    assert d_rel == d_local == {(1, 0), (2, 1), (3, 2), (4, 3)}
-
-
-def test_prefix_filter_join_reliable_matches_local(spark, ckpt_dir):
-    from hdp_tez_spark.extensions.dedup import prefix_filter_join
-
     docs = spark.createDataFrame(
         [
             (1, "the quick brown fox jumps"),
@@ -103,15 +94,39 @@ def test_prefix_filter_join_reliable_matches_local(spark, ckpt_dir):
         ],
         "doc_id long, text string",
     )
-    local = {
+
+    # --- local baselines (no checkpoint dir configured yet) ---
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    cc_local = {(r.node, r.label) for r in connected_components(cc_edges).collect()}
+    pr_local = {(r.node, r.rank) for r in pagerank(pr_edges, iters=3).collect()}
+    bfs_local = {(r.node, r.dist) for r in bfs_distances(pr_edges, srcs).collect()}
+    ppj_local = {
         (r.id_a, r.id_b, r.jaccard)
         for r in prefix_filter_join(docs, "doc_id", "text", 0.5).collect()
     }
-    reliable = {
+
+    # --- reliable runs ---
+    cc_rel = {
+        (r.node, r.label)
+        for r in connected_components(cc_edges, checkpoint_dir=ckpt_dir).collect()
+    }
+    pr_rel = {
+        (r.node, r.rank)
+        for r in pagerank(pr_edges, iters=3, checkpoint_dir=ckpt_dir).collect()
+    }
+    bfs_rel = {
+        (r.node, r.dist)
+        for r in bfs_distances(pr_edges, srcs, checkpoint_dir=ckpt_dir).collect()
+    }
+    ppj_rel = {
         (r.id_a, r.id_b, r.jaccard)
         for r in prefix_filter_join(
             docs, "doc_id", "text", 0.5, checkpoint_dir=ckpt_dir
         ).collect()
     }
-    assert reliable == local
-    assert {p[:2] for p in local} == {(1, 2)}
+
+    assert cc_rel == cc_local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert pr_rel == pr_local
+    assert bfs_rel == bfs_local == {(1, 0), (2, 1), (3, 2), (4, 3)}
+    assert ppj_rel == ppj_local and {p[:2] for p in ppj_local} == {(1, 2)}
+    assert _files_under(ckpt_dir)

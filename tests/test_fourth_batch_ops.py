@@ -225,11 +225,13 @@ def test_pca_top_component_rejects_empty_corpus(spark):
 
 def test_pca_top_component_ignores_null_and_ragged_vectors(spark):
     # the clean corpus alone and the corpus polluted with NULL / ragged
-    # rows must produce the SAME component (the random_project guard)
+    # rows must produce the SAME component (the random_project guard) —
+    # pollution goes FIRST so an order-dependent first-row dimension
+    # probe would size the fit from the ragged rows (the r05 review bug)
     clean = _planted_vectors()
-    polluted = clean + [(None,), ([1.0, 2.0],), ([0.5] * 9,)]
+    polluted = [(None,), ([1.0, 2.0],), ([0.5] * 9,)] + clean
     df_c = spark.createDataFrame(clean, "embedding array<double>")
-    df_p = spark.createDataFrame(polluted, "embedding array<double>")
+    df_p = spark.createDataFrame(polluted, "embedding array<double>").coalesce(1)
     comp_c = [r.loading for r in pca_top_component(df_c, "embedding").orderBy("i").collect()]
     comp_p = [r.loading for r in pca_top_component(df_p, "embedding").orderBy("i").collect()]
     assert comp_c == comp_p

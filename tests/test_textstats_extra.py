@@ -153,3 +153,18 @@ def test_bpe_encode_zero_shuffle_plan(spark):
     enc = bpe_encode(df, "doc_id", "text", [("a", "</w>")])
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # pure map-side encoder
+
+
+def test_bpe_merges_stops_when_exhausted(spark):
+    """A corpus whose words fully merge before n_merges rounds returns
+    only the learnable rules (the SQL oracle's coalesce guard makes the
+    exhausted rounds the identity — same contract)."""
+    from hdp_tez_spark.extensions.textstats import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id int, text string")
+    rows = [tuple(r) for r in bpe_merges(df, "text", n_merges=6).collect()]
+    assert rows == [(1, "a", "b", "ab", 2), (2, "ab", "</w>", "ab</w>", 2)]
+    rules = [(r[1], r[2]) for r in rows]
+    out = bpe_encode(df, "doc_id", "text", rules).collect()[0]
+    assert (out.n_words, out.n_tokens) == (2, 2)
+    assert out.tokens == ["ab</w>", "ab</w>"]
