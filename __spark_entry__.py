@@ -6964,6 +6964,55 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer-to-context-window path: train 6 BPE
+    rules on the corpus, tokenize every document with them (zero-shuffle
+    encode), then lay the documents end-to-end and cut 256-token packs
+    (curation.pack_sequences, 8 hash buckets) — what an LLM pretraining
+    data job does between raw text and fixed-length training windows.
+    Each stage keeps its own scale shape: one corpus pass to the vocab,
+    vocab-sized merge rounds, map-side encode, one bucket-keyed window
+    for packing."""
+    from hdp_tez_spark.extensions.curation import pack_sequences
+    from hdp_tez_spark.extensions.textstats import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs, "text", n_merges=6).collect()
+    ]
+    enc = (
+        bpe_encode(docs, "doc_id", "text", rules)
+        .where(F.col("n_words") > 0)
+        .select("doc_id", "n_tokens")
+    )
+    return pack_sequences(enc, "doc_id", "n_tokens", budget=256, num_buckets=8)
+
+
+_SQL_BPE_PACK = f"""
+WITH {_SQL_BPE_TRAIN_CTES},
+wl AS (SELECT word, len(string_split(seq, ' '))::INT AS ntok FROM v6),
+nt AS (SELECT doc_id, sum(ntok)::INT AS n_tokens
+       FROM doc_words JOIN wl USING (word) GROUP BY doc_id),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST({_sql_bucket('doc_id', 8)} AS INTEGER) AS bucket
+  FROM nt
+),
+c AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS pos
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       pos // 256 AS pack_idx, pos % 256 AS pack_offset
+FROM c
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7082,6 +7131,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # BPE tokenizer merge training; local oracle unrolls the 6 rounds
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
+    "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -165,6 +165,7 @@ HEADLINE = [
     "ann_recall",
     "bpe_merges",
     "bpe_encode",
+    "bpe_pack",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are
