@@ -7013,6 +7013,71 @@ FROM c
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over one keyed sort (operators/window.py
+    with_distribution): customers' account-balance position within their
+    market segment — both functions share a single Window operator (one
+    exchange, one sort)."""
+    from hdp_tez_spark.operators.window import with_distribution
+
+    cust = _t(spark, sf_dir, "customer")
+    return with_distribution(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+    ).orderBy("c_custkey")
+
+
+_SQL_WINDOW_DISTRIBUTION = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey), 6)
+         AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey), 6)
+         AS cume_dist
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit (extensions/quality.py l_diversity):
+    the homogeneity-attack companion to the in-prefix k_anonymity —
+    distinct o_orderpriority values within each (custkey-band, status)
+    quasi-identifier group; two bounded partial-agg cascades."""
+    from hdp_tez_spark.extensions.quality import l_diversity
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("cust_band"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return l_diversity(
+        orders, ["cust_band", "o_orderstatus"], "o_orderpriority", l=3
+    )
+
+
+_SQL_L_DIVERSITY = """
+WITH g AS (
+  SELECT o_custkey % 100 AS cust_band, o_orderstatus,
+         count(*) AS sz,
+         (count(DISTINCT o_orderpriority)
+            + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END))
+           AS nd
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(3 AS BIGINT) AS l,
+       count(*) AS n_groups,
+       min(nd)::BIGINT AS min_distinct_sensitive,
+       sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       sum(CASE WHEN nd < 3 THEN sz ELSE 0 END)::BIGINT AS violating_rows,
+       round(sum(CASE WHEN nd >= 3 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
+         AS diverse_share
+FROM g
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7132,6 +7197,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
     "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
+    "window_distribution": (q_window_distribution, _SQL_WINDOW_DISTRIBUTION),
+    "l_diversity": (q_l_diversity, _SQL_L_DIVERSITY),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

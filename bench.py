@@ -166,6 +166,8 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "bpe_pack",
+    "window_distribution",
+    "l_diversity",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

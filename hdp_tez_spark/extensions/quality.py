@@ -200,6 +200,61 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """The companion audit to `k_anonymity`: k-anonymity hides a row in
+    a crowd, but if everyone in the crowd shares the same SENSITIVE
+    value the attacker still learns it (the homogeneity attack).
+    A quasi-identifier group is l-diverse when it contains at least `l`
+    distinct sensitive values. Output: ONE row (l, n_groups,
+    min_distinct_sensitive, violating_groups, violating_rows,
+    diverse_share) — diverse_share is the fraction of rows in l-diverse
+    groups, rounded to 6 dp.
+
+    Scale shape: distinct-collapse on (quasi..., sensitive) first, then
+    the group sizes and distinct-sensitive counts come from ONE further
+    groupBy — both shuffles are bounded by |distinct combinations|, and
+    Catalyst plans the pair as the classic two-level partial-agg
+    cascade; nothing row-shaped leaves the executors. NULL sensitive
+    values count as one more distinct value (they are a disclosure of
+    their own).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l <= 0:
+        raise ValueError(f"l must be positive, got {l}")
+    qs = [F.col(c) for c in quasi_cols]
+    groups = df.groupBy(*qs).agg(
+        F.count(F.lit(1)).alias("sz"),
+        # count_distinct ignores NULL; add it back as its own value
+        (
+            F.count_distinct(F.col(sensitive_col))
+            + F.max(F.col(sensitive_col).isNull().cast("long"))
+        ).alias("nd"),
+    )
+    viol = F.col("nd") < l
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("nd").alias("min_distinct_sensitive"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("sz")).otherwise(0)).alias("violating_rows"),
+        F.round(
+            F.sum(F.when(viol, 0).otherwise(F.col("sz"))) / F.sum("sz"), 6
+        ).alias("diverse_share"),
+    ).select(
+        F.lit(l).cast("long").alias("l"),
+        "n_groups",
+        "min_distinct_sensitive",
+        "violating_groups",
+        "violating_rows",
+        "diverse_share",
+    )
+
+
 def psi_drift(
     baseline: DataFrame,
     current: DataFrame,

@@ -107,3 +107,28 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(run)
     ).drop("__new")
+
+
+def with_distribution(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    pr_name: str = "pct_rank",
+    cd_name: str = "cume_dist",
+) -> DataFrame:
+    """Distribution window functions: percent_rank (relative rank in
+    [0, 1], ties share a value) and cume_dist (fraction of partition
+    rows at or before this one) over one keyed sort — the percentile
+    position readouts that complete the engine's window surface next to
+    rank/ntile (reference scope: the Tez ordered-grouped edge feeds
+    arbitrary ranking processors; SURVEY §2.9).
+
+    Cost: ONE hash shuffle on the partition keys + one per-key sort;
+    both functions ride the same WindowSpec so Catalyst evaluates them
+    in a single Window operator (no second exchange, no second sort).
+    Values rounded to 6 dp for engine-portable comparison.
+    """
+    w = spec(partition_by, order_by)
+    return df.withColumn(
+        pr_name, F.round(F.percent_rank().over(w), 6)
+    ).withColumn(cd_name, F.round(F.cume_dist().over(w), 6))

@@ -722,3 +722,54 @@ def test_ewma_tiebreak_list_order_cols(spark):
     # deterministic under the (t, id) tiebreak: id=0 first, id=1 second
     assert out[0] == pytest.approx(10.0)
     assert out[1] == pytest.approx((20.0 + 0.5 * 10.0) / 1.5)
+
+
+def test_l_diversity_hand_computed(spark):
+    from hdp_tez_spark.extensions.quality import l_diversity
+
+    rows = [
+        # group (1,'a'): sensitive {x, y} -> diverse at l=2
+        (1, "a", "x"), (1, "a", "y"), (1, "a", "x"),
+        # group (2,'a'): all same sensitive -> homogeneity violation
+        (2, "a", "z"), (2, "a", "z"),
+        # group (3,'a'): one NULL + one value -> NULL counts as distinct
+        (3, "a", None), (3, "a", "x"),
+    ]
+    df = spark.createDataFrame(rows, "q1 int, q2 string, s string")
+    out = l_diversity(df, ["q1", "q2"], "s", l=2).collect()[0]
+    assert out.l == 2 and out.n_groups == 3
+    assert out.min_distinct_sensitive == 1
+    assert out.violating_groups == 1 and out.violating_rows == 2
+    assert out.diverse_share == round(5 / 7, 6)
+
+
+def test_l_diversity_validates(spark):
+    from hdp_tez_spark.extensions.quality import l_diversity
+
+    df = spark.createDataFrame([(1, "x")], "q int, s string")
+    with pytest.raises(ValueError):
+        l_diversity(df, [], "s")
+    with pytest.raises(ValueError):
+        l_diversity(df, ["q"], "s", l=0)
+
+
+def test_with_distribution_single_window_operator(spark):
+    """percent_rank and cume_dist must share one Window (one exchange,
+    one sort) and agree with hand-computed values."""
+    from hdp_tez_spark.operators.window import with_distribution
+
+    df = spark.createDataFrame(
+        [("g", 10), ("g", 20), ("g", 30), ("g", 30)], "k string, v int"
+    )
+    out = with_distribution(df, ["k"], [F.col("v")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    rows = sorted((r.v, r.pct_rank, r.cume_dist) for r in out.collect())
+    # percent_rank: (rank-1)/(n-1); cume_dist: rows <= current / n
+    assert rows == [
+        (10, 0.0, 0.25),
+        (20, round(1 / 3, 6), 0.5),
+        (30, round(2 / 3, 6), 1.0),
+        (30, round(2 / 3, 6), 1.0),
+    ]
