@@ -4037,6 +4037,46 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment then windowed aggregation
+    (streaming/windows.py stream_static_enrich): the event stream joins
+    the broadcast customer dim — no state store, nothing to watermark on
+    the static side — and aggregates per (hour, market segment). Driven
+    to completion with availableNow; the unified model makes the result
+    equal the batch twin, which is what the oracle checks."""
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    sdf = _stage_single_file_stream(spark, ev, "hdp_tez_stream_enr_")
+    enriched = WIN.stream_static_enrich(sdf, dim, "user_id")
+    res = WIN.stream_tumbling_agg(
+        enriched,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["c_mktsegment"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+        watermark="1 hour",
+    )
+    return _drain_to_table(spark, res, "stream_enrich_", "complete").select(
+        "window_start", "window_end", "c_mktsegment", "cnt", "total"
+    )
+
+
+_SQL_STREAM_ENRICH = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks x purchases within
     the prior 10 minutes), driven to completion with availableNow over a
@@ -7199,6 +7239,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
     "window_distribution": (q_window_distribution, _SQL_WINDOW_DISTRIBUTION),
     "l_diversity": (q_l_diversity, _SQL_L_DIVERSITY),
+    "stream_enrich": (q_stream_enrich, _SQL_STREAM_ENRICH),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -168,6 +168,7 @@ HEADLINE = [
     "bpe_pack",
     "window_distribution",
     "l_diversity",
+    "stream_enrich",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

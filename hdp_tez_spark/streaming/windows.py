@@ -141,6 +141,30 @@ def stream_sliding_agg(
     )
 
 
+def stream_static_enrich(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a
+    batch/dimension DataFrame. The static side is re-planned per
+    micro-batch (so a dim refreshed between batches is picked up) and
+    needs NO state store — unlike a stream-stream join there is nothing
+    to watermark or evict, which makes this the cheapest join in
+    Structured Streaming and the standard shape for attaching dimension
+    attributes to an event stream before a windowed aggregation.
+
+    The dim is broadcast-hinted: at any scale worth running a stream,
+    the dimension is the small side, and broadcasting avoids shuffling
+    the unbounded stream side per micro-batch. Outer joins where the
+    STREAM side is preserved are supported by Spark; dim-preserving
+    outer joins are not (no watermark on the static side) — Spark
+    raises on those, and so does this helper's passthrough.
+    """
+    return sdf.join(F.broadcast(dim), on, how)
+
+
 def stream_session_agg(
     sdf: DataFrame,
     ts_col: str,

@@ -187,3 +187,24 @@ def test_interval_join_left_outer_batch_form(spark):
     ).select(left["k"], "rts", "v")
     got = {(r["k"], r["rts"] is None, r["v"]) for r in out.collect()}
     assert got == {(1, False, 7.0), (2, True, None)}
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream):
+    """Stream-static dim join + windowed agg equals the batch twin; no
+    state store is involved on the static side."""
+    sdf, ev = event_stream
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total")]
+    streamed = WIN.stream_tumbling_agg(
+        WIN.stream_static_enrich(sdf, dim, "user_id"),
+        "ts", "1 hour", ["c_mktsegment"], aggs, watermark="2 hours",
+    )
+    name = _run_stream(streamed, mode="complete")
+    batch = WIN.tumbling_agg(
+        ev.join(dim, "user_id"), "ts", "1 hour", ["c_mktsegment"], aggs
+    )
+    got = _rows(spark, name)
+    assert got == {tuple(r) for r in batch.collect()}
+    assert got, "enrichment produced no rows — dim keys never matched"
