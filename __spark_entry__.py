@@ -7232,8 +7232,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-line notes marking never-driver-checked twins live with the
     # query definitions.
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
-    # new in r05 (never driver-checked yet — r06 rotation candidate):
-    # BPE tokenizer merge training; local oracle unrolls the 6 rounds
+    # --- new in r05, never driver-checked yet — FIRST r06 rotation
+    #     candidates (all pass the local sf0.001 + sf0.01 oracle suites):
+    #     BPE tokenizer train / encode / pack pipeline, distribution
+    #     windows, l-diversity, stream-static enrichment ---
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
     "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
