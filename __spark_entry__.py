@@ -7118,6 +7118,79 @@ FROM g
 """
 
 
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM mean-shift monitor per user over the event-value
+    stream (extensions/analytics.py cusum_shift): the sequential
+    recursion S_n = max(0, S_{n-1} + drift) computed via its closed form
+    P_n - min(0, running-min P) — two frame aggregates on ONE keyed
+    sort, no recursion, no Python."""
+    from hdp_tez_spark.extensions.analytics import cusum_shift
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return cusum_shift(
+        ev, "user_id", "ts", "value",
+        target=50.0, slack=5.0, threshold=200.0, tiebreak=["event_id"],
+    )
+
+
+_SQL_CUSUM_SHIFT = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value::DOUBLE AS value,
+         sum(value::DOUBLE - 50.0 - 5.0) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM events WHERE user_id < 50
+),
+c AS (
+  SELECT user_id, ts, event_id, value,
+         round(p - least(0.0, min(p) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+  FROM s
+)
+SELECT user_id, ts, event_id, value, cusum, cusum > 200.0 AS alarm
+FROM c
+ORDER BY user_id, ts, event_id
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (extensions/quality.py
+    benford_audit): leading digit by pure column arithmetic, corpus
+    collapses map-side to <= 9 groups, 9-row digit spine broadcast —
+    the forensic fabricated-numbers screen."""
+    from hdp_tez_spark.extensions.quality import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_SQL_BENFORD_AUDIT = """
+WITH v AS (
+  SELECT abs(o_totalprice::DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice::DOUBLE) > 0
+),
+d AS (
+  SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS digit,
+         count(*) AS n
+  FROM v GROUP BY 1
+),
+sp AS (SELECT CAST(r + 1 AS INT) AS digit FROM range(9) t(r)),
+j AS (
+  SELECT sp.digit, coalesce(n, 0)::BIGINT AS n
+  FROM sp LEFT JOIN d ON sp.digit = d.digit
+),
+t AS (SELECT sum(n)::DOUBLE AS tot FROM j)
+SELECT digit, n,
+       round(n / tot, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected,
+       round(tot * (n / tot - log10(1.0 + 1.0 / digit))
+                 * (n / tot - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM j CROSS JOIN t
+ORDER BY digit
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7235,13 +7308,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- new in r05, never driver-checked yet — FIRST r06 rotation
     #     candidates (all pass the local sf0.001 + sf0.01 oracle suites):
     #     BPE tokenizer train / encode / pack pipeline, distribution
-    #     windows, l-diversity, stream-static enrichment ---
+    #     windows, l-diversity, stream-static enrichment, CUSUM,
+    #     Benford audit ---
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
     "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
     "window_distribution": (q_window_distribution, _SQL_WINDOW_DISTRIBUTION),
     "l_diversity": (q_l_diversity, _SQL_L_DIVERSITY),
     "stream_enrich": (q_stream_enrich, _SQL_STREAM_ENRICH),
+    "cusum_shift": (q_cusum_shift, _SQL_CUSUM_SHIFT),
+    "benford_audit": (q_benford_audit, _SQL_BENFORD_AUDIT),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -169,6 +169,8 @@ HEADLINE = [
     "window_distribution",
     "l_diversity",
     "stream_enrich",
+    "cusum_shift",
+    "benford_audit",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

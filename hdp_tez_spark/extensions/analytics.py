@@ -1011,3 +1011,61 @@ def rolling_active_users(
         .agg(F.count_distinct(F.col("x.u")).alias("active_users"))
         .orderBy("day")
     )
+
+
+def cusum_shift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic per key — the classic
+    online monitor for an upward mean shift in a metric stream (page
+    load times, error rates, token counts per doc):
+
+        S_0 = 0;  S_n = max(0, S_{n-1} + (x_n - target - slack))
+
+    The textbook recursion looks inherently sequential, but it has a
+    closed form over prefix sums: with P_n = cumsum(x_i - target -
+    slack), S_n = P_n - min(P_0, ..., P_n) (the running minimum acts as
+    the last reset point). That turns CUSUM into TWO frame aggregates
+    over one keyed sort — no recursion, no Python, no per-row state —
+    which is why it runs at 100 TB: one hash shuffle on the key, one
+    sort per key, both window functions riding the same sorted run.
+
+    Output per row: (key, ts [, tiebreak...], value, cusum, alarm) with
+    cusum rounded to 6 dp and alarm = cusum > threshold (always false
+    when threshold is None). Ordered by (key, ts, tiebreak).
+    """
+    drift = F.col(value_col).cast("double") - target - slack
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two selects because Spark forbids nesting a window inside a window
+    # expression; both ride the SAME (partition, order) spec, so Catalyst
+    # plans a single exchange + sort with two Window passes over the run
+    staged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in tiebreak],
+        F.col(value_col).cast("double").alias("value"),
+        F.sum(drift).over(w).alias("__p"),
+    )
+    # S_n = P_n - min(0, P_1..P_n): the implicit P_0 = 0 start means the
+    # running min must include 0, else a series that only rises would
+    # subtract its own first prefix instead of the zero start
+    run_min = F.least(F.lit(0.0), F.min("__p").over(w))
+    out = staged.withColumn("cusum", F.round(F.col("__p") - run_min, 6)).drop(
+        "__p"
+    )
+    alarm = (
+        (F.col("cusum") > threshold) if threshold is not None else F.lit(False)
+    )
+    return out.withColumn("alarm", alarm).orderBy(key_col, *order)

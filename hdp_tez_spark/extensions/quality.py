@@ -342,3 +342,53 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    forensic screen for fabricated or mechanically-generated numeric
+    columns (amounts, populations, counts spanning magnitudes follow
+    log10(1 + 1/d); synthetic or capped data usually doesn't).
+
+    Rows with NULL or zero values carry no leading digit and are
+    excluded. Output: one row per digit 1-9 (digits absent from the
+    data still appear, n = 0): (digit, n, share, expected, chi2_term)
+    where chi2_term = n_total * (share - expected)^2 / expected — sum
+    the column for the chi-square statistic against Benford (8 dof).
+    Shares rounded to 6 dp.
+
+    Scale shape: the leading digit is pure column arithmetic
+    (floor(|x| / 10^floor(log10|x|)) — no string formatting), so the
+    corpus collapses map-side to AT MOST 9 groups; the digit spine is a
+    9-row literal table the aggregate left-joins, so absent digits cost
+    nothing. One partial-agg shuffle of <= 9 rows per partition.
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (x > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame([(d,) for d in range(1, 10)], "digit int")
+    joined = (
+        F.broadcast(spine)
+        .join(counts, "digit", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    total = joined.agg(F.sum("n").alias("__t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("__t")
+    chi2 = F.col("__t") * (share - expected) * (share - expected) / expected
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(expected, 6).alias("expected"),
+            F.round(chi2, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -773,3 +773,62 @@ def test_with_distribution_single_window_operator(spark):
         (30, round(2 / 3, 6), 1.0),
         (30, round(2 / 3, 6), 1.0),
     ]
+
+
+def test_cusum_shift_detects_planted_mean_shift(spark):
+    from hdp_tez_spark.extensions.analytics import cusum_shift
+
+    # mean 0 until t=5, shifts to +2 after; slack 0.5 absorbs noise-free
+    # drift at 1.5/step, so S = 1.5, 3.0, 4.5... after the shift
+    rows = [(1, t, 0.0 if t < 5 else 2.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    out = cusum_shift(df, "k", "ts", "v", target=0.0, slack=0.5, threshold=3.0)
+    got = [(r.ts, r.cusum, r.alarm) for r in out.collect()]
+    assert got[:5] == [(t, 0.0, False) for t in range(5)]
+    assert got[5:] == [
+        (5, 1.5, False), (6, 3.0, False),
+        (7, 4.5, True), (8, 6.0, True), (9, 7.5, True),
+    ]
+
+
+def test_cusum_shift_resets_after_dip(spark):
+    """The running-min closed form must behave like the max(0, ...)
+    recursion: a deep dip resets the statistic to 0, not negative."""
+    from hdp_tez_spark.extensions.analytics import cusum_shift
+
+    rows = [(1, 0, 5.0), (1, 1, -100.0), (1, 2, 5.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    out = {r.ts: r.cusum for r in cusum_shift(df, "k", "ts", "v", 0.0).collect()}
+    assert out == {0: 5.0, 1: 0.0, 2: 5.0}
+
+
+def test_cusum_shift_single_exchange_one_sort(spark):
+    from hdp_tez_spark.extensions.analytics import cusum_shift
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, ts int, v double")
+    plan = cusum_shift(df, "k", "ts", "v", 0.0)._jdf.queryExecution().executedPlan().toString()
+    # one hash shuffle + one per-key sort feed BOTH window passes; the
+    # only other exchange is the output ordering's range partition
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [k") == 2  # per-key sort + output sort
+
+
+def test_benford_audit_known_distribution(spark):
+    import math
+
+    from hdp_tez_spark.extensions.quality import benford_audit
+
+    # exact Benford sample: 30, 18, 12, 10, 8, 7, 6, 5, 4 (x100 scale)
+    counts = {1: 30, 2: 18, 3: 12, 4: 10, 5: 8, 6: 7, 7: 6, 8: 5, 9: 4}
+    rows = [(float(d) * 10 ** (i % 3),) for d, n in counts.items() for i in range(n)]
+    rows += [(None,), (0.0,)]  # excluded
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(out[d].n == counts[d] for d in counts)
+    assert out[1].share == 0.3
+    assert out[1].expected == round(math.log10(2), 6)
+    # values in (0,1) keep their first significant digit
+    tiny = spark.createDataFrame([(0.0042,), (0.56,)], "v double")
+    tiny_out = {r.digit: r.n for r in benford_audit(tiny, "v").collect() if r.n}
+    assert tiny_out == {4: 1, 5: 1}
