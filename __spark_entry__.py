@@ -7191,6 +7191,88 @@ ORDER BY digit
 """
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation of event values at lags 1-3
+    (extensions/analytics.py acf): ONE keyed sort produces every lag
+    column (all lag() calls share the window spec), one grouped agg
+    computes all corr/count pairs — cost independent of how many lags,
+    vs the naive one-self-join-per-lag."""
+    from hdp_tez_spark.extensions.analytics import acf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    return acf(ev, "user_id", "ts", "value", lags=[1, 2, 3], tiebreak=["event_id"])
+
+
+_SQL_ACF = """
+WITH s AS (
+  SELECT user_id AS key, value::DOUBLE AS x,
+         lag(value::DOUBLE, 1) OVER w AS l1,
+         lag(value::DOUBLE, 2) OVER w AS l2,
+         lag(value::DOUBLE, 3) OVER w AS l3
+  FROM events WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT key,
+         corr(x, l1) AS c1, count(l1) AS n1,
+         corr(x, l2) AS c2, count(l2) AS n2,
+         corr(x, l3) AS c3, count(l3) AS n3
+  FROM s GROUP BY key
+)
+SELECT key, lag, n_pairs, acf FROM (
+  SELECT key, 1 AS lag, n1 AS n_pairs, round(c1, 6) AS acf FROM g
+  UNION ALL
+  SELECT key, 2 AS lag, n2 AS n_pairs, round(c2, 6) AS acf FROM g
+  UNION ALL
+  SELECT key, 3 AS lag, n3 AS n_pairs, round(c3, 6) AS acf FROM g
+)
+ORDER BY key, lag
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the real order status and a
+    rule-based pseudo-rater (extensions/experiments.py cohens_kappa) —
+    the labeling-QA readout for double-annotated data; one contingency
+    groupBy, marginals from the cells."""
+    from hdp_tez_spark.extensions.experiments import cohens_kappa
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("human"),
+        F.when(F.col("o_totalprice") % 3 < 1, "F")
+        .when(F.col("o_totalprice") % 3 < 2, "O")
+        .otherwise("P")
+        .alias("model"),
+    )
+    return cohens_kappa(orders, "human", "model")
+
+
+_SQL_COHENS_KAPPA = """
+WITH pairs AS (
+  SELECT o_orderstatus AS a,
+         CASE WHEN o_totalprice % 3 < 1 THEN 'F'
+              WHEN o_totalprice % 3 < 2 THEN 'O'
+              ELSE 'P' END AS b
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM pairs),
+po AS (SELECT sum(CASE WHEN a = b THEN 1 ELSE 0 END)::DOUBLE AS agree
+       FROM pairs),
+ka AS (SELECT a AS k, count(*)::DOUBLE AS ra FROM pairs GROUP BY a),
+kb AS (SELECT b AS k, count(*)::DOUBLE AS rb FROM pairs GROUP BY b),
+pe AS (
+  SELECT sum(coalesce(ra, 0) * coalesce(rb, 0) / (n.n * n.n)) AS p_e
+  FROM ka FULL JOIN kb USING (k) CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       round(po.agree / n.n, 6) AS p_observed,
+       round(pe.p_e, 6) AS p_expected,
+       round((po.agree / n.n - pe.p_e) / (1.0 - pe.p_e), 6) AS kappa
+FROM n CROSS JOIN po CROSS JOIN pe
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7318,6 +7400,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_enrich": (q_stream_enrich, _SQL_STREAM_ENRICH),
     "cusum_shift": (q_cusum_shift, _SQL_CUSUM_SHIFT),
     "benford_audit": (q_benford_audit, _SQL_BENFORD_AUDIT),
+    "acf": (q_acf, _SQL_ACF),
+    "cohens_kappa": (q_cohens_kappa, _SQL_COHENS_KAPPA),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -171,6 +171,8 @@ HEADLINE = [
     "stream_enrich",
     "cusum_shift",
     "benford_audit",
+    "acf",
+    "cohens_kappa",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

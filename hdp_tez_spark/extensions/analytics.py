@@ -1069,3 +1069,59 @@ def cusum_shift(
         (F.col("cusum") > threshold) if threshold is not None else F.lit(False)
     )
     return out.withColumn("alarm", alarm).orderBy(key_col, *order)
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1,),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key autocorrelation at the requested lags — the
+    seasonality/persistence readout that decides resampling windows and
+    feature lags for a metric stream. For each lag k, Pearson
+    correlation between x_t and x_{t-k} over the pairs where both
+    exist (the standard sample-ACF-with-pairwise-complete convention,
+    matching SQL corr() over lagged columns).
+
+    Output: (key, lag, n_pairs, acf) — acf rounded to 6 dp, NULL when a
+    key has < 2 pairs or zero variance at that lag; ordered by
+    (key, lag).
+
+    Scale shape: ONE keyed sort produces every lag column (all lag()
+    calls share the window spec, so Catalyst plans a single Window
+    operator), then one partial-agg groupBy computes corr for all lags
+    simultaneously — cost is independent of len(lags) shuffles. Nothing
+    quadratic: the naive self-join-on-(key, t-k) formulation shuffles
+    the stream once per lag.
+    """
+    if not lags or any(k <= 0 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags}")
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    lagged = df.select(
+        F.col(key_col).alias("key"),
+        v.alias("__x"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in lags],
+    )
+    aggs = []
+    for k in lags:
+        aggs.append(F.corr("__x", f"__l{k}").alias(f"__c{k}"))
+        aggs.append(F.count(f"__l{k}").alias(f"__n{k}"))
+    stats = lagged.groupBy("key").agg(*aggs)
+    per_lag = [
+        stats.select(
+            "key",
+            F.lit(k).alias("lag"),
+            F.col(f"__n{k}").alias("n_pairs"),
+            F.round(F.col(f"__c{k}"), 6).alias("acf"),
+        )
+        for k in lags
+    ]
+    out = per_lag[0]
+    for p in per_lag[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key", "lag")

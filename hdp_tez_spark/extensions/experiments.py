@@ -301,3 +301,67 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two label columns —
+    the QA readout for any double-annotated dataset (human/human or
+    human/model labeling passes in an LLM data pipeline): chance-corrected
+    agreement
+
+        kappa = (p_o - p_e) / (1 - p_e)
+
+    with p_o the observed agreement rate and p_e the expected agreement
+    from the raters' marginal label distributions. Rows where either
+    label is NULL are not doubly-annotated items and are excluded.
+    Output: ONE row (n, p_observed, p_expected, kappa) rounded to 6 dp;
+    kappa NULL when p_e = 1 (both raters constant — agreement is
+    unmeasurable, the standard degenerate case).
+
+    Scale shape: one partial-aggregated groupBy over the
+    (label_a, label_b) contingency cells (shuffle ∝ |label pairs|);
+    marginals and p_e come from the |cells|-sized table — the
+    chi_square_independence cost profile, nothing row-shaped leaves the
+    executors.
+    """
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_tot = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_tot = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    n_df = cells.agg(F.sum("__o").alias("__n"))
+    # p_e = sum_k p_a(k) * p_b(k): full outer on the label so a category
+    # one rater never uses still contributes (p * 0 = 0, but NULL-safe)
+    pe = (
+        row_tot.withColumnRenamed("__a", "__k")
+        .join(col_tot.withColumnRenamed("__b", "__k"), "__k", "full")
+        .crossJoin(F.broadcast(n_df))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__ra"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("__rb"), F.lit(0)).cast("double")
+                / (F.col("__n").cast("double") * F.col("__n").cast("double"))
+            ).alias("p_e")
+        )
+    )
+    po = cells.crossJoin(F.broadcast(n_df)).agg(
+        (
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o")).otherwise(0))
+            / F.max("__n")
+        ).alias("p_o"),
+        F.max("__n").alias("n"),
+    )
+    out = po.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("p_e") < 1.0,
+        (F.col("p_o") - F.col("p_e")) / (1.0 - F.col("p_e")),
+    )
+    return out.select(
+        F.col("n"),
+        F.round("p_o", 6).alias("p_observed"),
+        F.round("p_e", 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -832,3 +832,66 @@ def test_benford_audit_known_distribution(spark):
     tiny = spark.createDataFrame([(0.0042,), (0.56,)], "v double")
     tiny_out = {r.digit: r.n for r in benford_audit(tiny, "v").collect() if r.n}
     assert tiny_out == {4: 1, 5: 1}
+
+
+def test_acf_known_series(spark):
+    import numpy as np
+
+    from hdp_tez_spark.extensions.analytics import acf
+
+    # alternating series: corr(x_t, x_{t-1}) = -1, corr(x_t, x_{t-2}) = +1
+    rows = [(1, t, float((-1) ** t)) for t in range(20)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    out = {(r.key, r.lag): r for r in acf(df, "k", "ts", "v", lags=[1, 2]).collect()}
+    assert out[(1, 1)].acf == -1.0 and out[(1, 1)].n_pairs == 19
+    assert out[(1, 2)].acf == 1.0 and out[(1, 2)].n_pairs == 18
+    # numpy cross-check on a random-walk series
+    rng = np.random.RandomState(5)
+    walk = np.cumsum(rng.randn(200))
+    df2 = spark.createDataFrame(
+        [(1, int(t), float(v)) for t, v in enumerate(walk)], "k int, ts int, v double"
+    )
+    got = {r.lag: r.acf for r in acf(df2, "k", "ts", "v", lags=[1, 3]).collect()}
+    for k in (1, 3):
+        want = float(np.corrcoef(walk[k:], walk[:-k])[0, 1])
+        assert abs(got[k] - want) < 1e-6
+
+
+def test_acf_validates_and_handles_short_series(spark):
+    from hdp_tez_spark.extensions.analytics import acf
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError):
+        acf(df, "k", "ts", "v", lags=[])
+    with pytest.raises(ValueError):
+        acf(df, "k", "ts", "v", lags=[0])
+    # a 1-row key has no lag pairs: NULL acf, 0 pairs
+    row = acf(df, "k", "ts", "v", lags=[1]).collect()[0]
+    assert row.n_pairs == 0 and row.acf is None
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from hdp_tez_spark.extensions.experiments import cohens_kappa
+
+    # classic example: 2 raters, labels yes/no
+    # a=yes,b=yes: 20 | a=yes,b=no: 5 | a=no,b=yes: 10 | a=no,b=no: 15
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+        + [(None, "y"), ("y", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cohens_kappa(df, "a", "b").collect()[0]
+    assert out.n == 50
+    # p_o = 35/50 = 0.7; p_e = 0.5*0.6 + 0.5*0.4 = 0.5; kappa = 0.4
+    assert out.p_observed == 0.7
+    assert out.p_expected == 0.5
+    assert out.kappa == pytest.approx(0.4, abs=1e-6)
+
+
+def test_cohens_kappa_degenerate_constant_raters(spark):
+    from hdp_tez_spark.extensions.experiments import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    out = cohens_kappa(df, "a", "b").collect()[0]
+    assert out.p_observed == 1.0 and out.p_expected == 1.0
+    assert out.kappa is None  # chance agreement is total: unmeasurable
