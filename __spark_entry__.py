@@ -7273,6 +7273,54 @@ FROM n CROSS JOIN po CROSS JOIN pe
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order total
+    (extensions/experiments.py bootstrap_ci): 32 deterministic
+    md5-seeded Poisson(1) replica weightings collapse map-side to 32
+    replica means; the classic with-replacement bootstrap is
+    undistributable, this one is a single data pass. The oracle replays
+    every replica weight from the same hash ladder."""
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(orders, "o_orderkey", "o_totalprice", b=32)
+
+
+_SQL_BOOTSTRAP_CI = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id, o_totalprice::DOUBLE AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+reps AS (SELECT CAST(r AS INT) AS rep FROM range(32) t(r)),
+wtd AS (
+  SELECT rep, x,
+         ('0x' || substr(md5('boot-' || rep || '-' || id), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM base CROSS JOIN reps
+),
+wt AS (
+  SELECT rep, x,
+         CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+                   WHEN u < 0.7357588823428847  THEN 1
+                   WHEN u < 0.9196986029286058  THEN 2
+                   WHEN u < 0.9810118431238462  THEN 3
+                   WHEN u < 0.9963401531726563  THEN 4
+                   WHEN u < 0.9994058151824183  THEN 5
+                   WHEN u < 0.9999167588507119  THEN 6
+                   WHEN u < 0.9999897508637437  THEN 7
+                   ELSE 8 END AS DOUBLE) AS w
+  FROM wtd
+),
+m AS (SELECT rep, round(sum(w * x) / sum(w), 6) AS m FROM wt GROUP BY rep),
+ci AS (SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+              round(quantile_cont(m, 0.975), 6) AS ci_hi
+       FROM m),
+obs AS (SELECT count(*) AS n, round(avg(x), 6) AS mean FROM base)
+SELECT n, mean, ci_lo, ci_hi, CAST(32 AS INT) AS b
+FROM obs CROSS JOIN ci
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7402,6 +7450,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "benford_audit": (q_benford_audit, _SQL_BENFORD_AUDIT),
     "acf": (q_acf, _SQL_ACF),
     "cohens_kappa": (q_cohens_kappa, _SQL_COHENS_KAPPA),
+    "bootstrap_ci": (q_bootstrap_ci, _SQL_BOOTSTRAP_CI),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

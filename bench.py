@@ -173,6 +173,7 @@ HEADLINE = [
     "benford_audit",
     "acf",
     "cohens_kappa",
+    "bootstrap_ci",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -365,3 +365,96 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
         F.round("p_e", 6).alias("p_expected"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+#: cumulative Poisson(1) probabilities P(X <= k) for k = 0..7 — the
+#: inverse-CDF ladder for deterministic replica weights. Literals are
+#: written with full double precision so Spark and any SQL oracle parse
+#: bit-identical thresholds (see _SQL_BOOTSTRAP_CI).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508637437,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    b: int = 32,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean via POISSON
+    resampling — the bootstrap that actually runs at 100 TB. Classic
+    bootstrap resamples n rows WITH replacement per replica, which is
+    unimplementable distributed (each replica needs global coordinated
+    sampling); the Poisson bootstrap replaces each row's resample
+    multiplicity with an independent Poisson(1) weight, making every
+    replica a pure MAP-SIDE weighting of the single data pass.
+
+    Weights are deterministic — Poisson(1) inverse-CDF over
+    md5(f"{seed}-{replica}-{id}") uniforms (the repo's standard
+    engine-replayable hash), so retries, repartitioning, and the SQL
+    oracle reproduce every replica exactly. Weights are truncated at 8
+    (P(X>7) < 1.1e-5), a negligible and deterministic bias.
+
+    Output: ONE row (n, mean, ci_lo, ci_hi, b) — the observed mean and
+    the empirical alpha/2 and 1-alpha/2 percentiles of the `b` replica
+    means (replica means rounded to 6 dp before the percentile so
+    summation-order float noise cannot reorder them; CI bounds exact
+    percentile_cont over b values). NULL values carry no information
+    and are excluded.
+
+    Scale shape: the explode produces b weighted copies map-side, but
+    partial aggregation collapses them before the shuffle — the
+    exchange carries b rows per partition, and the percentile runs over
+    a b-row table. Cost = one data pass with b md5s per row.
+    """
+    if b <= 0:
+        raise ValueError(f"b must be positive, got {b}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from hdp_tez_spark.extensions.dedup import _md5_long
+
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"), x.alias("__x")
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__rep")
+    u = _md5_long(
+        F.concat_ws("-", F.lit(seed), F.col("__rep"), F.col("__id"))
+    ) / F.lit(float(1 << 60))
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
+    reps = (
+        base.select(rep, "__id", "__x")
+        .withColumn("__w", w.cast("double"))
+        .groupBy("__rep")
+        .agg(
+            F.round(
+                F.sum(F.col("__w") * F.col("__x")) / F.sum("__w"), 6
+            ).alias("__m")
+        )
+    )
+    obs = base.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")
+    )
+    ci = reps.agg(
+        F.round(
+            F.percentile(F.col("__m"), F.lit(alpha / 2.0)), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.percentile(F.col("__m"), F.lit(1.0 - alpha / 2.0)), 6
+        ).alias("ci_hi"),
+    )
+    return obs.crossJoin(F.broadcast(ci)).select(
+        "n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b")
+    )

@@ -895,3 +895,35 @@ def test_cohens_kappa_degenerate_constant_raters(spark):
     out = cohens_kappa(df, "a", "b").collect()[0]
     assert out.p_observed == 1.0 and out.p_expected == 1.0
     assert out.kappa is None  # chance agreement is total: unmeasurable
+
+
+def test_bootstrap_ci_covers_true_mean_and_is_deterministic(spark):
+    import numpy as np
+
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    rng = np.random.RandomState(11)
+    vals = rng.normal(10.0, 2.0, size=2000)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id int, v double"
+    )
+    out = bootstrap_ci(df, "id", "v", b=32).collect()[0]
+    assert out.n == 2000 and out.b == 32
+    # CI is a real interval around the sample mean, roughly +-2*sigma/sqrt(n)
+    assert out.ci_lo < out.mean < out.ci_hi
+    half = (out.ci_hi - out.ci_lo) / 2
+    se = 2.0 / (2000 ** 0.5)
+    assert 1.0 * se < half < 4.0 * se, (half, se)
+    # deterministic under repartition (md5 weights, not RNG state)
+    out2 = bootstrap_ci(df.repartition(7), "id", "v", b=32).collect()[0]
+    assert (out.ci_lo, out.ci_hi) == (out2.ci_lo, out2.ci_hi)
+
+
+def test_bootstrap_ci_validates(spark):
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "id", "v", b=0)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "id", "v", alpha=1.5)
