@@ -7321,6 +7321,52 @@ FROM obs CROSS JOIN ci
 """
 
 
+def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact ROC AUC (extensions/analytics.py grouped_auc):
+    the cents-fraction pseudo-score against the order-fulfilled label,
+    segmented by order priority — the fairness/segmented-eval readout.
+    Distinct (group, score) collapse, ONE keyed window cumsum for
+    within-group average ranks, rank-sum identity per group."""
+    from hdp_tez_spark.extensions.analytics import grouped_auc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") % 1.0).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return grouped_auc(orders, ["o_orderpriority"], "score", "label")
+
+
+_SQL_GROUPED_AUC = """
+WITH cells AS (
+  SELECT o_orderpriority, o_totalprice % 1.0 AS s,
+         count(*) AS cnt,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, cnt, pos,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY s
+                        ROWS UNBOUNDED PRECEDING)
+           - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM cells
+),
+g AS (
+  SELECT o_orderpriority,
+         sum(pos * avg_rank) AS prs,
+         sum(pos)::BIGINT AS n_pos,
+         (sum(cnt) - sum(pos))::BIGINT AS n_neg
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_pos, n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+             END, 6) AS auc
+FROM g
+ORDER BY o_orderpriority
+"""
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard routing of customers into 8 shards
     (extensions/splits.py rendezvous_shard), reported as per-shard
@@ -7451,6 +7497,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "acf": (q_acf, _SQL_ACF),
     "cohens_kappa": (q_cohens_kappa, _SQL_COHENS_KAPPA),
     "bootstrap_ci": (q_bootstrap_ci, _SQL_BOOTSTRAP_CI),
+    "grouped_auc": (q_grouped_auc, _SQL_GROUPED_AUC),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -174,6 +174,7 @@ HEADLINE = [
     "acf",
     "cohens_kappa",
     "bootstrap_ci",
+    "grouped_auc",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

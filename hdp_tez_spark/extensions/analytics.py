@@ -1125,3 +1125,70 @@ def acf(
     for p in per_lag[1:]:
         out = out.unionByName(p)
     return out.orderBy("key", "lag")
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact per-group ROC AUC — the segmented-evaluation / fairness
+    readout (AUC per language, per source, per cohort) built on the same
+    rank-sum identity as `binary_auc`:
+
+        AUC_g = (Σ_{positives in g} avg_rank_in_g - P_g(P_g+1)/2) / (P_g N_g)
+
+    Output per group: (group..., n_pos, n_neg, auc) — auc rounded to
+    6 dp, NULL when a group lacks one of the classes; ordered by group.
+
+    Scale shape: rows collapse to DISTINCT (group, score) cells with
+    (count, positive-count) — the only raw-row pass. Within-group
+    average ranks come from ONE keyed window cumsum over those cells
+    (ordered by score), so the sort is per-group over |distinct scores
+    in group| rows — not the single-task global window `binary_auc`
+    avoids, because here the partition key IS the group. Rank
+    arithmetic stays integer/half-exact, so results are bit-stable
+    across engines.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    gs = [F.col(c) for c in group_cols]
+    cells = (
+        df.select(
+            *gs,
+            F.col(score_col).alias("__score"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy(*group_cols, "__score")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__y").alias("__pos"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    avg_rank = (
+        F.sum("__cnt").over(w)
+        - F.col("__cnt")
+        + (F.col("__cnt") + F.lit(1)) / 2.0
+    )
+    ranked = cells.withColumn("__avg_rank", avg_rank)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.col("__pos") * F.col("__avg_rank")).alias("__prs"),
+        F.sum("__pos").alias("n_pos"),
+        (F.sum("__cnt") - F.sum("__pos")).alias("n_neg"),
+    )
+    p, n = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (p > 0) & (n > 0),
+                (F.col("__prs") - p * (p + 1) / 2.0) / (p * n),
+            ),
+            6,
+        ).alias("auc"),
+    ).orderBy(*group_cols)

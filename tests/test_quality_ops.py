@@ -927,3 +927,52 @@ def test_bootstrap_ci_validates(spark):
         bootstrap_ci(df, "id", "v", b=0)
     with pytest.raises(ValueError):
         bootstrap_ci(df, "id", "v", alpha=1.5)
+
+
+def test_grouped_auc_matches_sklearn_style_reference(spark):
+    import numpy as np
+
+    from hdp_tez_spark.extensions.analytics import grouped_auc
+
+    def ref_auc(scores, labels):
+        # rank-sum with average ranks, computed independently via numpy
+        order = np.argsort(scores, kind="mergesort")
+        s, y = np.asarray(scores)[order], np.asarray(labels)[order]
+        ranks = np.empty(len(s))
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            ranks[i:j] = (i + j + 1) / 2.0
+            i = j
+        p, n = y.sum(), (1 - y).sum()
+        return (ranks[y == 1].sum() - p * (p + 1) / 2) / (p * n)
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for g in ("a", "b"):
+        # group 'a': informative scores; group 'b': pure noise
+        for i in range(300):
+            y = int(rng.rand() < 0.4)
+            s = rng.rand() + (0.5 * y if g == "a" else 0.0)
+            rows.append((g, float(s), y))
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r.g: r.auc for r in grouped_auc(df, ["g"], "s", "y").collect()}
+    for g in ("a", "b"):
+        sub = [(s, y) for gg, s, y in rows if gg == g]
+        want = ref_auc([s for s, _ in sub], [y for _, y in sub])
+        assert abs(got[g] - want) < 1e-6, g
+    assert got["a"] > 0.75 and abs(got["b"] - 0.5) < 0.1
+
+
+def test_grouped_auc_single_class_group_is_null(spark):
+    from hdp_tez_spark.extensions.analytics import grouped_auc
+
+    df = spark.createDataFrame(
+        [("g", 0.1, 1), ("g", 0.9, 1), ("h", 0.2, 0), ("h", 0.3, 1)],
+        "g string, s double, y int",
+    )
+    out = {r.g: r.auc for r in grouped_auc(df, ["g"], "s", "y").collect()}
+    assert out["g"] is None  # no negatives
+    assert out["h"] == 1.0
