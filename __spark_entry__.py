@@ -7292,10 +7292,14 @@ WITH base AS (
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
 reps AS (SELECT CAST(r AS INT) AS rep FROM range(32) t(r)),
+-- replica r draws its 32-bit uniform from hash block r//4, hex slice
+-- r%4 — the bootstrap_ci scheme (4 draws per md5, no row explosion on
+-- the Spark side; the oracle's cross join is just the readable twin)
 wtd AS (
   SELECT rep, x,
-         ('0x' || substr(md5('boot-' || rep || '-' || id), 1, 15))::BIGINT
-           / 1152921504606846976.0 AS u
+         ('0x' || substr(md5('boot-' || (rep // 4) || '-' || id),
+                         1 + (rep % 4) * 8, 8))::BIGINT
+           / 4294967296.0 AS u
   FROM base CROSS JOIN reps
 ),
 wt AS (

@@ -399,11 +399,15 @@ def bootstrap_ci(
     multiplicity with an independent Poisson(1) weight, making every
     replica a pure MAP-SIDE weighting of the single data pass.
 
-    Weights are deterministic — Poisson(1) inverse-CDF over
-    md5(f"{seed}-{replica}-{id}") uniforms (the repo's standard
-    engine-replayable hash), so retries, repartitioning, and the SQL
-    oracle reproduce every replica exactly. Weights are truncated at 8
-    (P(X>7) < 1.1e-5), a negligible and deterministic bias.
+    Weights are deterministic — Poisson(1) inverse-CDF over md5-derived
+    uniforms (the repo's standard engine-replayable hash), so retries,
+    repartitioning, and the SQL oracle reproduce every replica exactly.
+    Each md5 is sliced into FOUR 32-bit uniforms (replica r uses hash
+    block r//4, hex slice r%4), so b replicas cost ceil(b/4) md5s per
+    row, and there is NO row explosion: all b (Σwx, Σw) pairs ride one
+    aggregation as 2b conditional-sum expressions, collapsing map-side
+    to a single row. Weights are truncated at 8 (P(X>7) < 1.1e-5), a
+    negligible and deterministic bias.
 
     Output: ONE row (n, mean, ci_lo, ci_hi, b) — the observed mean and
     the empirical alpha/2 and 1-alpha/2 percentiles of the `b` replica
@@ -411,50 +415,63 @@ def bootstrap_ci(
     summation-order float noise cannot reorder them; CI bounds exact
     percentile_cont over b values). NULL values carry no information
     and are excluded.
-
-    Scale shape: the explode produces b weighted copies map-side, but
-    partial aggregation collapses them before the shuffle — the
-    exchange carries b rows per partition, and the percentile runs over
-    a b-row table. Cost = one data pass with b md5s per row.
     """
     if b <= 0:
         raise ValueError(f"b must be positive, got {b}")
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
-    from hdp_tez_spark.extensions.dedup import _md5_long
 
     x = F.col(value_col).cast("double")
     base = df.where(x.isNotNull()).select(
         F.col(id_col).cast("string").alias("__id"), x.alias("__x")
     )
-    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__rep")
-    u = _md5_long(
-        F.concat_ws("-", F.lit(seed), F.col("__rep"), F.col("__id"))
-    ) / F.lit(float(1 << 60))
-    w = F.lit(8)
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
-    reps = (
-        base.select(rep, "__id", "__x")
-        .withColumn("__w", w.cast("double"))
-        .groupBy("__rep")
+    n_blocks = (b + 3) // 4
+    blocks = [
+        F.md5(F.concat_ws("-", F.lit(seed), F.lit(blk), F.col("__id")))
+        for blk in range(n_blocks)
+    ]
+
+    def weight(r: int):
+        h = blocks[r // 4]
+        u = F.conv(F.substring(h, 1 + 8 * (r % 4), 8), 16, 10).cast(
+            "double"
+        ) / F.lit(float(1 << 32))
+        w = F.lit(8)
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
+        return w.cast("double")
+
+    # Weights materialize in a PROJECTION before the aggregation: inside
+    # agg() every expression evaluates independently, so referencing the
+    # hash chain from 2b aggregates would recompute each md5 2b times per
+    # row; one project computes each block's md5 once (codegen CSE) and
+    # the aggregation sums plain columns.
+    weighted = base.select(
+        "__x", *[weight(r).alias(f"__w{r}") for r in range(b)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")]
+    for r in range(b):
+        aggs.append(
+            F.sum(F.col(f"__w{r}") * F.col("__x")).alias(f"__sx{r}")
+        )
+        aggs.append(F.sum(f"__w{r}").alias(f"__sw{r}"))
+    stats = weighted.agg(*aggs)
+    means = F.array(
+        *[
+            F.round(F.col(f"__sx{r}") / F.col(f"__sw{r}"), 6)
+            for r in range(b)
+        ]
+    )
+    return (
+        stats.withColumn("__m", F.explode(means))
+        .groupBy("n", "mean")
         .agg(
             F.round(
-                F.sum(F.col("__w") * F.col("__x")) / F.sum("__w"), 6
-            ).alias("__m")
+                F.percentile(F.col("__m"), F.lit(alpha / 2.0)), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.percentile(F.col("__m"), F.lit(1.0 - alpha / 2.0)), 6
+            ).alias("ci_hi"),
         )
-    )
-    obs = base.agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")
-    )
-    ci = reps.agg(
-        F.round(
-            F.percentile(F.col("__m"), F.lit(alpha / 2.0)), 6
-        ).alias("ci_lo"),
-        F.round(
-            F.percentile(F.col("__m"), F.lit(1.0 - alpha / 2.0)), 6
-        ).alias("ci_hi"),
-    )
-    return obs.crossJoin(F.broadcast(ci)).select(
-        "n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b")
+        .select("n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b"))
     )
