@@ -610,3 +610,34 @@ def test_random_project_zero_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Python" not in plan
+
+
+def test_grouped_auc_reuses_group_exchange(spark):
+    """The within-group rank window and the per-group aggregate share the
+    group key, so the plan carries ONE hash exchange on it (plus the
+    cells groupBy's own exchange on (group, score))."""
+    from hdp_tez_spark.extensions.analytics import grouped_auc
+
+    df = spark.createDataFrame(
+        [("g", 0.1, 1), ("g", 0.2, 0)], "g string, s double, y int"
+    )
+    plan = _plan(grouped_auc(df, ["g"], "s", "y"))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_no_row_explosion(spark):
+    """All b replica sums ride one aggregation: the only Generate
+    (explode) in the plan runs AFTER the aggregate, over the b-element
+    replica-means array — never over the data rows."""
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    out = bootstrap_ci(df, "id", "v", b=8)
+    plan = _plan(out)
+    gen_idx = plan.find("Generate explode")
+    agg_idx = plan.rfind("HashAggregate")
+    assert gen_idx != -1
+    # physical plans print top-down: the explode must appear ABOVE (before
+    # in the string) the final aggregates that consume raw rows
+    assert "Generate explode" not in plan[agg_idx:], plan
