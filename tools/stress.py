@@ -143,6 +143,33 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
     )
 
+    # 6. Poisson bootstrap: pure expression-heavy map + 1-row aggregate —
+    #    wall clock must scale ~linearly in rows with ZERO spill and a
+    #    constant-size shuffle (b partial rows per partition)
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    run(
+        "bootstrap_map",
+        lambda: bootstrap_ci(big_orders, "o_orderkey", "o_totalprice", b=32)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # 7. BPE merge training on an inflated corpus: the corpus pass scales
+    #    with rows, but every merge round is VOCAB-sized — inflation
+    #    replicates documents, so the vocabulary (and thus per-round cost)
+    #    stays constant; the factor shows up once, not once per round
+    docs = load_table(spark, SF_DIR, "documents")
+    big_docs = docs.select("text").crossJoin(
+        spark.range(FACTOR).select(F.col("id").alias("__r"))
+    )
+    from hdp_tez_spark.extensions.textstats import bpe_merges
+
+    run(
+        "bpe_train",
+        lambda: bpe_merges(big_docs, "text", n_merges=4)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
     total = round(sum(r["sec"] for r in results.values()), 2)
     print(
         json.dumps(
