@@ -7213,10 +7213,15 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 g AS (
+  -- n_k counts pairwise-complete pairs (both ends non-NULL), mirroring
+  -- the acf operator
   SELECT key,
-         corr(x, l1) AS c1, count(l1) AS n1,
-         corr(x, l2) AS c2, count(l2) AS n2,
-         corr(x, l3) AS c3, count(l3) AS n3
+         corr(x, l1) AS c1,
+         count(CASE WHEN x IS NOT NULL AND l1 IS NOT NULL THEN 1 END) AS n1,
+         corr(x, l2) AS c2,
+         count(CASE WHEN x IS NOT NULL AND l2 IS NOT NULL THEN 1 END) AS n2,
+         corr(x, l3) AS c3,
+         count(CASE WHEN x IS NOT NULL AND l3 IS NOT NULL THEN 1 END) AS n3
   FROM s GROUP BY key
 )
 SELECT key, lag, n_pairs, acf FROM (
@@ -7343,10 +7348,13 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_GROUPED_AUC = """
 WITH cells AS (
+  -- NULL scores excluded, mirroring grouped_auc's guard
   SELECT o_orderpriority, o_totalprice % 1.0 AS s,
          count(*) AS cnt,
          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
 ),
 ranked AS (
   SELECT o_orderpriority, cnt, pos,

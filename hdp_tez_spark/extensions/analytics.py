@@ -1110,7 +1110,17 @@ def acf(
     aggs = []
     for k in lags:
         aggs.append(F.corr("__x", f"__l{k}").alias(f"__c{k}"))
-        aggs.append(F.count(f"__l{k}").alias(f"__n{k}"))
+        # pairwise-complete: a pair exists only when BOTH ends are
+        # non-NULL (count of just the lag column would claim a pair for
+        # a NULL x_t sitting above a real x_{t-k})
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col("__x").isNotNull() & F.col(f"__l{k}").isNotNull(),
+                    1,
+                )
+            ).alias(f"__n{k}")
+        )
     stats = lagged.groupBy("key").agg(*aggs)
     per_lag = [
         stats.select(
@@ -1141,6 +1151,10 @@ def grouped_auc(
 
     Output per group: (group..., n_pos, n_neg, auc) — auc rounded to
     6 dp, NULL when a group lacks one of the classes; ordered by group.
+    Rows with a NULL score are excluded: an unscored row is not a
+    ranking data point, and keeping it would rank it at an
+    engine-dependent extreme (Spark sorts NULLS FIRST, most SQL engines
+    NULLS LAST), breaking the bit-stable-across-engines contract.
 
     Scale shape: rows collapse to DISTINCT (group, score) cells with
     (count, positive-count) — the only raw-row pass. Within-group
@@ -1155,7 +1169,8 @@ def grouped_auc(
         raise ValueError("group_cols must be non-empty")
     gs = [F.col(c) for c in group_cols]
     cells = (
-        df.select(
+        df.where(F.col(score_col).isNotNull())
+        .select(
             *gs,
             F.col(score_col).alias("__score"),
             F.col(label_col).cast("long").alias("__y"),

@@ -624,47 +624,39 @@ def pca_top_component(
         # half-away-from-zero at 6 dp, the ROUND both SQL engines use
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    # The fit dimension is the corpus's MAJORITY vector length (ties ->
-    # smallest), from one map-side-combined agg over |distinct lengths|
-    # rows — NOT the physical first row, whose partition order is
-    # undefined: a ragged/NULL row surfacing first would size the fit
-    # from the pollution while the oracle fits the clean corpus.
-    probe = (
-        df.where(F.col(vec_col).isNotNull())
-        .groupBy(F.size(F.col(vec_col)).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("d"))
-        .first()
-    )
-    if probe is None:
-        raise ValueError(f"no non-NULL {vec_col!r} vectors to fit")
-    d = int(probe["d"])
-    # NULL or ragged vectors are excluded up front (the random_project
-    # guard): the fit is over length-d vectors only, n counts exactly
-    # those rows, and the oracle filters identically — without this a
-    # short vector would KeyError below and a NULL would silently skew n.
-    base = _spread(
-        df.select(F.col(vec_col).alias("v")).where(
-            F.col("v").isNotNull() & (F.size(F.col("v")) == d)
-        )
-    )
-    stats = (
-        base.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
+    # ONE pass discovers the fit dimension AND the per-position sums:
+    # cells group by (vector length, position), so the driver receives
+    # Σ(distinct lengths) rows — d + a few for a clean corpus — and can
+    # pick the MAJORITY length (ties -> smallest) plus that length's
+    # sums without a separate probe scan (the r05 review found the
+    # dedicated majority-length probe added a whole extra corpus pass).
+    # NULL vectors are excluded here; ragged vectors are excluded by
+    # taking only the majority-length slice, matching the oracle's
+    # length filter. Grouping is NOT by the physical first row, whose
+    # partition order is undefined.
+    all_stats = (
+        _spread(df.where(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("v")))
+        .select(F.size("v").alias("__len"), F.posexplode("v").alias("pos", "x"))
+        .groupBy("__len", "pos")
         .agg(
             F.sum(F.col("x").cast("double")).alias("s"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .collect()
     )
-    if not stats:
-        raise ValueError(f"no non-NULL length-{d} {vec_col!r} vectors to fit")
-    # every surviving vector has length d, so all d position groups hold
-    # the same count — that count IS n (asserted, not assumed)
-    counts = {r["cnt"] for r in stats}
-    assert len(counts) == 1, f"ragged groups after length filter: {counts}"
-    n = counts.pop()
-    by_pos = {r["pos"]: r["s"] for r in stats}
+    if not all_stats:
+        raise ValueError(f"no non-NULL non-empty {vec_col!r} vectors to fit")
+    # vectors of length L contribute cnt rows at every pos < L, so the
+    # count at (L, 0) IS the number of length-L vectors
+    len_counts = {r["__len"]: r["cnt"] for r in all_stats if r["pos"] == 0}
+    d = min(L for L, c in len_counts.items() if c == max(len_counts.values()))
+    n = len_counts[d]
+    by_pos = {r["pos"]: r["s"] for r in all_stats if r["__len"] == d}
+    base = _spread(
+        df.select(F.col(vec_col).alias("v")).where(
+            F.col("v").isNotNull() & (F.size(F.col("v")) == d)
+        )
+    )
     mu = [_round6(by_pos[i] / n) for i in range(d)]
     v = [_round6(1.0 / math.sqrt(d))] * d
     spark = df.sparkSession
@@ -727,14 +719,21 @@ def random_project(
     out_dim: int = 16,
     seed: str = "jl",
     out: str = "proj",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project each
     embedding onto `out_dim` deterministic +-1 directions, scaled by
     1/sqrt(out_dim) so pairwise distances are preserved in expectation
     — the cheap pre-step that lets LSH/ANN/clustering run on 16 dims
     instead of 768. Output: (id, proj array<double>), each coordinate
-    rounded to 6 dp; rows whose vector is NULL or differs in length
-    from the first row's are excluded (the matrix is sized once).
+    rounded to 6 dp; rows whose vector is NULL or differs in length from
+    the input dimension are excluded (the matrix is sized once).
+
+    Pass `dim` when the corpus dimension is known (it almost always is)
+    and the operator is a true ZERO-SHUFFLE single pass. With dim=None
+    it is discovered as the majority vector length, which costs one
+    extra aggregation pass over the corpus before the projection — the
+    price of not trusting an order-undefined first row.
 
     The projection matrix is never stored: sign s[j][i] is the parity
     of md5(f"{seed}-{j}-{i}") — the repo's standard engine-portable
@@ -750,19 +749,23 @@ def random_project(
 
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive, got {out_dim}")
-    # majority vector length, not the order-undefined first row (same
-    # probe as pca_top_component — a ragged/NULL row surfacing first
-    # must not size the projection matrix)
-    probe = (
-        df.where(F.col(vec_col).isNotNull())
-        .groupBy(F.size(F.col(vec_col)).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("d"))
-        .first()
-    )
-    if probe is None:
-        raise ValueError(f"no non-NULL {vec_col!r} vectors to project")
-    d = int(probe["d"])
+    if dim is not None:
+        if dim <= 0:
+            raise ValueError(f"dim must be positive, got {dim}")
+        d = dim
+    else:
+        # majority vector length, not the order-undefined first row — a
+        # ragged/NULL row surfacing first must not size the matrix
+        probe = (
+            df.where(F.col(vec_col).isNotNull())
+            .groupBy(F.size(F.col(vec_col)).alias("d"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("d"))
+            .first()
+        )
+        if probe is None:
+            raise ValueError(f"no non-NULL {vec_col!r} vectors to project")
+        d = int(probe["d"])
 
     def sgn(j: int, i: int) -> float:
         h = int(hashlib.md5(f"{seed}-{j}-{i}".encode()).hexdigest()[:15], 16)

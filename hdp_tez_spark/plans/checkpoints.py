@@ -40,13 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# Dirs this module already applied, keyed by SparkContext application id.
-# Spark qualifies the configured dir and appends a random UUID subdir, so
-# the context's reported value never string-matches the caller's argument
-# — comparing against it would re-invoke setCheckpointDir (and mint a
-# fresh UUID dir + an FS mkdirs round-trip, a namenode RPC on HDFS) every
-# round of a 25-round iteration. Remember what WE set instead.
-_applied_dirs: dict[str, str] = {}
+# Dirs this module already applied, keyed by SparkContext application id:
+# requested dir -> the QUALIFIED value the context reported back after
+# setCheckpointDir (Spark qualifies the URI and appends a random UUID
+# subdir, so the reported value never string-matches the caller's
+# argument — naive equality would re-invoke setCheckpointDir, minting a
+# fresh UUID dir + an FS mkdirs round-trip, a namenode RPC on HDFS, every
+# round of a 25-round iteration). Keeping BOTH sides lets a later call
+# detect that something else changed the context dir in between (live
+# value no longer matches what we applied) and re-assert the explicit
+# argument instead of silently checkpointing into the foreign location.
+_applied_dirs: dict[str, tuple[str, str]] = {}
 
 
 def truncate_lineage(
@@ -55,31 +59,44 @@ def truncate_lineage(
     eager: bool = True,
 ) -> DataFrame:
     """Cut `df`'s lineage: reliable `checkpoint` when a directory is
-    available (explicit arg, remembered from an earlier call, or already
-    configured on the SparkContext), `localCheckpoint` otherwise.
+    available (explicit arg, or already configured on the SparkContext),
+    `localCheckpoint` otherwise.
 
     `eager=True` materializes immediately — iterative loops rely on this
     so each round runs exactly one pass (convergence metrics observe the
-    materialization).
+    materialization). The reliable branch persists the input around an
+    EAGER checkpoint to avoid the un-persisted double-compute; with
+    `eager=False` there is no safe point to release such a cache, so the
+    lazy reliable path accepts the one recompute instead of leaking a
+    pinned dataset per call.
     """
     sc = df.sparkSession.sparkContext
     app = sc.applicationId
-    ctx_defined = sc._jsc.sc().getCheckpointDir().isDefined()
-    if checkpoint_dir is not None and (
-        not ctx_defined or _applied_dirs.get(app) != checkpoint_dir
-    ):
-        sc.setCheckpointDir(checkpoint_dir)
-        _applied_dirs[app] = checkpoint_dir
-        ctx_defined = True
-    if not ctx_defined:
+    jsc = sc._jsc.sc()
+    live = jsc.getCheckpointDir()
+    live_val = live.get() if live.isDefined() else None
+    if checkpoint_dir is not None:
+        requested, applied = _applied_dirs.get(app, (None, None))
+        if (
+            requested != checkpoint_dir
+            or applied is None
+            or live_val != applied
+        ):
+            sc.setCheckpointDir(checkpoint_dir)
+            new_live = jsc.getCheckpointDir()
+            _applied_dirs[app] = (checkpoint_dir, new_live.get())
+            live_val = new_live.get()
+    if live_val is None:
         return df.localCheckpoint(eager=eager)
-    # Persist before a reliable checkpoint: RDD.checkpoint materializes
-    # through the action's job and then RECOMPUTES the whole lineage in
-    # the checkpoint-writing pass unless the data is cached — the classic
-    # un-persisted-checkpoint double-compute. The cache is dropped as
-    # soon as the checkpoint files hold the data.
+    if not eager:
+        # lazy reliable checkpoint: no persist — see docstring
+        return df.checkpoint(eager=False)
+    # Persist before an eager reliable checkpoint: RDD.checkpoint
+    # materializes through the action's job and then RECOMPUTES the whole
+    # lineage in the checkpoint-writing pass unless the data is cached —
+    # the classic un-persisted-checkpoint double-compute. The cache is
+    # dropped as soon as the checkpoint files hold the data.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out = df.checkpoint(eager=eager)
-    if eager:
-        df.unpersist()
+    out = df.checkpoint(eager=True)
+    df.unpersist()
     return out

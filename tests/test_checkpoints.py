@@ -130,3 +130,31 @@ def test_iterative_ops_reliable_match_local(spark, ckpt_dir):
     assert bfs_rel == bfs_local == {(1, 0), (2, 1), (3, 2), (4, 3)}
     assert ppj_rel == ppj_local and {p[:2] for p in ppj_local} == {(1, 2)}
     assert _files_under(ckpt_dir)
+
+
+def test_explicit_dir_reasserts_after_external_change(spark, ckpt_dir):
+    """If other code moved the context's checkpoint dir, a later call
+    with an explicit checkpoint_dir must re-assert ITS directory rather
+    than silently checkpointing into the foreign location."""
+    truncate_lineage(spark.range(5), checkpoint_dir=ckpt_dir).count()
+    foreign = tempfile.mkdtemp(prefix="hdp_tez_foreign_")
+    try:
+        spark.sparkContext.setCheckpointDir(foreign)
+        before = len(_files_under(ckpt_dir))
+        truncate_lineage(spark.range(5), checkpoint_dir=ckpt_dir).count()
+        assert len(_files_under(ckpt_dir)) > before, (
+            "explicit dir was ignored after an external setCheckpointDir"
+        )
+    finally:
+        shutil.rmtree(foreign, ignore_errors=True)
+
+
+def test_lazy_reliable_checkpoint_does_not_pin_cache(spark, ckpt_dir):
+    """eager=False must not leave a persisted dataset behind (the r05
+    review leak): the lazy path skips the persist entirely, so the
+    session's pinned-RDD census cannot GROW across the call."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = truncate_lineage(spark.range(50), checkpoint_dir=ckpt_dir, eager=False)
+    assert out.count() == 50
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, f"lazy path pinned {after - before} datasets"
