@@ -436,9 +436,16 @@ def bootstrap_ci(
         u = F.conv(F.substring(h, 1 + 8 * (r % 4), 8), 16, 10).cast(
             "double"
         ) / F.lit(float(1 << 32))
-        w = F.lit(8)
-        for k in range(len(POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < POISSON1_CDF[k], k).otherwise(w)
+        # Branch-free inverse CDF: w = #{cdf entries <= u} — identical to
+        # the nested WHEN ladder (w is the first k with u < cdf[k], else
+        # 8) but flat. The 8-deep CASE chain, times b=32 replicas, blew
+        # the generated hashAgg method past janino's limits: whole-stage
+        # codegen hard-failed ("Failed to compile", ~16k-line class) and
+        # the entire corpus pass silently ran interpreted. The flat sum
+        # of comparisons compiles clean at the same measured speed.
+        w = F.lit(0)
+        for c in POISSON1_CDF:
+            w = w + (u >= c).cast("int")
         return w.cast("double")
 
     # Weights materialize in a PROJECTION before the aggregation: inside

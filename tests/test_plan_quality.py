@@ -641,3 +641,26 @@ def test_bootstrap_ci_no_row_explosion(spark):
     # physical plans print top-down: the explode must appear ABOVE (before
     # in the string) the final aggregates that consume raw rows
     assert "Generate explode" not in plan[agg_idx:], plan
+
+
+def test_bootstrap_ci_weight_ladder_is_branch_free(spark):
+    """The Poisson inverse-CDF must stay a flat sum of comparisons: the
+    8-deep nested CASE ladder, times b=32 replicas, overflowed janino's
+    method limits so whole-stage codegen hard-failed and the whole corpus
+    pass silently ran interpreted (r05 review finding). A CASE WHEN in
+    the weight projection is the regression signature."""
+    from hdp_tez_spark.extensions.experiments import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    out = bootstrap_ci(df, "id", "v", b=32)
+    # default maxToStringFields truncates the 32 weight expressions out
+    # of the plan string — raise it so the ladder is actually visible
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    start = plan.find("conv(substring")
+    assert start != -1, plan[:2000]
+    assert "CASE WHEN" not in plan[start:], plan[start : start + 2000]
