@@ -4654,6 +4654,85 @@ SELECT doc_id, n_chars FROM (
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan (extensions/curation.py mixture_weights): per
+    source domain, the sampling rate / repeat epochs that realize a
+    target token mixture under a budget — the Pile/Dolma-style planning
+    step before stratified sampling executes the mix. One groupBy
+    collapses the corpus to |domains| rows; every share is a ratio of
+    exact integer sums (no float-summation noise)."""
+    from hdp_tez_spark.extensions.curation import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return mixture_weights(
+        docs, "source", "n_chars", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 20000
+    )
+
+
+_SQL_MIXTURE_WEIGHTS = """
+WITH per_dom AS (
+  SELECT source AS domain, count(*) AS docs,
+         COALESCE(CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT), 0) AS tokens
+  FROM documents GROUP BY 1
+), shared AS (
+  SELECT domain, docs, tokens,
+         CAST(CASE domain WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS ts,
+         sum(tokens) OVER () AS tot
+  FROM per_dom
+)
+SELECT domain, docs, tokens,
+       round(tokens / CAST(tot AS DOUBLE), 6) AS corpus_share,
+       round(ts, 6) AS target_share,
+       round(CASE WHEN tokens > 0
+                  THEN least(CAST(1.0 AS DOUBLE),
+                             ts * 20000.0 / CAST(tokens AS DOUBLE)) END, 6)
+         AS sample_rate,
+       round(CASE WHEN tokens > 0
+                  THEN ts * 20000.0 / CAST(tokens AS DOUBLE) END, 6) AS epochs
+FROM shared ORDER BY domain
+"""
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled importance sampling (extensions/curation.py
+    importance_sample): keep each document with probability proportional
+    to score^(1/T) targeting an expected keep fraction, with an
+    inverse-propensity weight on every kept row — the DSIR-style
+    quality-weighted downsample. The md5(salt:id) draw makes the kept
+    set identical across engines, retries, and repartitionings; the
+    corpus collapses to one (n, Σw) row broadcast back, then membership
+    is a map-side filter."""
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return importance_sample(
+        docs, "doc_id", "n_chars", temperature=2.0, keep_frac=0.2
+    ).select("doc_id", "p_keep", "ess_weight")
+
+
+_SQL_IMPORTANCE_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+), wt AS (
+  SELECT doc_id, pow(s, 0.5) AS w FROM base
+), tot AS (
+  SELECT count(*) AS n, sum(w) AS sw FROM wt
+)
+SELECT doc_id, p_keep, round(CAST(1.0 AS DOUBLE) / p_keep, 6) AS ess_weight
+FROM (
+  SELECT doc_id,
+         round(least(CAST(1.0 AS DOUBLE),
+                     CAST(0.2 AS DOUBLE) * n * w / sw), 4) AS p_keep,
+         (CAST(('0x' || substr(md5('is:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) + 1) / 1152921504606846976.0 AS u
+  FROM wt, tot
+) WHERE u < p_keep
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profile (extensions/quality.py profile_table):
     null/distinct/bounds for four lineitem columns via a single Expand +
@@ -7468,6 +7547,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pca_component": (q_pca_component, _SQL_PCA_COMPONENT),
     "json_scan": (q_json_scan, _SQL_JSON_SCAN),
     "orc_scan": (q_orc_scan, _SQL_ORC_SCAN),
+    # r05 additions — in the prefix for first driver evidence
+    "mixture_weights": (q_mixture_weights, _SQL_MIXTURE_WEIGHTS),
+    "importance_sample": (q_importance_sample, _SQL_IMPORTANCE_SAMPLE),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

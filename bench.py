@@ -175,6 +175,8 @@ HEADLINE = [
     "cohens_kappa",
     "bootstrap_ci",
     "grouped_auc",
+    "mixture_weights",
+    "importance_sample",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -397,3 +397,156 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    target: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Domain-mixing plan for a token budget: given per-document token
+    counts and a target mixture (domain -> relative weight), compute per
+    observed domain the sampling rate / repeat epochs that realize the
+    target under `budget_tokens` — the planning step every multi-source
+    pretraining corpus runs before `stratified_sample_fraction` executes
+    the mix (Pile/Dolma-style domain reweighting).
+
+    Output per domain present in the corpus, ordered by domain:
+    (domain, docs, tokens, corpus_share, target_share, sample_rate,
+    epochs). `sample_rate` = min(1, desired/available) is the downsample
+    knob; `epochs` = desired/available is the raw ratio whose excess over
+    1 is the upsample (repeat) factor; both NULL when the domain has no
+    tokens. Domains absent from `target` get share 0; target domains
+    absent from the corpus produce no row (nothing to sample).
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    |domains| rows; everything after (the total-token window, the share
+    arithmetic) runs on that domain-count-bounded aggregate, so the
+    unpartitioned window is a |domains|-row funnel, not a data funnel.
+    All shares are ratios of exact integer sums rounded to 6 dp —
+    engine-portable with no float-summation noise.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if not target:
+        raise ValueError("target must be non-empty")
+    for k, v in target.items():
+        if v < 0:
+            raise ValueError(f"target weight for {k!r} must be >= 0, got {v}")
+    tot_w = float(sum(target.values()))
+    if tot_w <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    # normalize driver-side so both engines consume identical literals
+    shares = {k: v / tot_w for k, v in target.items()}
+
+    per_dom = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0)).alias(
+                "tokens"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()  # |domains| rows only — bounded funnel
+    share_expr = F.lit(0.0)
+    for k in sorted(shares):
+        share_expr = F.when(
+            F.col("domain") == F.lit(k), F.lit(shares[k])
+        ).otherwise(share_expr)
+    desired = share_expr * F.lit(float(budget_tokens))
+    ratio = F.when(
+        F.col("tokens") > 0, desired / F.col("tokens").cast("double")
+    )
+    # the tokens>0 guard must wrap the least(): least(1.0, NULL) is 1.0
+    # in Spark AND DuckDB (both skip NULLs), which would report a
+    # zero-token domain as fully sampled
+    rate = F.when(F.col("tokens") > 0, F.least(F.lit(1.0), ratio))
+    return (
+        per_dom.withColumn(
+            "corpus_share",
+            F.round(
+                F.col("tokens")
+                / F.sum("tokens").over(w_all).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "domain",
+            "docs",
+            "tokens",
+            "corpus_share",
+            F.round(share_expr, 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(ratio, 6).alias("epochs"),
+        )
+        .orderBy("domain")
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    temperature: float = 1.0,
+    keep_frac: float = 0.1,
+    salt: str = "is",
+    p_col: str = "p_keep",
+    weight_col: str = "ess_weight",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    proportional to its (temperature-scaled) quality score, targeting an
+    expected `keep_frac` of the corpus — the DSIR-style quality-weighted
+    downsample that sits between scoring and tokenization. `temperature`
+    > 1 flattens the score distribution (less aggressive preference),
+    < 1 sharpens it; 1 is straight proportional sampling.
+
+    Each kept row carries `p_col` (its keep probability, 4 dp — the
+    repo's summation-noise-proof rounding: the normalizer is a corpus
+    float sum, so 6 dp could straddle a rounding boundary across
+    partition orders) and `weight_col` = 1/p (6 dp), the
+    inverse-propensity weight that keeps downstream token counts and
+    loss statistics unbiased. Rows with NULL or non-positive scores are
+    excluded (they carry no quality information). Clipping at p=1 makes
+    the realized fraction land slightly under `keep_frac` when the score
+    distribution is heavy-tailed; that is the standard trade.
+
+    The draw is md5(salt:id) — not rand() — so retries, repartitioning,
+    and incremental re-runs keep the identical set, and any SQL engine
+    replays it exactly.
+
+    Scale shape: one aggregate collapses the corpus to a single (n, Σw)
+    row, broadcast back; membership is then a pure map-side filter in
+    whole-stage codegen. Zero row-shaped shuffle.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    s = F.col(score_col).cast("double")
+    base = df.where(s.isNotNull() & (s > 0))
+    # exact when T=1: skip pow so w is the raw score bit-for-bit
+    w = s if temperature == 1.0 else F.pow(s, F.lit(1.0 / temperature))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(w).alias("__sw")
+    )
+    u = (
+        _md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        + 1
+    ) / F.lit(float(1 << 60))
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(keep_frac) * F.col("__n") * w / F.col("__sw"),
+        ),
+        4,
+    )
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .withColumn(p_col, p)
+        .where(u < F.col(p_col))
+        .withColumn(weight_col, F.round(F.lit(1.0) / F.col(p_col), 6))
+        .drop("__n", "__sw")
+    )

@@ -316,3 +316,84 @@ def test_entity_resolution_composition_consistency(spark):
     clusters = [r["cluster"] for r in out]
     assert len(clusters) == len(set(clusters))  # one golden row per entity
     assert any(r["n_members"] > 1 for r in out)  # non-vacuous: real merges
+
+
+def test_mixture_weights_realizes_target(spark):
+    from hdp_tez_spark.extensions.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 300), ("books", 50), ("code", None)],
+        "domain string, toks int",
+    )
+    out = {
+        r.domain: r
+        for r in mixture_weights(
+            df, "domain", "toks", {"web": 1.0, "books": 1.0}, 200
+        ).collect()
+    }
+    assert set(out) == {"web", "books", "code"}
+    web, books, code = out["web"], out["books"], out["code"]
+    assert (web.docs, web.tokens) == (2, 400)
+    # desired 100 of 400 available -> rate 0.25, epochs 0.25
+    assert web.sample_rate == web.epochs == 0.25
+    # desired 100 of 50 available -> rate clips at 1, epochs 2 (upsample)
+    assert (books.sample_rate, books.epochs) == (1.0, 2.0)
+    # unlisted domain: zero share; NULL tokens sum to 0 -> NULL ratios
+    assert code.tokens == 0 and code.target_share == 0.0
+    assert code.sample_rate is None and code.epochs is None
+    assert web.corpus_share == round(400 / 450, 6)
+
+
+def test_mixture_weights_validates(spark):
+    from hdp_tez_spark.extensions.curation import mixture_weights
+
+    df = spark.createDataFrame([("a", 1)], "domain string, toks int")
+    with pytest.raises(ValueError):
+        mixture_weights(df, "domain", "toks", {}, 100)
+    with pytest.raises(ValueError):
+        mixture_weights(df, "domain", "toks", {"a": 1.0}, 0)
+    with pytest.raises(ValueError):
+        mixture_weights(df, "domain", "toks", {"a": -1.0}, 100)
+
+
+def test_importance_sample_prefers_high_scores(spark):
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    rows = [(i, 1.0) for i in range(400)] + [(i, 100.0) for i in range(400, 500)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    kept = importance_sample(
+        df, "id", "score", temperature=1.0, keep_frac=0.2
+    ).collect()
+    hi = [r for r in kept if r.id >= 400]
+    lo = [r for r in kept if r.id < 400]
+    # per-row p: lo = 0.2*500*1/10400 ~ 0.0096, hi ~ 0.9615 — nearly all
+    # high-score rows survive, almost no low-score rows do
+    assert len(hi) > 80 and len(lo) < 20
+    for r in kept:
+        assert 0 < r.p_keep <= 1
+        assert r.ess_weight == round(1.0 / r.p_keep, 6)
+
+
+def test_importance_sample_deterministic_and_validates(spark):
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(300)], "id long, score double"
+    ).repartition(7)
+    a = sorted(
+        r.id
+        for r in importance_sample(df, "id", "score", 2.0, 0.3).collect()
+    )
+    b = sorted(
+        r.id
+        for r in importance_sample(
+            df.repartition(2), "id", "score", 2.0, 0.3
+        ).collect()
+    )
+    assert a == b and a
+    with pytest.raises(ValueError):
+        importance_sample(df, "id", "score", temperature=0.0)
+    with pytest.raises(ValueError):
+        importance_sample(df, "id", "score", keep_frac=0.0)
+    with pytest.raises(ValueError):
+        importance_sample(df, "id", "score", keep_frac=1.5)

@@ -664,3 +664,36 @@ def test_bootstrap_ci_weight_ladder_is_branch_free(spark):
     start = plan.find("conv(substring")
     assert start != -1, plan[:2000]
     assert "CASE WHEN" not in plan[start:], plan[start : start + 2000]
+
+
+def test_importance_sample_is_scalar_broadcast_plus_map_filter(spark):
+    """The corpus must collapse to ONE (n, sum-of-weights) row that is
+    broadcast back: no row-shaped hash shuffle anywhere, and the score
+    filter reaches the scan. The regression shape is a hashpartitioning
+    Exchange (someone keyed the normalizer) or a row-shaped join."""
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = importance_sample(df, "doc_id", "n_chars", 2.0, 0.2)
+    plan = _plan(out)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
+    assert "PushedFilters: [IsNotNull(n_chars)]" in plan, plan
+
+
+def test_mixture_weights_single_domain_shuffle(spark):
+    """One map-side-combined groupBy is the only data-shaped shuffle;
+    the total-token window runs over the |domains|-row aggregate, never
+    the corpus (a corpus-wide unpartitioned window would be a funnel)."""
+    from hdp_tez_spark.extensions.curation import mixture_weights
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = mixture_weights(df, "source", "n_chars", {"src0": 1.0}, 1000)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial_count" in plan, plan  # map-side combine before shuffle
+    # the window's Sort/Exchange sits ABOVE the aggregate in the plan
+    # (consumes |domains| rows), so the aggregate appears after Window
+    assert plan.find("Window") < plan.rfind("HashAggregate"), plan
