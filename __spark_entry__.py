@@ -4694,6 +4694,54 @@ FROM shared ORDER BY domain
 """
 
 
+def q_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the planned domain mix (extensions/curation.py
+    apply_mixture): the |domains|-row rate table from mixture_weights
+    broadcasts onto the corpus and membership is a deterministic
+    md5-bucket filter — plan and execution in one expression graph, no
+    row-shaped shuffle, kept set stable across retries/repartitioning."""
+    from hdp_tez_spark.extensions.curation import apply_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return apply_mixture(
+        docs,
+        "source",
+        "n_chars",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        20000,
+    ).select("doc_id", "source", "sample_rate", "epochs")
+
+
+_SQL_APPLY_MIXTURE = """
+WITH per_dom AS (
+  SELECT source AS domain, count(*) AS docs,
+         COALESCE(CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT), 0) AS tokens
+  FROM documents GROUP BY 1
+), shared AS (
+  SELECT domain, tokens,
+         CAST(CASE domain WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS ts
+  FROM per_dom
+), rates AS (
+  SELECT domain,
+         round(CASE WHEN tokens > 0
+                    THEN least(CAST(1.0 AS DOUBLE),
+                               ts * 20000.0 / CAST(tokens AS DOUBLE)) END, 6)
+           AS sample_rate,
+         round(CASE WHEN tokens > 0
+                    THEN ts * 20000.0 / CAST(tokens AS DOUBLE) END, 6)
+           AS epochs
+  FROM shared
+)
+SELECT d.doc_id, d.source, r.sample_rate, r.epochs
+FROM documents d JOIN rates r ON d.source = r.domain
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000
+      < CAST(floor(r.sample_rate * 10000.0 + 0.5) AS BIGINT)
+"""
+
+
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled importance sampling (extensions/curation.py
     importance_sample): keep each document with probability proportional
@@ -7494,13 +7542,14 @@ GROUP BY shard ORDER BY shard
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
-    # r05 rotation (VERDICT r04 'Next round' #3): the 30 queries that
-    # had never appeared in a driver check prefix go FIRST, followed by
-    # the two queries changed this round (embedding_covariance 4-dp fix,
-    # pca_component NULL/ragged guard), the two new source-surface
-    # queries (json_scan/orc_scan), and the entries whose last driver
-    # evidence is oldest (r01-r03). All 30 rotated-in queries already
-    # pass the local sf0.001/sf0.01 DuckDB oracle suites.
+    # r05 rotation (VERDICT r04 'Next round' #3): the prefix now holds
+    # EVERY query with no driver-check row in CORRECTNESS_r01-r04 — the
+    # 30 long-standing never-checked queries, the two changed this round
+    # (embedding_covariance 4-dp fix, pca_component NULL/ragged guard),
+    # the new source/curation queries (json_scan, orc_scan,
+    # mixture_weights, importance_sample), and the 13 r04/r05 additions
+    # below — plus one infrastructure re-check (pagerank). All pass the
+    # local sf0.001/sf0.01 DuckDB oracle suites.
     "attribution": (q_attribution, _SQL_ATTRIBUTION),
     "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),
     "psi_drift": (q_psi_drift, _SQL_PSI_DRIFT),
@@ -7550,36 +7599,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # r05 additions — in the prefix for first driver evidence
     "mixture_weights": (q_mixture_weights, _SQL_MIXTURE_WEIGHTS),
     "importance_sample": (q_importance_sample, _SQL_IMPORTANCE_SAMPLE),
-    "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
-    "simhash": (q_simhash, _SQL_SIMHASH),
-    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
-    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
-    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
-    "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
-    "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
-    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
-    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
-    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
-    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
-    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
-    "scd2": (q_scd2, _SQL_SCD2),
-    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
-    # new this round — takes the 50th prefix slot (robust_outliers,
-    # r03-green, rotates below)
-    "ann_recall": (q_ann_recall, _SQL_ANN_RECALL),
-    # ------------- driver-checked prefix ends here (50) -------------
-    # Entries below are driver-green in CORRECTNESS_r01-r04 (code
-    # unchanged since their green round) and stay covered by the
-    # repo's own per-commit sf0.001 + sweep sf0.01 oracle suites;
-    # in-line notes marking never-driver-checked twins live with the
-    # query definitions.
-    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
-    # --- new in r05, never driver-checked yet — FIRST r06 rotation
-    #     candidates (all pass the local sf0.001 + sf0.01 oracle suites):
-    #     BPE tokenizer train / encode / pack pipeline, distribution
-    #     windows, l-diversity, stream-static enrichment, CUSUM,
-    #     Benford audit ---
+    "apply_mixture": (q_apply_mixture, _SQL_APPLY_MIXTURE),
+    # --- every remaining query with NO driver-check row in any of
+    #     CORRECTNESS_r01-r04 (r04/r05 additions: BPE train/encode/pack,
+    #     distribution windows, l-diversity, stream-static enrichment,
+    #     CUSUM, Benford, ACF, kappa, bootstrap, grouped AUC, ANN
+    #     recall) — with these 13 the prefix covers the complete
+    #     no-evidence set; all pass the local sf0.001 + sf0.01 suites ---
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, _SQL_BPE_ENCODE),
     "bpe_pack": (q_bpe_pack, _SQL_BPE_PACK),
@@ -7592,6 +7618,29 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cohens_kappa": (q_cohens_kappa, _SQL_COHENS_KAPPA),
     "bootstrap_ci": (q_bootstrap_ci, _SQL_BOOTSTRAP_CI),
     "grouped_auc": (q_grouped_auc, _SQL_GROUPED_AUC),
+    "ann_recall": (q_ann_recall, _SQL_ANN_RECALL),
+    # ------------- driver-checked prefix ends here (50) -------------
+    # Entries below are driver-green in CORRECTNESS_r01-r04 (code
+    # unchanged since their green round) and stay covered by the
+    # repo's own per-commit sf0.001 + sweep sf0.01 oracle suites;
+    # in-line notes marking never-driver-checked twins live with the
+    # query definitions.
+    "pagerank": (q_pagerank, _SQL_PAGERANK),
+    "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
+    "simhash": (q_simhash, _SQL_SIMHASH),
+    "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),
+    "broadcast_hash_join": (q_broadcast_hash_join, _SQL_BROADCAST_JOIN),
+    "cross_join": (q_cross_join, _SQL_CROSS_JOIN),
+    "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
+    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
+    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
+    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
+    "scd2": (q_scd2, _SQL_SCD2),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
     "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
     "ewma": (q_ewma, _SQL_EWMA),

@@ -177,6 +177,7 @@ HEADLINE = [
     "grouped_auc",
     "mixture_weights",
     "importance_sample",
+    "apply_mixture",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -550,3 +550,44 @@ def importance_sample(
         .withColumn(weight_col, F.round(F.lit(1.0) / F.col(p_col), 6))
         .drop("__n", "__sw")
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    id_col: str,
+    target: dict[str, float],
+    budget_tokens: int,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Execute the mix `mixture_weights` planned: keep each row iff its
+    id's hash bucket falls under its domain's sample rate, carrying
+    (sample_rate, epochs) on every kept row so a downstream loader can
+    realize the upsampling side (epochs > 1 means repeat the kept rows
+    that many times; a filter can only downsample). Plan and execution
+    stay one expression graph — the |domains|-row rate table broadcasts
+    back onto the corpus and membership is a map-side hash filter, so
+    nothing row-shaped shuffles and the kept set is a pure function of
+    (id, domain): retries, repartitioning, and incremental re-runs keep
+    exactly the same rows.
+
+    The bucket cutoff is floor(rate * buckets + 0.5) — explicit
+    half-up, NOT python round() (banker's) or engine round(), so every
+    engine derives the identical integer cutoff from the 6-dp rate.
+    Domains with no target share (rate 0 or NULL) drop entirely.
+    """
+    rates = mixture_weights(
+        df, domain_col, tokens_col, target, budget_tokens
+    ).select(
+        F.col("domain").alias(domain_col),
+        "sample_rate",
+        "epochs",
+    )
+    cutoff = F.floor(
+        F.col("sample_rate") * F.lit(float(buckets)) + F.lit(0.5)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(hash_bucket(F.col(id_col), buckets) < cutoff)
+    )

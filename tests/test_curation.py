@@ -397,3 +397,34 @@ def test_importance_sample_deterministic_and_validates(spark):
         importance_sample(df, "id", "score", keep_frac=0.0)
     with pytest.raises(ValueError):
         importance_sample(df, "id", "score", keep_frac=1.5)
+
+
+def test_apply_mixture_executes_planned_rates(spark):
+    from hdp_tez_spark.extensions.curation import apply_mixture, mixture_weights
+
+    rows = [(i, "web" if i < 400 else "books", 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks int")
+    target = {"web": 1.0, "books": 1.0}
+    kept = apply_mixture(df, "dom", "toks", "id", target, 4000).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.dom, []).append(r)
+    # books: desired 2000 of 1000 available -> rate 1.0, all 100 kept,
+    # epochs 2.0 rides every kept row
+    assert len(by_dom["books"]) == 100
+    assert all(r.epochs == 2.0 and r.sample_rate == 1.0 for r in by_dom["books"])
+    # web: desired 2000 of 4000 -> rate 0.5; hash-filtered near half
+    n_web = len(by_dom["web"])
+    assert 140 <= n_web <= 260, n_web
+    assert all(r.sample_rate == 0.5 for r in by_dom["web"])
+    # deterministic across repartitioning
+    again = sorted(
+        r.id
+        for r in apply_mixture(
+            df.repartition(7), "dom", "toks", "id", target, 4000
+        ).collect()
+    )
+    assert again == sorted(r.id for r in kept)
+    # zero-share domain drops entirely
+    only_web = apply_mixture(df, "dom", "toks", "id", {"web": 1.0}, 4000)
+    assert {r.dom for r in only_web.collect()} == {"web"}

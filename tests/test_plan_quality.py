@@ -697,3 +697,22 @@ def test_mixture_weights_single_domain_shuffle(spark):
     # the window's Sort/Exchange sits ABOVE the aggregate in the plan
     # (consumes |domains| rows), so the aggregate appears after Window
     assert plan.find("Window") < plan.rfind("HashAggregate"), plan
+
+
+def test_apply_mixture_broadcasts_rates_single_shuffle(spark):
+    """The executed mix keeps the planner's shape: one hash shuffle (the
+    per-domain groupBy) and the |domains|-row rate table joins back via
+    BroadcastHashJoin — never a sort-merge join or a second corpus
+    shuffle."""
+    from hdp_tez_spark.extensions.curation import apply_mixture
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = apply_mixture(
+        df, "source", "n_chars", "doc_id", {"src0": 1.0}, 1000
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
