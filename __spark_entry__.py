@@ -835,6 +835,18 @@ SELECT id_a, id_b, jaccard FROM jaccard_pairs WHERE jaccard >= 0.1
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (extensions/dedup.py ngram_novelty):
+    fraction of each doc's distinct 3-gram shingles found in no other
+    document — the corpus-diversity audit. Both shuffles carry (id,
+    8-byte md5 hash) pairs, never text; Spark and the oracle count on
+    the identical hash domain."""
+    from hdp_tez_spark.extensions.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty(docs, "doc_id", "text", k=3)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdp_tez_spark.extensions import dedup as D
 
@@ -2559,6 +2571,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = s.where(F.col("split") == "train").select("doc_id", "text")
     test = s.where(F.col("split") == "test").select("doc_id", "text")
     return decontaminate(train, test, "doc_id", "text", k=3)
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH {_SQL_TOKS_CTE},
+hashed AS (
+  SELECT doc, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+cnt AS (SELECT h, count(*) AS nd FROM hashed GROUP BY 1),
+per_doc AS (
+  SELECT hashed.doc, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN cnt.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM hashed JOIN cnt USING (h) GROUP BY hashed.doc
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_unique, 0) AS n_unique,
+       round(CASE WHEN p.n_shingles > 0
+                  THEN p.n_unique / CAST(p.n_shingles AS DOUBLE) END, 6)
+         AS novelty
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc
+"""
 
 
 _SQL_DECONTAMINATE = f"""
@@ -7626,6 +7661,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-line notes marking never-driver-checked twins live with the
     # query definitions.
     "pagerank": (q_pagerank, _SQL_PAGERANK),
+    # new late in r05, below the full prefix — FIRST r06 rotation
+    # candidate (passes the local sf0.001 + sf0.01 oracle suites)
+    "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

@@ -178,6 +178,7 @@ HEADLINE = [
     "mixture_weights",
     "importance_sample",
     "apply_mixture",
+    "ngram_novelty",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -1,5 +1,6 @@
 """Corpus-curation operators: eval-set decontamination, deterministic
-stratified sampling, and sequence packing.
+stratified sampling, sequence packing, domain-mixture planning and
+execution, and temperature-scaled importance sampling.
 
 Beyond-reference extension (the reference engine has no data-curation
 surface; SURVEY §2.8 lists the expression layer as absent) — these are

@@ -839,3 +839,74 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word k-gram shingles that appear in NO other document —
+    the corpus-diversity audit that ranks boilerplate (novelty ~0)
+    against genuinely fresh text (novelty ~1), the aggregate twin of
+    pairwise near-dup detection (a doc full of shared shingles is the
+    one MinHash-LSH will pair up).
+
+    Output per input row: (id, n_shingles, n_unique, novelty) with
+    novelty = n_unique / n_shingles rounded to 6 dp (a ratio of exact
+    integers — no float-summation noise), NULL when the document
+    produced no shingles.
+
+    Scale shape: shingles collapse to 8-byte md5 hashes map-side, so
+    both shuffles (the docs-per-shingle count, keyed on the hash, and
+    the join back) carry (id, hash) pairs — never text. The count table
+    is |distinct shingles| rows; no stage is quadratic in corpus size,
+    and a 60-bit hash collision affects Spark and any SQL oracle
+    identically because both count on the same md5 domain. The (id,
+    hash) set is checkpointed ONCE (tokenize-once, the prefix_filter_
+    join precedent): the count branch and the join branch would
+    otherwise each re-run the regex tokenize + md5 over the full
+    corpus — the dominant map cost, doubled. NULL-text rows produce no
+    shingles (n_shingles 0, novelty NULL).
+    """
+    sh = (
+        _spread(
+            df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+        )
+        .select(
+            F.col(id_col),
+            F.explode(_shingles(F.col(text_col), k)).alias("__sh"),
+        )
+        .select(F.col(id_col), _md5_long(F.col("__sh")).alias("__h"))
+    )
+    sh = truncate_lineage(sh, checkpoint_dir)
+    # rows are distinct per (doc, shingle) — _shingles array_distincts
+    # within the doc — so count(*) per hash IS docs-containing-shingle
+    counts = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    per_doc = (
+        sh.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__nd") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_unique") / F.col("n_shingles").cast("double"),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -428,3 +428,35 @@ def test_apply_mixture_executes_planned_rates(spark):
     # zero-share domain drops entirely
     only_web = apply_mixture(df, "dom", "toks", "id", {"web": 1.0}, 4000)
     assert {r.dom for r in only_web.collect()} == {"web"}
+
+
+def test_ngram_novelty_counts_cross_doc_sharing(spark):
+    from hdp_tez_spark.extensions.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+            (2, "the quick brown cat sleeps"),  # with doc 1
+            (3, "completely different words here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in ngram_novelty(df, "id", "text", k=3).collect()}
+    # doc1: shingles {tqb, qbf, bfj} — tqb shared with doc2 -> 2/3 unique
+    assert out[1].n_shingles == 3 and out[1].n_unique == 2
+    assert out[1].novelty == round(2 / 3, 6)
+    assert out[2].n_shingles == 3 and out[2].n_unique == 2
+    # doc3 shares nothing
+    assert out[3].novelty == 1.0
+    # short doc (< k tokens) collapses to one whole-text shingle
+    short = spark.createDataFrame([(9, "hi there"), (10, "hi there")],
+                                  "id long, text string")
+    s = {r.id: r for r in ngram_novelty(short, "id", "text").collect()}
+    assert s[9].n_shingles == 1 and s[9].n_unique == 0 and s[9].novelty == 0.0
+    # NULL text contributes no shingles but keeps its output row
+    withnull = spark.createDataFrame(
+        [(20, "alpha beta gamma delta"), (21, None)], "id long, text string"
+    )
+    n = {r.id: r for r in ngram_novelty(withnull, "id", "text").collect()}
+    assert n[21].n_shingles == 0 and n[21].novelty is None
+    assert n[20].novelty == 1.0

@@ -716,3 +716,20 @@ def test_apply_mixture_broadcasts_rates_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_tokenizes_once(spark):
+    """The (id, shingle-hash) set is checkpointed before fanning out to
+    the count branch and the join branch: the final plan must contain NO
+    shingle explode (it ran once at checkpoint time) and exactly one
+    parquet scan (the outer-join id side). Two Generates = the corpus
+    tokenize running twice, the r05 review anti-pattern."""
+    from hdp_tez_spark.extensions.dedup import ngram_novelty
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = ngram_novelty(df, "doc_id", "text")
+    plan = _plan(out)
+    assert plan.count("Generate explode") == 0, plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -170,6 +170,21 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
     )
 
+    # importance sampling at 20x: ONE md5 draw + one pow per row against
+    # a broadcast (n, Σw) scalar — must scale linearly with zero
+    # shuffle/spill (the 1-row aggregate is the only exchange)
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    big_scored = big_orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("double").alias("score"),
+    )
+    run(
+        "importance_sample",
+        lambda: importance_sample(big_scored, "id", "score", 2.0, 0.1)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
     total = round(sum(r["sec"] for r in results.values()), 2)
     print(
         json.dumps(
