@@ -4808,7 +4808,9 @@ SELECT doc_id, p_keep, round(CAST(1.0 AS DOUBLE) / p_keep, 6) AS ess_weight
 FROM (
   SELECT doc_id,
          round(least(CAST(1.0 AS DOUBLE),
-                     CAST(0.2 AS DOUBLE) * n * w / sw), 4) AS p_keep,
+                     greatest(CAST(0.0001 AS DOUBLE),
+                              CAST(0.2 AS DOUBLE) * n * w / sw)), 4)
+           AS p_keep,
          (CAST(('0x' || substr(md5('is:' || CAST(doc_id AS VARCHAR)), 1, 15))
                AS BIGINT) + 1) / 1152921504606846976.0 AS u
   FROM wt, tot
@@ -7577,13 +7579,15 @@ GROUP BY shard ORDER BY shard
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
-    # r05 rotation (VERDICT r04 'Next round' #3): the prefix now holds
+    # r05 rotation (VERDICT r04 'Next round' #3): the prefix holds
     # EVERY query with no driver-check row in CORRECTNESS_r01-r04 — the
     # 30 long-standing never-checked queries, the two changed this round
     # (embedding_covariance 4-dp fix, pca_component NULL/ragged guard),
     # the new source/curation queries (json_scan, orc_scan,
-    # mixture_weights, importance_sample), and the 13 r04/r05 additions
-    # below — plus one infrastructure re-check (pagerank). All pass the
+    # mixture_weights, importance_sample, apply_mixture), and the 13
+    # r04/r05 additions below. That fills all 50 slots exactly;
+    # already-evidenced queries (pagerank r03, minhash_lsh r01, ...)
+    # sit immediately below the marker. All prefix queries pass the
     # local sf0.001/sf0.01 DuckDB oracle suites.
     "attribution": (q_attribution, _SQL_ATTRIBUTION),
     "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),

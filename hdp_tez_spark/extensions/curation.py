@@ -452,11 +452,23 @@ def mixture_weights(
         )
     )
     w_all = Window.partitionBy()  # |domains| rows only — bounded funnel
-    share_expr = F.lit(0.0)
-    for k in sorted(shares):
-        share_expr = F.when(
-            F.col("domain") == F.lit(k), F.lit(shares[k])
-        ).otherwise(share_expr)
+    # flat map-literal lookup, NOT a |target|-deep nested WHEN ladder:
+    # a fine-grained target (hundreds of domains) would nest a CASE past
+    # janino's method limits and silently drop the stage to interpreted
+    # execution — the exact failure mode the bootstrap weight ladder hit
+    share_map = F.create_map(
+        *[
+            lit
+            for k in sorted(shares)
+            for lit in (F.lit(k), F.lit(shares[k]))
+        ]
+    )
+    # try_element_at, not element_at: ANSI mode (Spark 4 default) makes
+    # strict map access throw on missing keys in some releases; the try_
+    # variant is NULL-on-missing everywhere
+    share_expr = F.coalesce(
+        F.try_element_at(share_map, F.col("domain")), F.lit(0.0)
+    )
     desired = share_expr * F.lit(float(budget_tokens))
     ratio = F.when(
         F.col("tokens") > 0, desired / F.col("tokens").cast("double")
@@ -510,9 +522,14 @@ def importance_sample(
     partition orders) and `weight_col` = 1/p (6 dp), the
     inverse-propensity weight that keeps downstream token counts and
     loss statistics unbiased. Rows with NULL or non-positive scores are
-    excluded (they carry no quality information). Clipping at p=1 makes
-    the realized fraction land slightly under `keep_frac` when the score
-    distribution is heavy-tailed; that is the standard trade.
+    excluded (they carry no quality information). The probability is
+    TRUNCATED into [0.0001, 1]: the floor is textbook propensity
+    clipping — without it a row whose true p quantizes to 0.0000 would
+    be deterministically unreachable (a silently excluded stratum, not
+    a downweighted one) and IPW weights would be unbounded; with it no
+    weight exceeds 10^4. Clipping at both ends makes the realized
+    fraction land slightly off `keep_frac` for heavy-tailed score
+    distributions; that is the standard trade.
 
     The draw is md5(salt:id) — not rand() — so retries, repartitioning,
     and incremental re-runs keep the identical set, and any SQL engine
@@ -540,7 +557,10 @@ def importance_sample(
     p = F.round(
         F.least(
             F.lit(1.0),
-            F.lit(keep_frac) * F.col("__n") * w / F.col("__sw"),
+            F.greatest(
+                F.lit(0.0001),
+                F.lit(keep_frac) * F.col("__n") * w / F.col("__sw"),
+            ),
         ),
         4,
     )

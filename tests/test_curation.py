@@ -460,3 +460,25 @@ def test_ngram_novelty_counts_cross_doc_sharing(spark):
     n = {r.id: r for r in ngram_novelty(withnull, "id", "text").collect()}
     assert n[21].n_shingles == 0 and n[21].novelty is None
     assert n[20].novelty == 1.0
+
+
+def test_importance_sample_floors_propensity(spark):
+    """A stratum whose true keep probability quantizes to 0.0000 must
+    stay reachable (floored to 0.0001) with bounded IPW weight — the
+    r05 review finding: silent zero-probability exclusion is a biased
+    sample, not a downweighted one."""
+    from hdp_tez_spark.extensions.curation import importance_sample
+
+    rows = [(i, 1.0) for i in range(1000)] + [(1000 + i, 1e9) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    kept = importance_sample(
+        df, "id", "score", temperature=1.0, keep_frac=0.1
+    ).collect()
+    # every low-score row's p would be ~1e-8 unfloored -> must be 0.0001
+    # with the IPW weight capped at exactly 10^4
+    for r in kept:
+        if r.id < 1000:
+            assert r.p_keep == 0.0001 and r.ess_weight == 10000.0
+    # the whales clip at 1 and are all kept
+    kept_hi = [r for r in kept if r.id >= 1000]
+    assert len(kept_hi) == 5 and all(r.p_keep == 1.0 for r in kept_hi)

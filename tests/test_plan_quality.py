@@ -695,7 +695,9 @@ def test_mixture_weights_single_domain_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "partial_count" in plan, plan  # map-side combine before shuffle
     # the window's Sort/Exchange sits ABOVE the aggregate in the plan
-    # (consumes |domains| rows), so the aggregate appears after Window
+    # (consumes |domains| rows), so the aggregate appears after Window;
+    # Window must actually be present or the < check passes vacuously
+    assert "Window" in plan, plan
     assert plan.find("Window") < plan.rfind("HashAggregate"), plan
 
 
