@@ -835,6 +835,57 @@ SELECT id_a, id_b, jaccard FROM jaccard_pairs WHERE jaccard >= 0.1
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (extensions/experiments.py
+    mann_whitney): exact tie-averaged U between two order-status groups
+    plus the tie-corrected normal z. Raw rows collapse to distinct value
+    cells; ranks come from the distributed prefix_sum (no single-task
+    window); rank sums are multiples of 0.5 under 2^52 so the statistic
+    is bit-stable across engines."""
+    from hdp_tez_spark.extensions.experiments import mann_whitney
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return mann_whitney(orders, "o_orderstatus", "o_totalprice", "F", "O")
+
+
+_SQL_MANN_WHITNEY = """
+WITH base AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F', 'O')
+), cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), cum AS (
+  SELECT ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS hi
+  FROM cells
+), s AS (
+  -- every fractional literal is CAST to DOUBLE: DuckDB would otherwise
+  -- run 2.0/12.0 arithmetic in DECIMAL, a different rounding chain
+  -- than Spark's IEEE doubles
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         sum(ca * (hi - (t - 1) / CAST(2.0 AS DOUBLE))) AS ra,
+         sum(CAST(t AS DOUBLE) * t * t - t) AS tie
+  FROM cum
+), f AS (
+  SELECT na, nb, ra - na * (na + 1) / CAST(2.0 AS DOUBLE) AS u,
+         na * nb / CAST(12.0 AS DOUBLE)
+           * ((na + nb + CAST(1.0 AS DOUBLE))
+              - tie / ((na + nb) * (na + nb - CAST(1.0 AS DOUBLE)))) AS var
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+       round(u, 6) AS u_a,
+       round(CASE WHEN var > 0
+                  THEN (u - na * nb / CAST(2.0 AS DOUBLE)) / sqrt(var) END, 6)
+         AS z
+FROM f
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (extensions/dedup.py ngram_novelty):
     fraction of each doc's distinct 3-gram shingles found in no other
@@ -7666,8 +7717,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # query definitions.
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     # new late in r05, below the full prefix — FIRST r06 rotation
-    # candidate (passes the local sf0.001 + sf0.01 oracle suites)
+    # candidates (pass the local sf0.001 + sf0.01 oracle suites)
     "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
+    "mann_whitney": (q_mann_whitney, _SQL_MANN_WHITNEY),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

@@ -179,6 +179,7 @@ HEADLINE = [
     "importance_sample",
     "apply_mixture",
     "ngram_novelty",
+    "mann_whitney",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -482,3 +482,78 @@ def bootstrap_ci(
         )
         .select("n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b"))
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric A/B companion to `ab_ttest` for skewed metrics
+    (revenue, latency) where mean-based tests mislead. Exact U from
+    average ranks with full tie handling; z is the normal approximation
+    with the standard tie-corrected variance (compare |z| to 1.96 for
+    5%; no p-value column because neither Spark SQL nor DuckDB exposes
+    erf, and shipping half an approximation would invite silent
+    engine drift).
+
+    Output: ONE row (n_a, n_b, u_a, z), u_a and z rounded to 6 dp.
+    NULL values are excluded; rows outside the two groups are ignored;
+    z is NULL when the tie-corrected variance is 0 (all values equal).
+
+    Scale shape: raw rows collapse once to DISTINCT value cells with
+    per-group counts (map-side combined, shuffle O(|distinct|)); ranks
+    come from the repo's distributed `prefix_sum` over the cells (range
+    partition + per-partition running sum + broadcast offsets — no
+    single-task window, the exact_quantiles pattern); the test statistic
+    is a |distinct|-cell aggregate. Rank sums are multiples of 0.5 well
+    under 2^52, so they are EXACT in double regardless of partition
+    order — the statistic is bit-stable across engines.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias("__ca"),
+        F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias("__cb"),
+    )
+    cum = prefix_sum(
+        cells.withColumn("__t", F.col("__ca") + F.col("__cb")),
+        [F.col("__v")],
+        "__t",
+        "__hi",
+    )
+    # avg rank of a tie group ending at cumulative position hi with t
+    # members is hi - (t-1)/2
+    stats = cum.agg(
+        F.sum("__ca").alias("na"),
+        F.sum("__cb").alias("nb"),
+        F.sum(
+            F.col("__ca") * (F.col("__hi") - (F.col("__t") - 1) / 2.0)
+        ).alias("ra"),
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("tie"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u = F.col("ra") - na * (na + 1) / 2.0
+    var = (
+        na * nb / 12.0 * ((n + 1.0) - F.col("tie") / (n * (n - 1.0)))
+    )
+    return stats.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u, 6).alias("u_a"),
+        F.round(
+            F.when(var > 0, (u - na * nb / 2.0) / F.sqrt(var)), 6
+        ).alias("z"),
+    )

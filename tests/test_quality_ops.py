@@ -976,3 +976,66 @@ def test_grouped_auc_single_class_group_is_null(spark):
     out = {r.g: r.auc for r in grouped_auc(df, ["g"], "s", "y").collect()}
     assert out["g"] is None  # no negatives
     assert out["h"] == 1.0
+
+
+def test_mann_whitney_known_example_with_ties(spark):
+    from hdp_tez_spark.extensions.experiments import mann_whitney
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    # ranks: 1, {2,2}->2.5, {3,3}->4.5, 6; R_a = 1+2.5+4.5 = 8, U = 8-6 = 2
+    assert (r.n_a, r.n_b, r.u_a) == (3, 3, 2.0)
+    # tie-corrected var = 9/12 * (7 - 12/30) = 4.95
+    import math
+
+    assert r.z == round((2.0 - 4.5) / math.sqrt(4.95), 6)
+
+
+def test_mann_whitney_matches_independent_python(spark):
+    """Full pure-Python rank-sum twin over pseudo-random data with heavy
+    ties — catches any drift in the prefix-sum rank construction."""
+    import math
+
+    rows = [("a" if i % 3 else "b", float((i * i) % 7)) for i in range(200)]
+    rows += [("c", 99.0)] * 5  # out-of-scope group must be ignored
+    a = sorted(v for g, v in rows if g == "a")
+    b = sorted(v for g, v in rows if g == "b")
+    allv = sorted(a + b)
+    # average rank per distinct value
+    import collections
+
+    cnt = collections.Counter(allv)
+    rank, pos = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = pos + (t + 1) / 2.0
+        pos += t
+    ra = sum(rank[v] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2.0
+    tie = sum(t**3 - t for t in cnt.values())
+    var = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+
+    from hdp_tez_spark.extensions.experiments import mann_whitney
+
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.u_a == round(u, 6)
+    assert abs(r.z - z) < 1e-6
+
+
+def test_mann_whitney_degenerate_all_equal(spark):
+    from hdp_tez_spark.extensions.experiments import mann_whitney
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 3, "g string, v double"
+    )
+    r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    assert r.z is None  # zero tie-corrected variance
+    assert r.u_a == 4 * 3 / 2.0  # all-tied U is exactly mu
