@@ -886,6 +886,47 @@ FROM f
 """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic (extensions/
+    experiments.py ks_test): max CDF gap between two order-status
+    groups. CDF values are ratios of exact integer prefix counts from
+    the distributed prefix_sum — bit-stable across engines."""
+    from hdp_tez_spark.extensions.experiments import ks_test
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return ks_test(orders, "o_orderstatus", "o_totalprice", "F", "O")
+
+
+_SQL_KS_TEST = """
+WITH base AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F', 'O')
+), cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), cum AS (
+  SELECT CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cum_t
+  FROM cells WINDOW w AS (ORDER BY v)
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM cells
+)
+SELECT na AS n_a, nb AS n_b,
+       round(max(abs(cum_a / CAST(na AS DOUBLE)
+                     - (cum_t - cum_a) / CAST(nb AS DOUBLE))), 6) AS d_stat,
+       round(sqrt(na * nb / CAST(na + nb AS DOUBLE))
+             * max(abs(cum_a / CAST(na AS DOUBLE)
+                       - (cum_t - cum_a) / CAST(nb AS DOUBLE))), 6)
+         AS ks_lambda
+FROM cum, tot
+GROUP BY na, nb
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (extensions/dedup.py ngram_novelty):
     fraction of each doc's distinct 3-gram shingles found in no other
@@ -7720,6 +7761,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # candidates (pass the local sf0.001 + sf0.01 oracle suites)
     "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
     "mann_whitney": (q_mann_whitney, _SQL_MANN_WHITNEY),
+    "ks_test": (q_ks_test, _SQL_KS_TEST),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

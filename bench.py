@@ -180,6 +180,7 @@ HEADLINE = [
     "apply_mixture",
     "ngram_novelty",
     "mann_whitney",
+    "ks_test",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -557,3 +557,77 @@ def mann_whitney(
             F.when(var > 0, (u - na * nb / 2.0) / F.sqrt(var)), 6
         ).alias("z"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the maximum gap between
+    the two groups' empirical CDFs — the distribution-level drift /
+    difference readout that PSI buckets approximate and mean tests miss
+    entirely. Output: ONE row (n_a, n_b, d_stat, ks_lambda) where
+    d_stat = max|F_a - F_b| over the pooled support and
+    ks_lambda = sqrt(n_a*n_b/(n_a+n_b)) * d_stat (compare to 1.358 for
+    5%, 1.628 for 1% — the asymptotic two-sided thresholds). No
+    p-value column: its series expansion is not expressible identically
+    in both engines, and the thresholded lambda is what a drift monitor
+    consumes.
+
+    Every CDF value is a ratio of exact integer prefix counts, so the
+    statistic is bit-stable across engines, partitionings, and retries.
+
+    Scale shape: raw rows collapse to DISTINCT value cells with
+    per-group counts (map-side combined, shuffle O(|distinct|)); the
+    two cumulative counts come from the distributed `prefix_sum` (range
+    partition + broadcast offsets — no single-task window); the max-gap
+    reduction and the (n_a, n_b) totals are |distinct|-cell aggregates.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias("__ca"),
+        F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias("__cb"),
+    )
+    # two prefix sums over the same value order: cum_a directly, cum_b
+    # as cum_t - cum_a (prefix sums are linear), so the second range
+    # shuffle carries the already-cumulated cells, never raw rows
+    cum = prefix_sum(
+        cells.withColumn("__t", F.col("__ca") + F.col("__cb")),
+        [F.col("__v")],
+        "__ca",
+        "__cum_a",
+    )
+    cum = prefix_sum(cum, [F.col("__v")], "__t", "__cum_t")
+    totals = cum.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "__na",
+        "__nb",
+        F.abs(
+            F.col("__cum_a") / F.col("__na")
+            - (F.col("__cum_t") - F.col("__cum_a")) / F.col("__nb")
+        ).alias("__gap"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    d = F.max("__gap")
+    return gaps.groupBy("__na", "__nb").agg(
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            F.sqrt(na * nb / (na + nb).cast("double")) * d, 6
+        ).alias("ks_lambda"),
+    ).select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        "d_stat",
+        "ks_lambda",
+    )

@@ -1039,3 +1039,53 @@ def test_mann_whitney_degenerate_all_equal(spark):
     r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
     assert r.z is None  # zero tie-corrected variance
     assert r.u_a == 4 * 3 / 2.0  # all-tied U is exactly mu
+
+
+def test_ks_test_known_example(spark):
+    from hdp_tez_spark.extensions.experiments import ks_test
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: max CDF gap at v=2: 2/4 - 0 = 0.5
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", float(v)) for v in (3, 4, 5, 6)],
+        "g string, v double",
+    )
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    import math
+
+    assert (r.n_a, r.n_b, r.d_stat) == (4, 4, 0.5)
+    assert r.ks_lambda == round(math.sqrt(16 / 8.0) * 0.5, 6)
+
+
+def test_ks_test_matches_independent_python(spark):
+    """Pure-Python two-sample KS twin over tie-heavy data, plus
+    identical-distribution sanity (D small) and determinism."""
+    rows = [("a", float((i * 7) % 13)) for i in range(150)]
+    rows += [("b", float((i * 5) % 13) + (1.0 if i % 4 == 0 else 0.0))
+             for i in range(120)]
+    a = sorted(v for g, v in rows if g == "a")
+    b = sorted(v for g, v in rows if g == "b")
+    support = sorted(set(a + b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in support
+    )
+    from hdp_tez_spark.extensions.experiments import ks_test
+
+    df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    # d_stat is rounded to 6 dp by contract — compare at that precision
+    assert abs(r.d_stat - d) <= 5e-7
+    # same distribution -> D == 0 exactly
+    same = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(50)]
+        + [("b", float(i % 5)) for i in range(50)],
+        "g string, v double",
+    )
+    assert ks_test(same, "g", "v", "a", "b").collect()[0].d_stat == 0.0
