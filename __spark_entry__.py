@@ -927,6 +927,59 @@ GROUP BY na, nb
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all order-status groups (extensions/
+    experiments.py kruskal_wallis): one-way ANOVA on ranks via distinct
+    value cells + distributed prefix-sum ranks; per-group rank sums are
+    exact, only the k-term reduction is float-ordered."""
+    from hdp_tez_spark.extensions.experiments import kruskal_wallis
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return kruskal_wallis(orders, "o_orderstatus", "o_totalprice")
+
+
+_SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+), vg AS (
+  SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v, g
+), vt AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vg GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(sum(t) OVER (ORDER BY v) AS BIGINT)
+           - (t - 1) / CAST(2.0 AS DOUBLE) AS avg_rank,
+         t
+  FROM vt
+), per_group AS (
+  SELECT vg.g, CAST(sum(vg.c) AS BIGINT) AS ng,
+         sum(vg.c * cum.avg_rank) AS rg
+  FROM vg JOIN cum ON vg.v = cum.v
+  GROUP BY vg.g
+), ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie FROM cum
+), s AS (
+  SELECT CAST(count(*) AS INT) AS n_groups,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum(rg * rg / ng) AS sq
+  FROM per_group
+), f AS (
+  SELECT n_groups, n,
+         CAST(12.0 AS DOUBLE) / (n * (n + CAST(1.0 AS DOUBLE))) * sq
+           - CAST(3.0 AS DOUBLE) * (n + CAST(1.0 AS DOUBLE)) AS h,
+         CAST(1.0 AS DOUBLE)
+           - tie / (CAST(n AS DOUBLE) * n * n - n) AS correction
+  FROM s, ties
+)
+SELECT n_groups, n, round(h, 6) AS h_stat,
+       round(CASE WHEN correction > 0 THEN h / correction END, 6)
+         AS h_tie_corrected
+FROM f
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (extensions/dedup.py ngram_novelty):
     fraction of each doc's distinct 3-gram shingles found in no other
@@ -7762,6 +7815,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
     "mann_whitney": (q_mann_whitney, _SQL_MANN_WHITNEY),
     "ks_test": (q_ks_test, _SQL_KS_TEST),
+    "kruskal_wallis": (q_kruskal_wallis, _SQL_KRUSKAL_WALLIS),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

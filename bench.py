@@ -181,6 +181,7 @@ HEADLINE = [
     "ngram_novelty",
     "mann_whitney",
     "ks_test",
+    "kruskal_wallis",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

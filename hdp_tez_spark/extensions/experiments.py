@@ -631,3 +631,68 @@ def ks_test(
         "d_stat",
         "ks_lambda",
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test across ALL groups present — the k-arm
+    extension of `mann_whitney` (one-way ANOVA on ranks) for multi-arm
+    experiments and segment comparisons. Output: ONE row
+    (n_groups, n, h_stat, h_tie_corrected), statistics rounded to 6 dp;
+    compare h_tie_corrected to the chi-square(k-1) threshold driver-side
+    (the CDF is not expressible identically in both engines).
+    h_tie_corrected is NULL when every value is tied (zero rank
+    variance). NULL values and NULL group labels are excluded.
+
+    Scale shape: raw rows collapse to (value, group) cells, the
+    per-value totals get ranks via the distributed `prefix_sum` (no
+    single-task window), and the H statistic reduces from |groups| rank
+    sums. Rank sums are exact multiples of 0.5 under 2^52 so each
+    group's R_g is bit-identical across engines; only the final k-term
+    reduction is float-ordered, inside 6-dp rounding headroom.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    vg = base.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    vt = vg.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    cum = prefix_sum(vt, [F.col("__v")], "__t", "__hi").withColumn(
+        "__avg_rank", F.col("__hi") - (F.col("__t") - 1) / 2.0
+    )
+    per_group = (
+        vg.join(cum.select("__v", "__avg_rank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(F.col("__c") * F.col("__avg_rank")).alias("__rg"),
+        )
+    )
+    ties = cum.agg(
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__tie")
+    )
+    stats = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__ng").alias("n"),
+        F.sum(F.col("__rg") * F.col("__rg") / F.col("__ng")).alias("__s"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("__s") - 3.0 * (n + 1.0)
+    correction = 1.0 - F.col("__tie") / (n * n * n - n)
+    return stats.select(
+        "n_groups",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(
+            F.when(correction > 0, h / correction), 6
+        ).alias("h_tie_corrected"),
+    )

@@ -1089,3 +1089,63 @@ def test_ks_test_matches_independent_python(spark):
         "g string, v double",
     )
     assert ks_test(same, "g", "v", "a", "b").collect()[0].d_stat == 0.0
+
+
+def test_kruskal_wallis_matches_independent_python(spark):
+    """Pure-Python KW twin (rank-based, tie-corrected) over 3 groups
+    with heavy ties; plus the 2-group consistency check H == z² from
+    mann_whitney (the textbook identity, up to 6-dp rounding)."""
+    import collections
+
+    rows = (
+        [("a", float((i * 3) % 8)) for i in range(90)]
+        + [("b", float((i * 5) % 8) + 1.0) for i in range(70)]
+        + [("c", float((i * 7) % 8) + 0.5) for i in range(60)]
+    )
+    vals = sorted(v for _, v in rows)
+    cnt = collections.Counter(vals)
+    rank, pos = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = pos + (t + 1) / 2.0
+        pos += t
+    n = len(rows)
+    groups: dict[str, list] = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    s = sum(
+        sum(rank[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    hc = h / (1 - tie / (n**3 - n))
+
+    from hdp_tez_spark.extensions.experiments import kruskal_wallis
+
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r.n_groups, r.n) == (3, n)
+    assert abs(r.h_stat - h) <= 5e-7
+    assert abs(r.h_tie_corrected - hc) <= 5e-7
+
+
+def test_kruskal_wallis_two_groups_equals_z_squared(spark):
+    from hdp_tez_spark.extensions.experiments import kruskal_wallis, mann_whitney
+
+    rows = [("a", float((i * i) % 11)) for i in range(80)] + [
+        ("b", float((i * 3) % 11) + 0.5) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hc = kruskal_wallis(df, "g", "v").collect()[0].h_tie_corrected
+    z = mann_whitney(df, "g", "v", "a", "b").collect()[0].z
+    assert abs(hc - z * z) < 1e-4
+
+
+def test_kruskal_wallis_degenerate_all_equal(spark):
+    from hdp_tez_spark.extensions.experiments import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 1.0)] * 3, "g string, v double"
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.h_tie_corrected is None
