@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hdp_tez_spark.plans.checkpoints import truncate_lineage
@@ -484,6 +484,50 @@ def bootstrap_ci(
     )
 
 
+def _two_group_value_cells(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """DISTINCT value cells with per-group counts for the two-sample
+    rank tests: (__v, __ca, __cb, __t), NULL values and out-of-scope
+    groups excluded, lineage-truncated because every consumer (the
+    prefix_sum chain reads it twice, the totals aggregate once) would
+    otherwise rescan the raw input — the binary_auc pattern."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    return (
+        base.groupBy("__v")
+        .agg(
+            F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias(
+                "__ca"
+            ),
+            F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias(
+                "__cb"
+            ),
+        )
+        .withColumn("__t", F.col("__ca") + F.col("__cb"))
+        .transform(truncate_lineage)
+    )
+
+
+def _tie_term(t: Column | str) -> Column:
+    """Σ-ready t³ - t tie term as double (t up to 2^17 cubes exactly)."""
+    c = F.col(t) if isinstance(t, str) else t
+    return c.cast("double") * c * c - c
+
+
+_RANK_EXACTNESS_NOTE = """
+    Exactness bound: per-group rank sums are multiples of 0.5 and stay
+    EXACT in double (hence bit-stable across engines, partitionings and
+    retries) while they stay under 2^53 — i.e. pooled n up to ~9*10^7
+    rows (rank sums grow like n²/2). Beyond that, pre-quantize the
+    metric (fewer distinct cells, smaller ranks per cell don't help —
+    it is the sum magnitude that matters) or accept possible 6th-decimal
+    variance across engines."""
+
+
 def mann_whitney(
     df: DataFrame,
     group_col: str,
@@ -505,44 +549,35 @@ def mann_whitney(
     z is NULL when the tie-corrected variance is 0 (all values equal).
 
     Scale shape: raw rows collapse once to DISTINCT value cells with
-    per-group counts (map-side combined, shuffle O(|distinct|)); ranks
-    come from the repo's distributed `prefix_sum` over the cells (range
-    partition + per-partition running sum + broadcast offsets — no
-    single-task window, the exact_quantiles pattern); the test statistic
-    is a |distinct|-cell aggregate. Rank sums are multiples of 0.5 well
-    under 2^52, so they are EXACT in double regardless of partition
-    order — the statistic is bit-stable across engines.
-    """
+    per-group counts (map-side combined, shuffle O(|distinct|),
+    checkpointed for its multiple consumers); ranks come from the
+    distributed `prefix_sum` over the cells (range partition +
+    per-partition running sum + broadcast offsets — no single-task
+    window, the exact_quantiles pattern); the statistic reduces from
+    |distinct|-cell aggregates.
+    """ + _RANK_EXACTNESS_NOTE
     from hdp_tez_spark.operators.sort import prefix_sum
 
-    v = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    base = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
-        g.alias("__g"), v.alias("__v")
+    cells = _two_group_value_cells(
+        df, group_col, value_col, group_a, group_b
     )
-    cells = base.groupBy("__v").agg(
-        F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias("__ca"),
-        F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias("__cb"),
-    )
-    cum = prefix_sum(
-        cells.withColumn("__t", F.col("__ca") + F.col("__cb")),
-        [F.col("__v")],
-        "__t",
-        "__hi",
-    )
+    cum = prefix_sum(cells, [F.col("__v")], "__t", "__hi")
     # avg rank of a tie group ending at cumulative position hi with t
     # members is hi - (t-1)/2
-    stats = cum.agg(
-        F.sum("__ca").alias("na"),
-        F.sum("__cb").alias("nb"),
+    ranks = cum.agg(
         F.sum(
             F.col("__ca") * (F.col("__hi") - (F.col("__t") - 1) / 2.0)
         ).alias("ra"),
-        F.sum(
-            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
-            - F.col("__t")
-        ).alias("tie"),
     )
+    # totals hang off the CHECKPOINTED cells, not the prefix chain — the
+    # r05 review found the totals subtree re-running the whole prefix
+    # machinery (windows, offsets, broadcast join) a second time
+    totals = cells.agg(
+        F.sum("__ca").alias("na"),
+        F.sum("__cb").alias("nb"),
+        F.sum(_tie_term("__t")).alias("tie"),
+    )
+    stats = ranks.crossJoin(F.broadcast(totals))
     na, nb = F.col("na"), F.col("nb")
     n = na + nb
     u = F.col("ra") - na * (na + 1) / 2.0
@@ -577,37 +612,32 @@ def ks_test(
     in both engines, and the thresholded lambda is what a drift monitor
     consumes.
 
-    Every CDF value is a ratio of exact integer prefix counts, so the
-    statistic is bit-stable across engines, partitionings, and retries.
+    Every CDF value is a ratio of exact integer prefix counts (exact in
+    double up to 2^53 rows), so the statistic is bit-stable across
+    engines, partitionings, and retries.
 
     Scale shape: raw rows collapse to DISTINCT value cells with
-    per-group counts (map-side combined, shuffle O(|distinct|)); the
-    two cumulative counts come from the distributed `prefix_sum` (range
-    partition + broadcast offsets — no single-task window); the max-gap
-    reduction and the (n_a, n_b) totals are |distinct|-cell aggregates.
+    per-group counts (map-side combined, shuffle O(|distinct|),
+    checkpointed for its multiple consumers); BOTH cumulative counts
+    ride ONE multi-column `prefix_sum` pass (one range shuffle, one
+    offsets broadcast — no single-task window); the max-gap reduction
+    and the (n_a, n_b) totals are |distinct|-cell aggregates.
     """
     from hdp_tez_spark.operators.sort import prefix_sum
 
-    v = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    base = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
-        g.alias("__g"), v.alias("__v")
+    cells = _two_group_value_cells(
+        df, group_col, value_col, group_a, group_b
     )
-    cells = base.groupBy("__v").agg(
-        F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias("__ca"),
-        F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias("__cb"),
-    )
-    # two prefix sums over the same value order: cum_a directly, cum_b
-    # as cum_t - cum_a (prefix sums are linear), so the second range
-    # shuffle carries the already-cumulated cells, never raw rows
+    # cum_a directly, cum_b recovered as cum_t - cum_a (prefix sums are
+    # linear) — both cumulated in the SAME prefix_sum pass
     cum = prefix_sum(
-        cells.withColumn("__t", F.col("__ca") + F.col("__cb")),
+        cells,
         [F.col("__v")],
-        "__ca",
-        "__cum_a",
+        ["__ca", "__t"],
+        ["__cum_a", "__cum_t"],
     )
-    cum = prefix_sum(cum, [F.col("__v")], "__t", "__cum_t")
-    totals = cum.agg(
+    # totals from the checkpointed cells, not the prefix chain
+    totals = cells.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
     gaps = cum.crossJoin(F.broadcast(totals)).select(
@@ -647,13 +677,13 @@ def kruskal_wallis(
     h_tie_corrected is NULL when every value is tied (zero rank
     variance). NULL values and NULL group labels are excluded.
 
-    Scale shape: raw rows collapse to (value, group) cells, the
+    Scale shape: raw rows collapse to (value, group) cells (map-side
+    combined, checkpointed for the multi-consumer fan-out); the
     per-value totals get ranks via the distributed `prefix_sum` (no
     single-task window), and the H statistic reduces from |groups| rank
-    sums. Rank sums are exact multiples of 0.5 under 2^52 so each
-    group's R_g is bit-identical across engines; only the final k-term
-    reduction is float-ordered, inside 6-dp rounding headroom.
-    """
+    sums; only the final k-term reduction is float-ordered, inside 6-dp
+    rounding headroom.
+    """ + _RANK_EXACTNESS_NOTE
     from hdp_tez_spark.operators.sort import prefix_sum
 
     v = F.col(value_col).cast("double")
@@ -661,7 +691,13 @@ def kruskal_wallis(
     base = df.where(v.isNotNull() & g.isNotNull()).select(
         g.alias("__g"), v.alias("__v")
     )
-    vg = base.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    # checkpointed: consumed by the vt->prefix chain, the rank join, and
+    # (via vt) the tie aggregate — without it each re-scans raw rows
+    vg = (
+        base.groupBy("__v", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .transform(truncate_lineage)
+    )
     vt = vg.groupBy("__v").agg(F.sum("__c").alias("__t"))
     cum = prefix_sum(vt, [F.col("__v")], "__t", "__hi").withColumn(
         "__avg_rank", F.col("__hi") - (F.col("__t") - 1) / 2.0
@@ -674,12 +710,9 @@ def kruskal_wallis(
             F.sum(F.col("__c") * F.col("__avg_rank")).alias("__rg"),
         )
     )
-    ties = cum.agg(
-        F.sum(
-            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
-            - F.col("__t")
-        ).alias("__tie")
-    )
+    # tie term from vt (one cheap pass over the checkpointed cells),
+    # never from the prefix chain
+    ties = vt.agg(F.sum(_tie_term("__t")).alias("__tie"))
     stats = per_group.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("__ng").alias("n"),

@@ -191,12 +191,16 @@ def ntile_exact(
 def prefix_sum(
     df: DataFrame,
     order: Sequence[Column],
-    value_col: str,
-    out: str = "cumsum",
+    value_col: str | Sequence[str],
+    out: str | Sequence[str] = "cumsum",
 ) -> DataFrame:
-    """Distributed running total of `value_col` over a global order — the
-    prefix-sum primitive behind exact quantiles, equi-depth histogramming
-    and pagination.
+    """Distributed running total(s) over a global order — the prefix-sum
+    primitive behind exact quantiles, equi-depth histogramming, rank
+    statistics and pagination. `value_col`/`out` accept a single column
+    name or parallel sequences: N cumulative columns share ONE range
+    shuffle, one window pass, and one offsets broadcast (a caller
+    needing two running totals must not pay the machinery twice — the
+    r05 ks_test review finding).
 
     Same two-job shape as `global_sort_ranked` (the scale-safe form of
     what Tez's parallelism-1 funnel vertex computes,
@@ -210,32 +214,46 @@ def prefix_sum(
     within-partition frame is row-based, so ties would otherwise
     accumulate in nondeterministic order.
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(vcols) != len(outs):
+        raise ValueError(
+            f"value_col/out length mismatch: {len(vcols)} != {len(outs)}"
+        )
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with_local = (
-        df.repartitionByRange(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__local_sum", F.sum(value_col).over(local_w))
+    with_local = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    offsets = (
-        with_local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__part_total"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__part_total").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
+    for i, vc in enumerate(vcols):
+        with_local = with_local.withColumn(
+            f"__local_sum{i}", F.sum(vc).over(local_w)
         )
-        .select("__pid", "__offset")
+    offsets = with_local.groupBy("__pid").agg(
+        *[F.sum(vc).alias(f"__part_total{i}") for i, vc in enumerate(vcols)]
     )
-    return (
-        with_local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out, F.col("__local_sum") + F.col("__offset"))
-        .drop("__pid", "__local_sum", "__offset")
+    prev_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    for i in range(len(vcols)):
+        offsets = offsets.withColumn(
+            f"__offset{i}",
+            F.coalesce(F.sum(f"__part_total{i}").over(prev_w), F.lit(0)),
+        )
+    offsets = offsets.select(
+        "__pid", *[f"__offset{i}" for i in range(len(vcols))]
+    )
+    joined = with_local.join(F.broadcast(offsets), "__pid")
+    for i, o in enumerate(outs):
+        joined = joined.withColumn(
+            o, F.col(f"__local_sum{i}") + F.col(f"__offset{i}")
+        )
+    drops = (
+        ["__pid"]
+        + [f"__local_sum{i}" for i in range(len(vcols))]
+        + [f"__offset{i}" for i in range(len(vcols))]
+    )
+    return joined.drop(*drops)
