@@ -980,6 +980,42 @@ FROM f
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (extensions/experiments.py
+    spearman_corr) between lineitem quantity and extended price: exact
+    tie-averaged ranks per column from the distributed prefix_sum,
+    Pearson corr of the rank pairs. Same corr-parity contract as acf."""
+    from hdp_tez_spark.extensions.experiments import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+_SQL_SPEARMAN_CORR = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), cx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY x
+), rx AS (
+  SELECT x, CAST(sum(t) OVER (ORDER BY x) AS BIGINT)
+              - (t - 1) / CAST(2.0 AS DOUBLE) AS r
+  FROM cx
+), cy AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY y
+), ry AS (
+  SELECT y, CAST(sum(t) OVER (ORDER BY y) AS BIGINT)
+              - (t - 1) / CAST(2.0 AS DOUBLE) AS r
+  FROM cy
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(corr(rx.r, ry.r), 6) AS rho
+FROM base JOIN rx USING (x) JOIN ry USING (y)
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (extensions/dedup.py ngram_novelty):
     fraction of each doc's distinct 3-gram shingles found in no other
@@ -7816,6 +7852,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mann_whitney": (q_mann_whitney, _SQL_MANN_WHITNEY),
     "ks_test": (q_ks_test, _SQL_KS_TEST),
     "kruskal_wallis": (q_kruskal_wallis, _SQL_KRUSKAL_WALLIS),
+    "spearman_corr": (q_spearman_corr, _SQL_SPEARMAN_CORR),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

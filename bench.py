@@ -182,6 +182,7 @@ HEADLINE = [
     "mann_whitney",
     "ks_test",
     "kruskal_wallis",
+    "spearman_corr",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -729,3 +729,52 @@ def kruskal_wallis(
             F.when(correction > 0, h / correction), 6
         ).alias("h_tie_corrected"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotonic-association readout that survives outliers and nonlinear
+    (but monotone) relationships where Pearson misleads. Exact
+    tie-averaged ranks (NOT the n(n²-1) shortcut formula, which is
+    wrong under ties); the coefficient is the Pearson correlation of
+    the two rank columns. Output: ONE row (n, rho) with rho rounded to
+    6 dp, NULL when either column has zero rank variance. Rows where
+    EITHER value is NULL are excluded (pairwise-complete, the `acf`
+    convention).
+
+    Scale shape: each column collapses to its DISTINCT value cells
+    (map-side combined, checkpointed), gets tie-averaged ranks from the
+    distributed `prefix_sum`, and the |distinct|-row rank tables join
+    back to the (x, y) pairs on the value keys — shuffles carry values
+    and 8-byte ranks, and the correlation itself is one partial-
+    aggregated pass over the ranked pairs. No single-task window.
+    """ + _RANK_EXACTNESS_NOTE
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    ).transform(truncate_lineage)
+
+    def ranks(col: str) -> DataFrame:
+        cells = (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .transform(truncate_lineage)
+        )
+        cum = prefix_sum(cells, [F.col(col)], "__t", "__hi")
+        return cum.select(
+            col,
+            (F.col("__hi") - (F.col("__t") - 1) / 2.0).alias(f"__r{col}"),
+        )
+
+    ranked = base.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("__r__x", "__r__y"), 6).alias("rho"),
+    )

@@ -1149,3 +1149,50 @@ def test_kruskal_wallis_degenerate_all_equal(spark):
     )
     r = kruskal_wallis(df, "g", "v").collect()[0]
     assert r.h_tie_corrected is None
+
+
+def test_spearman_matches_independent_python(spark):
+    """Pure-Python Spearman twin (tie-averaged ranks + Pearson of
+    ranks) over monotone-nonlinear data with ties, plus the perfect
+    monotone case rho == 1."""
+    import collections
+    import math
+
+    rows = [(float(i % 17), float((i % 17) ** 3 % 29)) for i in range(300)]
+
+    def avg_ranks(vals):
+        cnt = collections.Counter(vals)
+        rank, pos = {}, 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            rank[v] = pos + (t + 1) / 2.0
+            pos += t
+        return [rank[v] for v in vals]
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry)) / n
+    sx = math.sqrt(sum((a - mx) ** 2 for a in rx) / n)
+    sy = math.sqrt(sum((b - my) ** 2 for b in ry) / n)
+    rho = cov / (sx * sy)
+
+    from hdp_tez_spark.extensions.experiments import spearman_corr
+
+    df = spark.createDataFrame(rows, "x double, y double").repartition(5)
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r.n == n
+    assert abs(r.rho - rho) <= 5e-7
+    # perfectly monotone (x -> exp-ish growth) => rho exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    # NULL pairs excluded
+    withnull = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (None, 3.0), (3.0, 1.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(withnull, "x", "y").collect()[0].n == 2
