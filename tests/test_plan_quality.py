@@ -735,3 +735,24 @@ def test_ngram_novelty_tokenizes_once(spark):
     plan = _plan(out)
     assert plan.count("Generate explode") == 0, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_rank_tests_scan_raw_input_once(spark):
+    """mann_whitney / ks_test checkpoint their distinct-value cells, so
+    the final plan must contain ZERO parquet scans (the raw input was
+    scanned exactly once at checkpoint time) — every consumer (prefix
+    chain, totals) reads the materialized cells. A FileScan reappearing
+    means a consumer re-derives cells from raw rows, the r05 review
+    anti-pattern."""
+    from hdp_tez_spark.extensions.experiments import ks_test, mann_whitney
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    for out in (
+        mann_whitney(orders, "o_orderstatus", "o_totalprice", "F", "O"),
+        ks_test(orders, "o_orderstatus", "o_totalprice", "F", "O"),
+    ):
+        plan = _plan(out)
+        assert plan.count("FileScan parquet") == 0, plan
+        assert "Scan ExistingRDD" in plan, plan
