@@ -980,6 +980,53 @@ FROM f
 """
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status (extensions/
+    experiments.py mutual_information): contingency cells checkpointed
+    once, marginals/N/MI all O(r*c) after the single raw pass. Pairs
+    with chi_square as the how-much-dependence readout."""
+    from hdp_tez_spark.extensions.experiments import mutual_information
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
+_SQL_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+), rt AS (
+  SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r
+), ct AS (
+  SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c
+), nn AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), mi AS (
+  SELECT sum((CAST(o AS DOUBLE) / n)
+             * ln(CAST(o AS DOUBLE) * n / (CAST(rt AS DOUBLE) * ct))) AS mi,
+         max(n) AS n
+  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN nn
+), hr AS (
+  SELECT -sum((CAST(rt AS DOUBLE) / n) * ln(CAST(rt AS DOUBLE) / n)) AS hr
+  FROM rt CROSS JOIN nn
+), hc AS (
+  SELECT -sum((CAST(ct AS DOUBLE) / n) * ln(CAST(ct AS DOUBLE) / n)) AS hc
+  FROM ct CROSS JOIN nn
+)
+SELECT n, round(mi, 6) AS mi,
+       round(CASE WHEN sqrt(hr * hc) > 0 THEN mi / sqrt(hr * hc) END, 6)
+         AS nmi,
+       round(hr, 6) AS h_row,
+       round(hc, 6) AS h_col
+FROM mi CROSS JOIN hr CROSS JOIN hc
+"""
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (extensions/experiments.py
     spearman_corr) between lineitem quantity and extended price: exact
@@ -7853,6 +7900,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ks_test": (q_ks_test, _SQL_KS_TEST),
     "kruskal_wallis": (q_kruskal_wallis, _SQL_KRUSKAL_WALLIS),
     "spearman_corr": (q_spearman_corr, _SQL_SPEARMAN_CORR),
+    "mutual_information": (q_mutual_information, _SQL_MUTUAL_INFORMATION),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

@@ -183,6 +183,7 @@ HEADLINE = [
     "ks_test",
     "kruskal_wallis",
     "spearman_corr",
+    "mutual_information",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -778,3 +778,66 @@ def spearman_corr(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("__r__x", "__r__y"), 6).alias("rho"),
     )
+
+
+def mutual_information(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Mutual information (in nats) between two categorical columns,
+    with the normalized variant NMI = MI / sqrt(H_row * H_col) — the
+    feature-screening companion to `chi_square_independence` (chi2 says
+    "dependent or not"; MI says HOW MUCH information one column carries
+    about the other, comparable across features). Output: ONE row
+    (n, mi, nmi, h_row, h_col), all entropies/MI rounded to 6 dp; nmi
+    NULL when either marginal entropy is 0 (a constant column carries
+    no information to normalize by).
+
+    Only OBSERVED cells contribute — 0 * ln(0) = 0 by continuity, so
+    unlike chi-square the absent-cell grid is not needed. NULL
+    categories are excluded (same contract as chi_square_independence).
+
+    Scale shape: one partial-aggregated groupBy builds the contingency
+    cells (|r×c| rows, checkpointed — marginals, N, and the MI sum all
+    read the cells, never the raw rows). Everything after the first
+    pass is O(r×c). Probabilities are ratios of exact integer counts;
+    ln() is IEEE-identical across engines in practice, and 6-dp
+    rounding gives ~10 orders of magnitude of headroom over any libm
+    last-bit difference.
+    """
+    cells = (
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .transform(truncate_lineage)
+    )
+    row_tot = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    col_tot = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    n = cells.agg(F.sum("__o").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "__r")
+        .join(F.broadcast(col_tot), "__c")
+        .crossJoin(F.broadcast(n))
+    )
+    o = F.col("__o").cast("double")
+    nn = F.col("__n").cast("double")
+    mi_term = (o / nn) * F.log(
+        o * nn / (F.col("__rt").cast("double") * F.col("__ct"))
+    )
+    mi_df = joined.agg(F.sum(mi_term).alias("__mi"), F.max("__n").alias("n"))
+    h = lambda tot, t: tot.crossJoin(F.broadcast(n)).agg(  # noqa: E731
+        (-F.sum(
+            (F.col(t).cast("double") / F.col("__n"))
+            * F.log(F.col(t).cast("double") / F.col("__n"))
+        )).alias("__h")
+    )
+    hr = h(row_tot, "__rt").withColumnRenamed("__h", "__hr")
+    hc = h(col_tot, "__ct").withColumnRenamed("__h", "__hc")
+    out = mi_df.crossJoin(F.broadcast(hr)).crossJoin(F.broadcast(hc))
+    denom = F.sqrt(F.col("__hr") * F.col("__hc"))
+    return out.select(
+        "n",
+        F.round(F.col("__mi"), 6).alias("mi"),
+        F.round(F.when(denom > 0, F.col("__mi") / denom), 6).alias("nmi"),
+        F.round(F.col("__hr"), 6).alias("h_row"),
+        F.round(F.col("__hc"), 6).alias("h_col"),
+    )

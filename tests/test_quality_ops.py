@@ -1196,3 +1196,56 @@ def test_spearman_matches_independent_python(spark):
         "x double, y double",
     )
     assert spearman_corr(withnull, "x", "y").collect()[0].n == 2
+
+
+def test_mutual_information_known_and_independent(spark):
+    import math
+
+    from hdp_tez_spark.extensions.experiments import mutual_information
+
+    # perfectly dependent: c == r -> MI = H = ln(2) for a 50/50 split,
+    # NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 10 + [("y", "y")] * 10, "r string, c string"
+    )
+    d = mutual_information(dep, "r", "c").collect()[0]
+    assert d.n == 20
+    assert d.mi == round(math.log(2), 6) and d.nmi == 1.0
+    assert d.h_row == d.h_col == round(math.log(2), 6)
+    # independent uniform grid -> MI = 0 exactly (every cell o*n == rt*ct)
+    ind = spark.createDataFrame(
+        [(r, c) for r in "ab" for c in "cd" for _ in range(5)],
+        "r string, c string",
+    )
+    i = mutual_information(ind, "r", "c").collect()[0]
+    assert i.mi == 0.0 and i.nmi == 0.0
+    # constant column -> zero entropy -> nmi NULL, mi 0
+    const = spark.createDataFrame(
+        [("k", c) for c in "aabb"], "r string, c string"
+    )
+    cst = mutual_information(const, "r", "c").collect()[0]
+    assert cst.mi == 0.0 and cst.nmi is None and cst.h_row == 0.0
+
+
+def test_mutual_information_matches_independent_python(spark):
+    import collections
+    import math
+
+    from hdp_tez_spark.extensions.experiments import mutual_information
+
+    rows = [(str(i % 4), str((i * i) % 5)) for i in range(300)]
+    cells = collections.Counter(rows)
+    rt = collections.Counter(r for r, _ in rows)
+    ct = collections.Counter(c for _, c in rows)
+    n = len(rows)
+    mi = sum(
+        (o / n) * math.log(o * n / (rt[r] * ct[c]))
+        for (r, c), o in cells.items()
+    )
+    hr = -sum((v / n) * math.log(v / n) for v in rt.values())
+    hc = -sum((v / n) * math.log(v / n) for v in ct.values())
+    df = spark.createDataFrame(rows, "r string, c string").repartition(6)
+    got = mutual_information(df, "r", "c").collect()[0]
+    assert got.n == n
+    assert abs(got.mi - mi) <= 5e-7
+    assert abs(got.nmi - mi / math.sqrt(hr * hc)) <= 5e-7
