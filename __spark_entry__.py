@@ -980,6 +980,58 @@ FROM f
 """
 
 
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two order-status groups'
+    priority distributions (extensions/experiments.py js_divergence):
+    the categorical drift readout, bounded and symmetric, finite on
+    one-sided categories. One raw pass to checkpointed category cells;
+    O(|categories|) after."""
+    from hdp_tez_spark.extensions.experiments import js_divergence
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return js_divergence(orders, "o_orderstatus", "o_orderpriority", "F", "O")
+
+
+_SQL_JS_DIVERGENCE = """
+WITH base AS (
+  SELECT o_orderstatus AS g, o_orderpriority AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IN ('F', 'O')
+), cells AS (
+  SELECT c,
+         CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY c
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM cells
+), terms AS (
+  SELECT na, nb,
+         CASE WHEN ca > 0
+              THEN (ca / CAST(na AS DOUBLE)) / CAST(2.0 AS DOUBLE)
+                   * ln((ca / CAST(na AS DOUBLE))
+                        / ((ca / CAST(na AS DOUBLE)
+                            + cb / CAST(nb AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+              ELSE 0.0 END
+         + CASE WHEN cb > 0
+                THEN (cb / CAST(nb AS DOUBLE)) / CAST(2.0 AS DOUBLE)
+                     * ln((cb / CAST(nb AS DOUBLE))
+                          / ((ca / CAST(na AS DOUBLE)
+                              + cb / CAST(nb AS DOUBLE))
+                             / CAST(2.0 AS DOUBLE)))
+                ELSE 0.0 END AS term
+  FROM cells CROSS JOIN tot
+)
+SELECT na AS n_a, nb AS n_b,
+       round(greatest(sum(term), CAST(0.0 AS DOUBLE)), 6) AS js,
+       round(sqrt(greatest(sum(term), CAST(0.0 AS DOUBLE))), 6) AS js_dist
+FROM terms GROUP BY na, nb
+"""
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between order priority and status (extensions/
     experiments.py mutual_information): contingency cells checkpointed
@@ -7901,6 +7953,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kruskal_wallis": (q_kruskal_wallis, _SQL_KRUSKAL_WALLIS),
     "spearman_corr": (q_spearman_corr, _SQL_SPEARMAN_CORR),
     "mutual_information": (q_mutual_information, _SQL_MUTUAL_INFORMATION),
+    "js_divergence": (q_js_divergence, _SQL_JS_DIVERGENCE),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

@@ -184,6 +184,7 @@ HEADLINE = [
     "kruskal_wallis",
     "spearman_corr",
     "mutual_information",
+    "js_divergence",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -841,3 +841,70 @@ def mutual_information(
         F.round(F.col("__hr"), 6).alias("h_row"),
         F.round(F.col("__hc"), 6).alias("h_col"),
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Jensen-Shannon divergence (in nats) between two groups'
+    CATEGORICAL distributions — the bounded, symmetric drift readout
+    that completes the family: `psi_drift` for binned numerics,
+    `ks_test` for continuous CDFs, JS for category histograms (it stays
+    finite when a category appears in only one side, where KL blows
+    up). Output: ONE row (n_a, n_b, js, js_dist) with js in [0, ln 2],
+    js_dist = sqrt(js) (a true metric), both rounded to 6 dp.
+
+    Zero-mass categories contribute 0 by continuity (0 ln 0 = 0), so
+    only observed (group, category) cells are needed. NULL categories
+    and out-of-scope groups are excluded.
+
+    Scale shape: one partial-aggregated groupBy collapses the corpus to
+    (category) cells with per-group counts, checkpointed for its two
+    consumers (totals + the divergence sum); everything after the
+    single raw pass is O(|categories|). Probabilities are ratios of
+    exact integer counts; ln() last-bit differences sit ~10 orders
+    below the 6-dp rounding.
+    """
+    g = F.col(group_col)
+    c = F.col(cat_col)
+    base = df.where(c.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("__g"), c.alias("__c")
+    )
+    cells = (
+        base.groupBy("__c")
+        .agg(
+            F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias(
+                "__ca"
+            ),
+            F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias(
+                "__cb"
+            ),
+        )
+        .transform(truncate_lineage)
+    )
+    totals = cells.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    joined = cells.crossJoin(F.broadcast(totals))
+    p = F.col("__ca") / F.col("__na")
+    q = F.col("__cb") / F.col("__nb")
+    m = (p + q) / 2.0
+    # 0 ln 0 = 0 by continuity: guard each side's term on its count
+    term = F.when(
+        F.col("__ca") > 0, p / 2.0 * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("__cb") > 0, q / 2.0 * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    out = joined.groupBy("__na", "__nb").agg(F.sum(term).alias("__js"))
+    # float noise can push an identical-distribution JS a hair below 0
+    js = F.greatest(F.col("__js"), F.lit(0.0))
+    return out.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(js, 6).alias("js"),
+        F.round(F.sqrt(js), 6).alias("js_dist"),
+    )

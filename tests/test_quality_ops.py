@@ -1249,3 +1249,50 @@ def test_mutual_information_matches_independent_python(spark):
     assert got.n == n
     assert abs(got.mi - mi) <= 5e-7
     assert abs(got.nmi - mi / math.sqrt(hr * hc)) <= 5e-7
+
+
+def test_js_divergence_identities(spark):
+    import math
+
+    from hdp_tez_spark.extensions.experiments import js_divergence
+
+    # identical distributions -> JS = 0 exactly
+    same = spark.createDataFrame(
+        [("a", c) for c in "xxyy"] + [("b", c) for c in "xxyy"],
+        "g string, c string",
+    )
+    s = js_divergence(same, "g", "c", "a", "b").collect()[0]
+    assert (s.n_a, s.n_b, s.js, s.js_dist) == (4, 4, 0.0, 0.0)
+    # disjoint supports -> JS = ln 2 (the upper bound)
+    disj = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 7, "g string, c string"
+    )
+    d = js_divergence(disj, "g", "c", "a", "b").collect()[0]
+    assert d.js == round(math.log(2), 6)
+
+
+def test_js_divergence_matches_independent_python(spark):
+    import collections
+    import math
+
+    from hdp_tez_spark.extensions.experiments import js_divergence
+
+    rows = [("a", str(i % 5)) for i in range(200)] + [
+        ("b", str((i * i) % 7)) for i in range(150)
+    ]
+    ca = collections.Counter(c for g, c in rows if g == "a")
+    cb = collections.Counter(c for g, c in rows if g == "b")
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for c in set(ca) | set(cb):
+        p, q = ca.get(c, 0) / na, cb.get(c, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            js += p / 2 * math.log(p / m)
+        if q > 0:
+            js += q / 2 * math.log(q / m)
+    df = spark.createDataFrame(rows, "g string, c string").repartition(4)
+    r = js_divergence(df, "g", "c", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.js - js) <= 5e-7
+    assert abs(r.js_dist - math.sqrt(js)) <= 5e-7
