@@ -980,6 +980,40 @@ FROM f
 """
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order totalprice (extensions/analytics.py
+    gini_coefficient): exact sorted-rank identity over distinct value
+    cells with tie-exact arithmetic-series positions from the
+    distributed prefix_sum."""
+    from hdp_tez_spark.extensions.analytics import gini_coefficient
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return gini_coefficient(orders, "o_totalprice")
+
+
+_SQL_GINI = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL
+), cells AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY v
+), cum AS (
+  SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS hi
+  FROM cells
+), s AS (
+  SELECT sum(v * cnt * ((hi - cnt + 1) + hi) / CAST(2.0 AS DOUBLE)) AS sr
+  FROM cum
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(v * cnt) AS total FROM cells
+)
+SELECT n,
+       round(CASE WHEN total > 0
+                  THEN CAST(2.0 AS DOUBLE) * sr / (n * total)
+                       - (n + CAST(1.0 AS DOUBLE)) / n END, 6) AS gini
+FROM s, tot
+"""
+
+
 def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between two order-status groups'
     priority distributions (extensions/experiments.py js_divergence):
@@ -7954,6 +7988,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "spearman_corr": (q_spearman_corr, _SQL_SPEARMAN_CORR),
     "mutual_information": (q_mutual_information, _SQL_MUTUAL_INFORMATION),
     "js_divergence": (q_js_divergence, _SQL_JS_DIVERGENCE),
+    "gini": (q_gini, _SQL_GINI),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

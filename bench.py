@@ -185,6 +185,7 @@ HEADLINE = [
     "spearman_corr",
     "mutual_information",
     "js_divergence",
+    "gini",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -1207,3 +1207,67 @@ def grouped_auc(
             6,
         ).alias("auc"),
     ).orderBy(*group_cols)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative measure — the
+    single-number skew audit (0 = perfectly even, ->1 = one row holds
+    everything) for key-skew triage, revenue concentration, and token-
+    budget imbalance. Uses the exact sorted-rank identity
+
+        G = 2 * Σ(i * x_(i)) / (n * Σx) - (n + 1) / n
+
+    with ties handled exactly: a tie cell occupying positions lo..hi
+    contributes x * cnt * (lo + hi) / 2 (the arithmetic series), which
+    is rank-assignment invariant. Output: ONE row (n, gini), gini
+    rounded to 6 dp and NULL when the total mass is 0 (nothing to
+    concentrate). The raw total is deliberately NOT emitted: it is a
+    corpus-magnitude float sum whose 6-dp rounding sits inside
+    partition-order summation noise (the embedding_covariance lesson);
+    the gini RATIO of two such sums has ~1e-15 relative noise and is
+    safe. NULL values are excluded; negative values raise — Gini is
+    undefined for signed measures.
+
+    Scale shape: rows collapse to DISTINCT value cells (map-side
+    combined, checkpointed for the two consumers), the cumulative
+    positions come from the distributed `prefix_sum` (no single-task
+    window), and the statistic reduces from |distinct|-cell aggregates.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(v.alias("__v"))
+    cells = (
+        base.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .transform(truncate_lineage)
+    )
+    # validate on the CHECKPOINTED |distinct|-row cells, not the raw
+    # corpus — the eager checkpoint just materialized them, so this
+    # guard costs a metadata-sized scan instead of a second corpus pass
+    if cells.where(F.col("__v") < 0).limit(1).count():
+        raise ValueError(
+            f"gini_coefficient requires non-negative {value_col!r}"
+        )
+    cum = prefix_sum(cells, [F.col("__v")], "__cnt", "__hi")
+    lo = F.col("__hi") - F.col("__cnt") + 1
+    ranked = cum.agg(
+        F.sum(
+            F.col("__v") * F.col("__cnt") * (lo + F.col("__hi")) / 2.0
+        ).alias("__s")
+    )
+    totals = cells.agg(
+        F.sum("__cnt").alias("n"),
+        F.sum(F.col("__v") * F.col("__cnt")).alias("__tot"),
+    )
+    out = ranked.crossJoin(F.broadcast(totals))
+    n = F.col("n").cast("double")
+    g = 2.0 * F.col("__s") / (n * F.col("__tot")) - (n + 1.0) / n
+    return out.select(
+        "n",
+        F.round(F.when(F.col("__tot") > 0, g), 6).alias("gini"),
+    )

@@ -1296,3 +1296,36 @@ def test_js_divergence_matches_independent_python(spark):
     assert (r.n_a, r.n_b) == (na, nb)
     assert abs(r.js - js) <= 5e-7
     assert abs(r.js_dist - math.sqrt(js)) <= 5e-7
+
+
+def test_gini_known_and_independent(spark):
+    from hdp_tez_spark.extensions.analytics import gini_coefficient
+
+    # perfectly even -> 0
+    even = spark.createDataFrame([(5.0,)] * 8, "v double")
+    assert gini_coefficient(even, "v").collect()[0].gini == 0.0
+    # one row holds everything: G = (n-1)/n for [0,0,...,0,X]
+    conc = spark.createDataFrame([(0.0,)] * 9 + [(90.0,)], "v double")
+    r = gini_coefficient(conc, "v").collect()[0]
+    assert (r.n, r.gini) == (10, 0.9)
+    # independent python twin with ties, repartition-invariant
+    vals = [float((i * i) % 13) for i in range(200)]
+    xs = sorted(vals)
+    n = len(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (
+        n + 1
+    ) / n
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(7)
+    got = gini_coefficient(df, "v").collect()[0]
+    assert got.n == n and abs(got.gini - g) <= 5e-7
+    # negative values raise; zero total -> NULL
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gini_coefficient(
+            spark.createDataFrame([(-1.0,)], "v double"), "v"
+        )
+    z = gini_coefficient(
+        spark.createDataFrame([(0.0,), (0.0,)], "v double"), "v"
+    ).collect()[0]
+    assert z.gini is None
