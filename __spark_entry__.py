@@ -4426,6 +4426,72 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: tumbling per-hour event-type histograms
+    (streaming/windows.py stream_tumbling_agg over an availableNow
+    drain) post-processed by extensions/experiments.py windowed_js_drift
+    into one bounded JS number per window vs the pooled reference —
+    the curation-monitoring composition (absent categories contribute
+    their reference mass via the rebuilt grid)."""
+    from hdp_tez_spark.extensions.experiments import windowed_js_drift
+    from hdp_tez_spark.streaming import windows as WIN
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    sdf = _stage_single_file_stream(spark, ev, "hdp_tez_stream_drift_")
+    hist = WIN.stream_tumbling_agg(
+        sdf,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+        watermark="1 hour",
+    )
+    sink = _drain_to_table(spark, hist, "stream_drift_", "complete")
+    return windowed_js_drift(
+        sink, ["window_start"], "event_type", "cnt"
+    ).select("window_start", "n", "js")
+
+
+_SQL_STREAM_DRIFT = """
+WITH cells AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type AS cat,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), ref AS (
+  SELECT cat, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY cat
+), rn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS rn FROM cells
+), wt AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS wn FROM cells GROUP BY w
+), grid AS (
+  SELECT wt.w, wt.wn, ref.cat, ref.rc, COALESCE(cells.c, 0) AS c, rn.rn
+  FROM wt CROSS JOIN ref
+  LEFT JOIN cells ON cells.w = wt.w AND cells.cat = ref.cat
+  CROSS JOIN rn
+), terms AS (
+  SELECT w, wn,
+         CASE WHEN c > 0
+              THEN (c / CAST(wn AS DOUBLE)) / CAST(2.0 AS DOUBLE)
+                   * ln((c / CAST(wn AS DOUBLE))
+                        / ((c / CAST(wn AS DOUBLE)
+                            + rc / CAST(rn AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+              ELSE 0.0 END
+         + CASE WHEN rc > 0
+                THEN (rc / CAST(rn AS DOUBLE)) / CAST(2.0 AS DOUBLE)
+                     * ln((rc / CAST(rn AS DOUBLE))
+                          / ((c / CAST(wn AS DOUBLE)
+                              + rc / CAST(rn AS DOUBLE))
+                             / CAST(2.0 AS DOUBLE)))
+                ELSE 0.0 END AS term
+  FROM grid
+)
+SELECT w AS window_start, wn AS n,
+       round(greatest(sum(term), CAST(0.0 AS DOUBLE)), 6) AS js
+FROM terms GROUP BY w, wn ORDER BY w
+"""
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks x purchases within
     the prior 10 minutes), driven to completion with availableNow over a
@@ -7989,6 +8055,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mutual_information": (q_mutual_information, _SQL_MUTUAL_INFORMATION),
     "js_divergence": (q_js_divergence, _SQL_JS_DIVERGENCE),
     "gini": (q_gini, _SQL_GINI),
+    "stream_drift": (q_stream_drift, _SQL_STREAM_DRIFT),
     "minhash_lsh": (q_minhash_lsh, _SQL_MINHASH_LSH),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "global_sort": (q_global_sort, _SQL_GLOBAL_SORT),

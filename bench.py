@@ -186,6 +186,7 @@ HEADLINE = [
     "mutual_information",
     "js_divergence",
     "gini",
+    "stream_drift",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

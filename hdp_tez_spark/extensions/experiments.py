@@ -908,3 +908,73 @@ def js_divergence(
         F.round(js, 6).alias("js"),
         F.round(F.sqrt(js), 6).alias("js_dist"),
     )
+
+
+def windowed_js_drift(
+    df: DataFrame,
+    window_cols: Sequence[str],
+    cat_col: str,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-window Jensen-Shannon drift: each window's categorical
+    distribution vs the ALL-WINDOWS pooled reference — the monitoring
+    readout that turns a windowed histogram (e.g. a Structured
+    Streaming tumbling-count sink) into one bounded drift number per
+    window. `count_col=None` counts rows; otherwise rows are
+    pre-aggregated (window, category, count) cells. Output per window:
+    (window..., n, js) with js in [0, ln 2] rounded to 6 dp, ordered by
+    window. NULL categories are excluded.
+
+    Categories ABSENT from a window still contribute their reference
+    mass (q/2 · ln 2 at p=0) — the full window x category grid is
+    rebuilt from the two marginal tables, the chi_square_independence
+    pattern; omitting absent cells would understate drift exactly when
+    a category disappears, the event a monitor exists to catch.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the input to
+    (window, category) cells, checkpointed for its consumers; the
+    reference (|categories| rows) and window totals (|windows| rows)
+    are cell aggregates; the grid is windows x broadcast(categories) —
+    bounded by label cardinalities, independent of row count.
+    """
+    wc = [F.col(c) for c in window_cols]
+    if not window_cols:
+        raise ValueError("window_cols must be non-empty")
+    cnt = (
+        F.count(F.lit(1))
+        if count_col is None
+        else F.sum(F.col(count_col).cast("long"))
+    )
+    cells = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*wc, F.col(cat_col).alias("__cat"))
+        .agg(cnt.alias("__c"))
+        .transform(truncate_lineage)
+    )
+    ref = cells.groupBy("__cat").agg(F.sum("__c").alias("__rc"))
+    ref_tot = cells.agg(F.sum("__c").alias("__rn"))
+    win_tot = cells.groupBy(*window_cols).agg(F.sum("__c").alias("__wn"))
+    grid = (
+        win_tot.crossJoin(F.broadcast(ref))
+        .join(cells, [*window_cols, "__cat"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        .crossJoin(F.broadcast(ref_tot))
+    )
+    p = F.col("__c") / F.col("__wn")
+    q = F.col("__rc") / F.col("__rn")
+    m = (p + q) / 2.0
+    term = F.when(
+        F.col("__c") > 0, p / 2.0 * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("__rc") > 0, q / 2.0 * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy(*window_cols, "__wn")
+        .agg(F.sum(term).alias("__js"))
+        .select(
+            *window_cols,
+            F.col("__wn").alias("n"),
+            F.round(F.greatest(F.col("__js"), F.lit(0.0)), 6).alias("js"),
+        )
+        .orderBy(*window_cols)
+    )

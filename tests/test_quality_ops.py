@@ -1329,3 +1329,39 @@ def test_gini_known_and_independent(spark):
         spark.createDataFrame([(0.0,), (0.0,)], "v double"), "v"
     ).collect()[0]
     assert z.gini is None
+
+
+def test_windowed_js_drift_absent_category_counts(spark):
+    import math
+
+    from hdp_tez_spark.extensions.experiments import windowed_js_drift
+
+    # w1 has both cats evenly; w2 has ONLY cat x — its drift must
+    # include the reference mass of the absent cat y
+    rows = (
+        [("w1", "x")] * 5 + [("w1", "y")] * 5 + [("w2", "x")] * 10
+    )
+    df = spark.createDataFrame(rows, "w string, c string")
+    out = {r.w: r for r in windowed_js_drift(df, ["w"], "c").collect()}
+    assert out["w1"].n == 10 and out["w2"].n == 10
+    # independent python twin
+    def js(p, q):
+        s = 0.0
+        for pi, qi in zip(p, q):
+            m = (pi + qi) / 2
+            if pi > 0:
+                s += pi / 2 * math.log(pi / m)
+            if qi > 0:
+                s += qi / 2 * math.log(qi / m)
+        return s
+
+    ref = [15 / 20, 5 / 20]  # x, y pooled
+    assert abs(out["w1"].js - js([0.5, 0.5], ref)) <= 5e-7
+    assert abs(out["w2"].js - js([1.0, 0.0], ref)) <= 5e-7
+    # a window identical to the reference drifts less than w2
+    assert out["w1"].js < out["w2"].js
+    # validates empty window_cols
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windowed_js_drift(df, [], "c")
