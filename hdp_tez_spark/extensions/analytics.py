@@ -1155,6 +1155,10 @@ def grouped_auc(
     ranking data point, and keeping it would rank it at an
     engine-dependent extreme (Spark sorts NULLS FIRST, most SQL engines
     NULLS LAST), breaking the bit-stable-across-engines contract.
+    Rows with a NULL label are likewise excluded — an unlabeled row is
+    neither positive nor negative (counting it as negative, which
+    sum-skips-NULL arithmetic would silently do, biases AUC downward);
+    this mirrors binary_auc's contract.
 
     Scale shape: rows collapse to DISTINCT (group, score) cells with
     (count, positive-count) — the only raw-row pass. Within-group
@@ -1169,7 +1173,7 @@ def grouped_auc(
         raise ValueError("group_cols must be non-empty")
     gs = [F.col(c) for c in group_cols]
     cells = (
-        df.where(F.col(score_col).isNotNull())
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(
             *gs,
             F.col(score_col).alias("__score"),

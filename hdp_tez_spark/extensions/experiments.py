@@ -325,10 +325,13 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
     executors.
     """
     a, b = F.col(rater_a_col), F.col(rater_b_col)
+    # lineage-truncated: four consumers (row_tot, col_tot, n_df, po)
+    # hang off cells; without the cut each would re-scan the raw corpus
     cells = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("__a"), b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__o"))
+        .transform(truncate_lineage)
     )
     row_tot = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
     col_tot = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))

@@ -10,10 +10,12 @@ multimodal corpus:
   `mapInPandas`: Arrow ships whole record batches to Python once per
   batch, the worker loops in C-speed pandas, and the schema is declared
   up front so Catalyst can prune/push around the op;
-- real codec work (PIL/ffmpeg/soundfile) is STUBBED here — the
-  container has no media libraries — behind `_require_codec()`, with a
-  deterministic md5-based fake so the plumbing (schema, batching,
-  partitioning) is fully testable and oracle-checkable.
+- real codec work (PIL/ffmpeg/soundfile) is detected at import
+  (HAVE_REAL_CODECS): when an imaging library is present the resize
+  path decodes real pixels; when absent (this container), the
+  `_require_codec()` guard raises an honest NotImplementedError and a
+  deterministic md5-based fake keeps the plumbing (schema, batching,
+  partitioning) fully testable and oracle-checkable.
 
 The fake "decode" derives width/height/frames from the payload's md5,
 reproducible in SQL: width = 16*(1 + h0 % 120) with
@@ -39,7 +41,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-HAVE_REAL_CODECS = False  # flipped when PIL / soundfile / av are present
+try:  # runtime detection: the decode path lights up automatically if the
+    # environment ever gains an imaging library; absent one, the honest
+    # NotImplementedError stub below is the documented behavior
+    import PIL.Image as _PIL_Image  # noqa: F401
+
+    HAVE_REAL_CODECS = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_REAL_CODECS = False
 
 
 def _require_codec(name: str) -> None:
@@ -214,16 +223,39 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize stub: raises until a real imaging library is present.
+    """Resize images to `target` via PIL when an imaging library is
+    present (detected at import — HAVE_REAL_CODECS); raises the honest
+    NotImplementedError stub otherwise.
 
     The mapInPandas wiring (schema, batch iteration, target size capture)
-    is the real, reviewable part; only the pixel work is stubbed.
+    is always real and tested; only the pixel work needs the codec. The
+    real path re-encodes as PNG so the output bytes are deterministic
+    across PIL versions' default parameters.
     """
+    tw, th = target
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _require_codec("image")
-        for pdf in batches:  # pragma: no cover - unreachable until codecs exist
-            yield pdf
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out_bytes = []
+            for payload in pdf[payload_col]:
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    resized = im.resize((tw, th), Image.BILINEAR)
+                    buf = io.BytesIO()
+                    resized.save(buf, format="PNG")
+                    out_bytes.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "height": pd.Series([th] * len(pdf), dtype="int32"),
+                    "resized": out_bytes,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
 

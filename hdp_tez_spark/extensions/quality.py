@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
 _NUMERIC = (
     T.ByteType,
     T.ShortType,
@@ -364,7 +366,11 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     nothing. One partial-agg shuffle of <= 9 rows per partition.
     """
     x = F.abs(F.col(value_col).cast("double"))
-    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    # clamp into [1, 9]: for doubles just below a power of ten, libm
+    # log10 can round UP to the next integer, making the quotient < 1
+    # (digit 0) — such rows must not silently fall off the 1-9 spine
+    raw_digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    digit = F.least(F.greatest(raw_digit, F.lit(1)), F.lit(9))
     counts = (
         df.where(F.col(value_col).isNotNull() & (x > 0))
         .groupBy(digit.alias("digit"))
@@ -372,10 +378,13 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     )
     spark = df.sparkSession
     spine = spark.createDataFrame([(d,) for d in range(1, 10)], "digit int")
+    # lineage-truncated: both the total and the final select consume
+    # `joined`; without the cut each consumer re-scans the raw corpus
     joined = (
         F.broadcast(spine)
         .join(counts, "digit", "left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .transform(truncate_lineage)
     )
     total = joined.agg(F.sum("n").alias("__t"))
     expected = F.log10(1.0 + 1.0 / F.col("digit"))

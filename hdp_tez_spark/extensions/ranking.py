@@ -69,7 +69,7 @@ def tfidf_top_terms(
     )  # 1 row, cross-joined — never collected
     scored = (
         terms.join(doc_freq, "term")
-        .crossJoin(n_docs)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
@@ -126,7 +126,7 @@ def bm25_score(
     contrib = (
         terms.join(doc_freq, "term")
         .join(doc_len, id_col)
-        .crossJoin(stats)
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             (
@@ -256,7 +256,7 @@ def heavy_hitters(
     )
     total = toks.select(F.count(F.lit(1)).alias("__total"))
     return (
-        counted.crossJoin(total)
+        counted.crossJoin(F.broadcast(total))
         .where(F.col("cnt") * denom >= F.col("__total"))
         .select("term", "cnt")
     )

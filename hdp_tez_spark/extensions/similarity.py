@@ -573,10 +573,16 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     return merged.select(
         "i",
         "j",
-        F.round(
-            (F.col("s_xy") - F.col("s_x") * F.col("s_y") / F.col("n"))
-            / F.col("n"),
-            4,
+        # + 0.0 normalizes IEEE negative zero: a tiny negative covariance
+        # rounds to -0.0, which string-compares unequal to the oracle's
+        # +0.0 (or vice versa). -0.0 + 0.0 = +0.0 on both engines.
+        (
+            F.round(
+                (F.col("s_xy") - F.col("s_x") * F.col("s_y") / F.col("n"))
+                / F.col("n"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("cov"),
     ).orderBy("i", "j")
 

@@ -79,10 +79,37 @@ def test_fake_decode_is_deterministic(spark):
     assert rows[1] != rows[3]
 
 
-def test_resize_still_stubbed(spark):
+def test_resize_stubbed_without_codecs(spark):
+    from hdp_tez_spark.extensions.multimodal import HAVE_REAL_CODECS
+
+    if HAVE_REAL_CODECS:
+        pytest.skip("imaging library present — stub path not reachable")
     df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
     with pytest.raises(Exception) as ei:
         resize_images(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_resize_real_decode_when_codecs_present(spark):
+    """Skipped in codec-free containers; lights up automatically when
+    PIL exists: a real 4x4 PNG resizes to the 8x8 target and the output
+    payload is a decodable PNG of that size."""
+    from hdp_tez_spark.extensions.multimodal import HAVE_REAL_CODECS
+
+    if not HAVE_REAL_CODECS:
+        pytest.skip("no imaging library in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (250, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    )
+    row = resize_images(df, target=(8, 8)).collect()[0]
+    assert (row.width, row.height) == (8, 8)
+    with Image.open(io.BytesIO(bytes(row.resized))) as im:
+        assert im.size == (8, 8)

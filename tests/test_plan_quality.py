@@ -243,6 +243,17 @@ def test_bm25_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_ranking_scalar_crossjoins_broadcast(spark):
+    """The 1-row corpus-stat aggregates (N, avgdl, total) in tfidf/bm25/
+    heavy_hitters cross-join as explicit broadcasts: the plan must show
+    BroadcastNestedLoopJoin (never CartesianProduct), independent of AQE
+    inference."""
+    for q in ("tfidf_top_terms", "bm25", "heavy_hitters"):
+        plan = _plan(E.queries()[q](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" in plan, (q, plan)
+
+
 def test_chunk_documents_zero_shuffle(spark):
     """Chunking is pure map-side: no Exchange anywhere in the plan."""
     from hdp_tez_spark.extensions.curation import chunk_documents

@@ -100,6 +100,25 @@ def test_bpe_merges_sennrich_example(spark):
     ]
 
 
+def test_bpe_apply_merge_textbook_adjacent_repeats(spark):
+    """Textbook (Sennrich) greedy merge on repetitive text: 'aaaa'
+    becomes [aa, aa, </w>], not the under-merged [aa, a, a, </w>] a
+    single boundary-consuming replace() pass yields. Also the odd run:
+    'aaaaa' -> [aa, aa, a, </w>] (leftmost-greedy, leftover last)."""
+    from hdp_tez_spark.extensions.textstats import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaa"), (3, "abab")], "doc_id int, text string"
+    )
+    rows = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df, "doc_id", "text", [("a", "a")]).collect()
+    }
+    assert rows[1] == ["aa", "aa", "</w>"]
+    assert rows[2] == ["aa", "aa", "a", "</w>"]
+    assert rows[3] == ["a", "b", "a", "b", "</w>"]
+
+
 def test_bpe_merges_learned_rules_compose(spark):
     """A word dominated by repetition merges all the way to a single
     symbol within len(word) rounds, and each round's merged symbol is

@@ -4,10 +4,18 @@ Runs every `queries()` entry on Spark and its `oracle_sql()` twin on DuckDB
 against the same parquet tables, compares row count, schema (column names),
 and values (sorted columns + rows, float tolerance). Usage:
 
-    python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+    python tools/check_correctness.py [--vanilla] [--exact] [sf_dir] [query ...]
 
 --vanilla runs the queries on an untuned SparkSession (default-memory JVM,
 no AQE profile) — the exact session the external driver uses.
+
+--exact replaces the tolerance-based float comparison with the driver's
+actual semantics: canonicalize (sort columns by name, rows by value),
+stringify every cell, compare strings. This catches the classes of bug
+tolerance hides — `-0.0` vs `0.0` (IEEE negative zero survives round()),
+`5` vs `5.0` dtype splits, and float formatting drift — which is exactly
+how `embedding_covariance` stayed red for two rounds while the tolerant
+gate passed it (r05 verdict: 64/2080 cells differed only in zero sign).
 """
 
 from __future__ import annotations
@@ -83,10 +91,56 @@ def driver_fidelity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str
                 "compares '5' vs '5.0'; align types (cast HUGEINT sums to "
                 "BIGINT in the oracle)"
             )
+        if s_flt and d_flt:
+            # IEEE negative zero: round(tiny_negative, k) -> -0.0, which
+            # str()s as '-0.0' and breaks the driver's string hash against
+            # a '+0.0' on the other side even though -0.0 == 0.0 floats.
+            sn = int(np.sum(np.signbit(spark_pdf[c].to_numpy(dtype=float))
+                            & (spark_pdf[c].to_numpy(dtype=float) == 0.0)))
+            dn = int(np.sum(np.signbit(duck_pdf[c].to_numpy(dtype=float))
+                            & (duck_pdf[c].to_numpy(dtype=float) == 0.0)))
+            if sn != dn:
+                problems.append(
+                    f"col {c}: negative-zero cells spark={sn} duck={dn} — "
+                    "driver hashes '-0.0' != '0.0'; normalize with + 0.0 "
+                    "on both sides"
+                )
     return problems
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def _col_str(s: pd.Series) -> pd.Series:
+    """Column-level astype(str) — the driver's canonical string form.
+    This matters: per-cell str() prints a midnight datetime64 as
+    '2024-01-01 00:00:00' while astype(str) prints '2024-01-01' (same as
+    a datetime.date cell), and the r05 driver hashed Spark DATE vs
+    DuckDB DATE-as-datetime64 columns equal — so astype(str) is the
+    faithful form. NULLs: None -> 'None', NaN -> 'nan' on both sides."""
+    return s.astype(str)
+
+
+def exact_compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Driver-faithful compare: stringify every canonical cell, demand
+    byte equality. `a`/`b` must already be canonical()-ized."""
+    problems = []
+    for c in a.columns:
+        av = _col_str(a[c]).to_numpy()
+        bv = _col_str(b[c]).to_numpy()
+        neq = av != bv
+        if neq.any():
+            i = int(np.argmax(neq))
+            problems.append(
+                f"col {c}: exact {av[i]!r} != {bv[i]!r} at sorted-row {i} "
+                f"({int(neq.sum())} mismatched cells)"
+            )
+    return problems
+
+
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    exact: bool = False,
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -98,6 +152,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     problems.extend(driver_fidelity(spark_pdf, duck_pdf))
     a, b = canonical(spark_pdf), canonical(duck_pdf)
+    if exact:
+        problems.extend(exact_compare(a, b))
+        return problems
     for c in a.columns:
         av, bv = a[c], b[c]
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
@@ -116,8 +173,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--exact")]
     vanilla = "--vanilla" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if vanilla:
@@ -152,7 +210,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = compare(name, sdf, ddf)
+        problems = compare(name, sdf, ddf, exact=exact)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
