@@ -1,0 +1,76 @@
+"""Pin the local correctness gate's driver-fidelity semantics.
+
+The gate (tools/check_correctness.py) must be a faithful replica of the
+external driver's compare, or bug classes survive locally and surface as
+red driver rows one round later (embedding_covariance: two rounds red
+because float tolerance hid a -0.0 vs 0.0 string split). These tests pin
+the --exact mode and the fidelity checks against exactly those classes.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+_TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "check_correctness.py",
+)
+
+
+@pytest.fixture(scope="module")
+def tool():
+    spec = importlib.util.spec_from_file_location("check_correctness", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["check_correctness"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_exact_mode_catches_negative_zero(tool):
+    a = pd.DataFrame({"cov": [0.0, 1.5]})
+    b = pd.DataFrame({"cov": [-0.0, 1.5]})
+    # the floats compare equal (-0.0 == 0.0), but the driver's string
+    # hash does not: BOTH modes must flag it — tolerance mode via the
+    # driver_fidelity negative-zero count, exact mode via the cell diff
+    tolerant = tool.compare("q", a, b)
+    assert tolerant and "negative-zero" in tolerant[0]
+    problems = tool.compare("q", a, b, exact=True)
+    assert problems and any("-0.0" in p for p in problems)
+
+
+def test_fidelity_flags_negative_zero_imbalance(tool):
+    a = pd.DataFrame({"x": [0.0]})
+    b = pd.DataFrame({"x": [-0.0]})
+    probs = tool.driver_fidelity(a, b)
+    assert any("negative-zero" in p for p in probs)
+
+
+def test_exact_mode_matches_date_vs_midnight_datetime(tool):
+    """Spark DATE comes back as datetime.date objects; DuckDB DATE as
+    datetime64. The driver hashed these equal in r05, so --exact must
+    too (column-level astype(str) prints both as '2024-01-01')."""
+    import datetime
+
+    a = pd.DataFrame({"d": [datetime.date(2024, 1, 1)]})
+    b = pd.DataFrame({"d": pd.to_datetime(["2024-01-01"])})
+    assert tool.exact_compare(tool.canonical(a), tool.canonical(b)) == []
+
+
+def test_exact_mode_catches_int_float_split(tool):
+    a = pd.DataFrame({"n": np.array([5], dtype="int64")})
+    b = pd.DataFrame({"n": np.array([5.0], dtype="float64")})
+    problems = tool.exact_compare(tool.canonical(a), tool.canonical(b))
+    assert problems and "'5'" in problems[0] and "'5.0'" in problems[0]
+
+
+def test_exact_mode_passes_identical_frames(tool):
+    a = pd.DataFrame({"k": ["x", "y"], "v": [1.25, -0.5]})
+    b = pd.DataFrame({"k": ["y", "x"], "v": [-0.5, 1.25]})  # row order differs
+    assert tool.compare("q", a, b, exact=True) == []
