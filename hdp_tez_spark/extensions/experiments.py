@@ -145,7 +145,13 @@ def cuped_adjust(
     covariate failed to explain.
 
     Output: (group..., n, theta, mean_raw, var_raw, var_adj,
-    var_reduction) rounded to 6 dp; theta NULL when var(x) is 0.
+    var_reduction); theta/mean/reduction rounded to 6 dp, the VARIANCE
+    columns to 2 dp — variances of money-scale metrics sit at ~1e9,
+    where 6 dp is 15+ significant digits and partition-order summation
+    noise flips the last printed digit (caught by the sf0.001 --exact
+    sweep: var_raw ...337122 vs ...337123). 2 dp keeps >=100x headroom
+    over the ~1e-6 absolute float noise while losing nothing an
+    experiment dashboard reads. theta NULL when var(x) is 0.
 
     The adjusted per-row values are recoverable map-side by joining the
     |groups|-row theta table back (broadcast) — this operator returns
@@ -187,8 +193,8 @@ def cuped_adjust(
         "n",
         F.round(theta, 6).alias("theta"),
         F.round(my, 6).alias("mean_raw"),
-        F.round(var_y, 6).alias("var_raw"),
-        F.round(var_adj, 6).alias("var_adj"),
+        F.round(var_y, 2).alias("var_raw"),
+        F.round(var_adj, 2).alias("var_adj"),
         F.round(reduction, 6).alias("var_reduction"),
     ).orderBy(*group_cols)
 
