@@ -834,6 +834,44 @@ def test_benford_audit_known_distribution(spark):
     assert tiny_out == {4: 1, 5: 1}
 
 
+def test_benford_audit_conserves_rows_near_power_of_ten(spark):
+    """Values sitting a hair below a power of ten can make libm log10
+    round UP, yielding leading digit 0; the [1,9] clamp must keep such
+    rows on the spine instead of silently dropping them from n and the
+    chi-square total. Invariant: sum(n) == count of non-null, non-zero
+    inputs, whatever libm did."""
+    from hdp_tez_spark.extensions.quality import benford_audit
+
+    rows = [
+        (999.9999999999999,),
+        (99.99999999999999,),
+        (9.999999999999998,),
+        (1000.0,),
+        (1.0,),
+        (0.09999999999999999,),
+        (None,),
+        (0.0,),
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_audit(df, "v").collect()
+    assert sum(r.n for r in out) == 6  # every non-null non-zero row kept
+    assert {r.digit for r in out} == set(range(1, 10))
+
+
+def test_grouped_auc_excludes_null_labels(spark):
+    """A NULL label is neither positive nor negative: the row must not
+    inflate n_neg (sum() skips the NULL but count() would keep the row).
+    AUC over {(0.1,0),(0.9,1)} plus a NULL-labeled row must equal the
+    AUC without it."""
+    from hdp_tez_spark.extensions.analytics import grouped_auc
+
+    base = [("g", 0.1, 0), ("g", 0.9, 1)]
+    with_null = base + [("g", 0.5, None)]
+    df = spark.createDataFrame(with_null, "g string, s double, y int")
+    out = grouped_auc(df, ["g"], "s", "y").collect()[0]
+    assert (out.n_pos, out.n_neg, out.auc) == (1, 1, 1.0)
+
+
 def test_acf_known_series(spark):
     import numpy as np
 
