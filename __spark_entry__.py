@@ -27,19 +27,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_STAGING_CLEANUP_REGISTERED: set[str] = set()
+
+
 def _staging_path(name: str, sf_dir: str) -> str:
-    """Stable per-process staging dir for queries that round-trip data
-    through a non-parquet format. A fresh mkdtemp per invocation leaked
-    a full table copy to /tmp on every bench/correctness run; a fixed
-    path keyed on (query, sf) plus mode=overwrite writes reuse one dir
-    per session and across runs."""
+    """Per-process staging dir for queries that round-trip data through
+    a non-parquet format. A fresh mkdtemp per INVOCATION leaked a full
+    table copy to /tmp per bench/correctness run; a process-global path
+    would race two concurrent sessions (one session's mode=overwrite
+    delete under another session's scan). So: keyed on (query, sf, PID)
+    — concurrent processes never share a dir, repeat invocations within
+    a process reuse one dir via mode=overwrite — and removed at
+    interpreter exit so normal runs leave /tmp clean."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"hdp_tez_stage_{name}_{key}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"hdp_tez_stage_{name}_{key}_{os.getpid()}"
+    )
     os.makedirs(d, exist_ok=True)
+    if d not in _STAGING_CLEANUP_REGISTERED:
+        _STAGING_CLEANUP_REGISTERED.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 
@@ -6739,7 +6752,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdp_tez_spark.extensions.experiments import cuped_adjust
 
     li = _t(spark, sf_dir, "lineitem")
-    return cuped_adjust(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    # var_dp=2: extendedprice variance is ~1e9, where 6 dp would print
+    # 15+ significant digits and float summation noise flips the last
+    return cuped_adjust(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", var_dp=2
+    )
 
 
 _SQL_CUPED = """
@@ -7730,14 +7747,17 @@ _SQL_BENFORD_AUDIT = """
 WITH v AS (
   SELECT abs(o_totalprice::DOUBLE) AS x FROM orders
   WHERE o_totalprice IS NOT NULL AND abs(o_totalprice::DOUBLE) > 0
+    AND isfinite(o_totalprice::DOUBLE)
 ),
 d AS (
-  -- least/greatest clamp mirrors benford_audit: libm log10 can round up
-  -- at power-of-ten boundaries, yielding digit 0 that must stay in-spine
-  SELECT least(greatest(
-           CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT), 1), 9) AS digit,
+  -- boundary repair mirrors benford_audit: libm log10 rounding UP at a
+  -- power-of-ten boundary makes the raw digit 0 (a true leading 9);
+  -- rounding DOWN makes it 10 (a true leading 1)
+  SELECT CASE WHEN rd <= 0 THEN 9 WHEN rd >= 10 THEN 1 ELSE rd END AS digit,
          count(*) AS n
-  FROM v GROUP BY 1
+  FROM (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS rd
+        FROM v)
+  GROUP BY 1
 ),
 sp AS (SELECT CAST(r + 1 AS INT) AS digit FROM range(9) t(r)),
 j AS (

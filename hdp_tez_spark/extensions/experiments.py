@@ -136,6 +136,7 @@ def cuped_adjust(
     group_cols: Sequence[str],
     metric_col: str,
     covariate_col: str,
+    var_dp: int = 6,
 ) -> DataFrame:
     """CUPED variance reduction: adjust a metric by a pre-experiment
     covariate, y_adj = y - theta * (x - mean(x)), with
@@ -146,12 +147,13 @@ def cuped_adjust(
 
     Output: (group..., n, theta, mean_raw, var_raw, var_adj,
     var_reduction); theta/mean/reduction rounded to 6 dp, the VARIANCE
-    columns to 2 dp — variances of money-scale metrics sit at ~1e9,
-    where 6 dp is 15+ significant digits and partition-order summation
-    noise flips the last printed digit (caught by the sf0.001 --exact
-    sweep: var_raw ...337122 vs ...337123). 2 dp keeps >=100x headroom
-    over the ~1e-6 absolute float noise while losing nothing an
-    experiment dashboard reads. theta NULL when var(x) is 0.
+    columns to `var_dp` decimals (default 6 — right for unit-scale
+    metrics like conversion rates). Pick var_dp by metric scale: the
+    printed precision must leave >=100x headroom over float summation
+    noise, which for a money-scale metric (var ~1e9, 15+ significant
+    digits at 6 dp) means var_dp=2 — the sf0.001 --exact sweep caught
+    partition order flipping the last 6-dp digit there (...337122 vs
+    ...337123). theta NULL when var(x) is 0.
 
     The adjusted per-row values are recoverable map-side by joining the
     |groups|-row theta table back (broadcast) — this operator returns
@@ -193,8 +195,8 @@ def cuped_adjust(
         "n",
         F.round(theta, 6).alias("theta"),
         F.round(my, 6).alias("mean_raw"),
-        F.round(var_y, 2).alias("var_raw"),
-        F.round(var_adj, 2).alias("var_adj"),
+        F.round(var_y, var_dp).alias("var_raw"),
+        F.round(var_adj, var_dp).alias("var_adj"),
         F.round(reduction, 6).alias("var_reduction"),
     ).orderBy(*group_cols)
 

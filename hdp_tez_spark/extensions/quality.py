@@ -352,8 +352,8 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     columns (amounts, populations, counts spanning magnitudes follow
     log10(1 + 1/d); synthetic or capped data usually doesn't).
 
-    Rows with NULL or zero values carry no leading digit and are
-    excluded. Output: one row per digit 1-9 (digits absent from the
+    Rows with NULL, zero, or non-finite (NaN/Infinity) values carry no
+    leading digit and are excluded. Output: one row per digit 1-9 (digits absent from the
     data still appear, n = 0): (digit, n, share, expected, chi2_term)
     where chi2_term = n_total * (share - expected)^2 / expected — sum
     the column for the chi-square statistic against Benford (8 dof).
@@ -366,13 +366,26 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     nothing. One partial-agg shuffle of <= 9 rows per partition.
     """
     x = F.abs(F.col(value_col).cast("double"))
-    # clamp into [1, 9]: for doubles just below a power of ten, libm
-    # log10 can round UP to the next integer, making the quotient < 1
-    # (digit 0) — such rows must not silently fall off the 1-9 spine
+    # Boundary repair, not a blind clamp: for doubles a hair below a
+    # power of ten (true leading digit 9), libm log10 can round UP to
+    # the next integer, making the quotient < 1 and the raw digit 0 —
+    # the row belongs to digit NINE. Symmetrically, if log10 of a value
+    # at/above a power of ten rounds DOWN, the quotient reaches 10 and
+    # the row belongs to digit ONE. Such rows must stay on the 1-9
+    # spine under their TRUE digit, not fall off or land clamped to the
+    # wrong end.
     raw_digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
-    digit = F.least(F.greatest(raw_digit, F.lit(1)), F.lit(9))
+    digit = (
+        F.when(raw_digit <= 0, F.lit(9))
+        .when(raw_digit >= 10, F.lit(1))
+        .otherwise(raw_digit)
+    )
+    # NaN sorts above everything in Spark so it would pass x > 0, and
+    # Infinity yields a NaN quotient; both non-finite classes carry no
+    # leading digit and are excluded (mirrored by isfinite() in oracles)
+    finite = ~F.isnan(x) & (x != F.lit(float("inf")))
     counts = (
-        df.where(F.col(value_col).isNotNull() & (x > 0))
+        df.where(F.col(value_col).isNotNull() & (x > 0) & finite)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -834,28 +834,32 @@ def test_benford_audit_known_distribution(spark):
     assert tiny_out == {4: 1, 5: 1}
 
 
-def test_benford_audit_conserves_rows_near_power_of_ten(spark):
-    """Values sitting a hair below a power of ten can make libm log10
-    round UP, yielding leading digit 0; the [1,9] clamp must keep such
-    rows on the spine instead of silently dropping them from n and the
-    chi-square total. Invariant: sum(n) == count of non-null, non-zero
-    inputs, whatever libm did."""
+def test_benford_audit_true_digit_at_power_of_ten_boundaries(spark):
+    """Values a hair below a power of ten make libm log10 round UP
+    (raw digit 0): those are TRUE leading-9 rows and must count under
+    digit 9, not drop off the spine or clamp to 1. NaN/Infinity carry
+    no leading digit and are excluded (NaN sorts above everything in
+    Spark, so a plain x > 0 filter would keep it)."""
     from hdp_tez_spark.extensions.quality import benford_audit
 
     rows = [
-        (999.9999999999999,),
-        (99.99999999999999,),
-        (9.999999999999998,),
+        (999.9999999999999,),  # log10 -> 3.0 exactly: raw digit 0
+        (99.99999999999999,),  # same boundary, true digit 9
+        (9.999999999999998,),  # log10 < 1: raw digit 9 already
+        (0.09999999999999999,),  # sub-1 boundary, true digit 9
         (1000.0,),
         (1.0,),
-        (0.09999999999999999,),
         (None,),
         (0.0,),
+        (float("nan"),),
+        (float("inf"),),
     ]
     df = spark.createDataFrame(rows, "v double")
-    out = benford_audit(df, "v").collect()
-    assert sum(r.n for r in out) == 6  # every non-null non-zero row kept
-    assert {r.digit for r in out} == set(range(1, 10))
+    out = {r.digit: r.n for r in benford_audit(df, "v").collect()}
+    assert sum(out.values()) == 6  # NULL/zero/NaN/Inf excluded
+    assert out[9] == 4
+    assert out[1] == 2
+    assert set(out) == set(range(1, 10))
 
 
 def test_grouped_auc_excludes_null_labels(spark):

@@ -95,10 +95,10 @@ def driver_fidelity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str
             # IEEE negative zero: round(tiny_negative, k) -> -0.0, which
             # str()s as '-0.0' and breaks the driver's string hash against
             # a '+0.0' on the other side even though -0.0 == 0.0 floats.
-            sn = int(np.sum(np.signbit(spark_pdf[c].to_numpy(dtype=float))
-                            & (spark_pdf[c].to_numpy(dtype=float) == 0.0)))
-            dn = int(np.sum(np.signbit(duck_pdf[c].to_numpy(dtype=float))
-                            & (duck_pdf[c].to_numpy(dtype=float) == 0.0)))
+            sa = spark_pdf[c].to_numpy(dtype=float)
+            da = duck_pdf[c].to_numpy(dtype=float)
+            sn = int(np.sum(np.signbit(sa) & (sa == 0.0)))
+            dn = int(np.sum(np.signbit(da) & (da == 0.0)))
             if sn != dn:
                 problems.append(
                     f"col {c}: negative-zero cells spark={sn} duck={dn} — "
