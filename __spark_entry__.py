@@ -6778,14 +6778,18 @@ m AS (
   FROM s
 )
 SELECT l_returnflag, n,
-       round(CASE WHEN var_x > 0 THEN cov / var_x END, 6) AS theta,
+       -- + CAST(0 AS DOUBLE) normalizes IEEE -0.0: DuckDB's round keeps
+       -- the sign of a tiny negative, Spark's round does not, and these
+       -- subtraction-derived quantities can sit a float ulp below zero
+       round(CASE WHEN var_x > 0 THEN cov / var_x END, 6)
+         + CAST(0 AS DOUBLE) AS theta,
        round(my, 6) AS mean_raw,
        round(var_y, 2) AS var_raw,
        round(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x
-                  ELSE var_y END, 2) AS var_adj,
+                  ELSE var_y END, 2) + CAST(0 AS DOUBLE) AS var_adj,
        round(CASE WHEN var_x > 0 AND var_y > 0
                   THEN 1.0 - (var_y - cov * cov / var_x) / var_y
-                  ELSE 0.0 END, 6) AS var_reduction
+                  ELSE 0.0 END, 6) + CAST(0 AS DOUBLE) AS var_reduction
 FROM m ORDER BY l_returnflag
 """
 
