@@ -57,6 +57,24 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def test_registry_driver_contract_invariants():
+    """The external driver verifies exactly the first 50 _REGISTRY
+    entries against their oracles. Rotations must never shrink the
+    prefix below 50 oracle-backed queries, duplicate a name, or leave a
+    callable/SQL hole — any of which silently weakens the round's
+    correctness evidence."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    assert len(names) >= 50
+    for name in names[:50]:
+        assert callable(QUERIES[name]), name
+        sql = ORACLES.get(name)
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), (
+            f"prefix query {name} lacks a DuckDB oracle — the driver "
+            "records only a weak rows-only check for it"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_SMOKE).toPandas()

@@ -641,3 +641,49 @@ def test_woe_iv_contributions_sum_to_nonnegative_iv(spark, rows):
     iv = sum(r.iv_contrib for r in out)
     assert iv >= -1e-9
     assert sum(r.n for r in out) == len(rows)
+
+
+# -- BPE merge: the separator-doubling replace must equal textbook BPE --
+
+_BPE_SYMBOLS = st.sampled_from(["a", "b", "aa", "ab", "aab", "</w>"])
+
+
+def _textbook_merge(seq: str, left: str, right: str) -> str:
+    """Sennrich reference: left-to-right greedy single-pass pair merge."""
+    syms = seq.split(" ")
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
+def _doubling_merge(seq: str, left: str, right: str) -> str:
+    """Python mirror of textstats._apply_merge's replace chain — same
+    string ops, so Python/JVM/SQL agree by construction."""
+    s = " " + seq.replace(" ", "  ") + " "
+    s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+    return s.replace("  ", " ").strip()
+
+
+@given(
+    syms=st.lists(_BPE_SYMBOLS, min_size=1, max_size=12),
+    left=_BPE_SYMBOLS,
+    right=_BPE_SYMBOLS,
+)
+@settings(max_examples=3000, deadline=None)
+def test_bpe_doubling_merge_equals_textbook(syms, left, right):
+    """Pure-Python property (no Spark per example, so thousands of
+    cases are cheap): the separator-doubling replace chain used by
+    textstats._apply_merge is EXACTLY the textbook left-to-right greedy
+    merge, including adjacent repeats ('a a a a a') and self-referencing
+    rules like (a, aa). The Spark-side expression is the same string
+    algebra (tested on samples in test_textstats_extra)."""
+    seq = " ".join(syms)
+    assert _doubling_merge(seq, left, right) == _textbook_merge(
+        seq, left, right
+    )
