@@ -27,32 +27,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_STAGING_CLEANUP_REGISTERED: set[str] = set()
+def _scratch_dir(prefix: str) -> str:
+    """Unique-per-invocation scratch dir, removed at interpreter exit.
 
-
-def _staging_path(name: str, sf_dir: str) -> str:
-    """Per-process staging dir for queries that round-trip data through
-    a non-parquet format. A fresh mkdtemp per INVOCATION leaked a full
-    table copy to /tmp per bench/correctness run; a process-global path
-    would race two concurrent sessions (one session's mode=overwrite
-    delete under another session's scan). So: keyed on (query, sf, PID)
-    — concurrent processes never share a dir, repeat invocations within
-    a process reuse one dir via mode=overwrite — and removed at
-    interpreter exit so normal runs leave /tmp clean."""
+    Every query that stages data in a temp dir uses this instead of a
+    bare `tempfile.mkdtemp`: uniqueness preserves the contract that a
+    DataFrame returned by an earlier invocation stays readable (a reused
+    dir + mode=overwrite would delete the files that DataFrame pinned at
+    read time, and a reused STREAMING source/checkpoint dir would replay
+    stale files), while the atexit cleanup keeps /tmp from accumulating
+    a table copy per bench/correctness invocation — the round-5 leak."""
     import atexit
-    import hashlib
-    import os
     import shutil
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"hdp_tez_stage_{name}_{key}_{os.getpid()}"
-    )
-    os.makedirs(d, exist_ok=True)
-    if d not in _STAGING_CLEANUP_REGISTERED:
-        _STAGING_CLEANUP_REGISTERED.add(d)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 
@@ -4224,13 +4214,12 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle; file-level span pruning is pinned in
     tests/test_layout.py. Reference parity: Hive CLUSTERED BY layered on
     Tez's MROutput committer (tez-mapreduce/.../output/MROutput.java:81)."""
-    import tempfile
 
     from hdp_tez_spark.sources.layout import zorder_by
 
     part = _t(spark, sf_dir, "part")
     zdf = zorder_by(part, ["p_size", "p_retailprice"], bits=8, partitions=8)
-    out = tempfile.mkdtemp(prefix="hdp_tez_zorder_")
+    out = _scratch_dir("hdp_tez_zorder_")
     zdf.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy(F.shiftright(F.col("__z"), 10).alias("zbucket")).agg(
@@ -4268,12 +4257,11 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted copy — proving the rewrite is lossless — plus the
     file-count invariant. Exact target file count is size-dependent, so
     it is pinned in tests/test_layout.py, not here."""
-    import tempfile
 
     from hdp_tez_spark.sources.layout import compact_small_files
 
     part = _t(spark, sf_dir, "part")
-    d = tempfile.mkdtemp(prefix="hdp_tez_compact_") + "/part"
+    d = _scratch_dir("hdp_tez_compact_") + "/part"
     part.repartition(64).write.mode("overwrite").parquet(d)
     n_after = compact_small_files(spark, d, target_bytes=8 << 20)
     back = spark.read.parquet(d)
@@ -4359,9 +4347,8 @@ def _stage_single_file_stream(spark: SparkSession, df: DataFrame, prefix: str) -
     stream over it. One file -> one availableNow data batch, so no
     cross-batch watermark drops; the serial coalesce(1) is the staging
     cost, so prune `df` to the needed columns first."""
-    import tempfile
 
-    src = tempfile.mkdtemp(prefix=prefix)
+    src = _scratch_dir(prefix)
     df.coalesce(1).write.mode("overwrite").parquet(src)
     return spark.readStream.schema(df.schema).parquet(src)
 
@@ -4565,7 +4552,6 @@ def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-MROutput case). The returned table is read back FROM THE
     COMMITTED SINKS, so a green row proves the staging+rename commit
     actually published both outputs."""
-    import tempfile
 
     from hdp_tez_spark.plans.pipeline import SCATTER_GATHER, Pipeline
 
@@ -4573,7 +4559,7 @@ def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    base = tempfile.mkdtemp(prefix="hdp_tez_dag_")
+    base = _scratch_dir("hdp_tez_dag_")
     p1, p2 = f"{base}/rev_by_priority", f"{base}/rev_by_flag"
     p = Pipeline("dag_pipeline")
     p.source("orders", orders).source("lineitem", li)
@@ -4710,7 +4696,6 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file copy the snapshot equals the batch latest-wins result —
     the oracle's check. The micro-batch MERGE surface Hive-on-Tez users
     run as nightly batch (SURVEY §2.7), at streaming latency."""
-    import tempfile
     import uuid
 
     from hdp_tez_spark.streaming.sinks import read_snapshot, stream_merge_upsert
@@ -4722,11 +4707,11 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
         F.col("event_id").alias("seq"),
     )
-    src = tempfile.mkdtemp(prefix="hdp_tez_cdc_src_")
+    src = _scratch_dir("hdp_tez_cdc_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sdf = spark.readStream.schema(ev.schema).parquet(src)
-    base = tempfile.mkdtemp(prefix="hdp_tez_cdc_tbl_") + f"/t_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="hdp_tez_cdc_ckpt_")
+    base = _scratch_dir("hdp_tez_cdc_tbl_") + f"/t_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch_dir("hdp_tez_cdc_ckpt_")
     with _stream_state_partitions(spark):
         q = (
             stream_merge_upsert(sdf, base, ["user_id"], "seq", ckpt)
@@ -4886,13 +4871,12 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — which must equal the batch groupBy aggregate, the oracle's
     check. Reference contrast: Tez's processor API has no managed state
     (SURVEY §2.10); this is the Spark-native stateful surface."""
-    import tempfile
     import uuid
 
     from hdp_tez_spark.streaming.stateful import running_totals
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_state_")
+    src = _scratch_dir("hdp_tez_stream_state_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sdf = spark.readStream.schema(ev.schema).parquet(src)
     res = running_totals(sdf, ["event_type"], "value", "event_type string")
@@ -5428,13 +5412,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees equals batch DISTINCT — exactly what the oracle checks.
     Beyond-reference extension (streaming unsupported in the reference,
     EdgeProperty.java:71-102; SURVEY §2.9)."""
-    import tempfile
     import uuid
 
     from hdp_tez_spark.streaming import windows as WIN
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    src = tempfile.mkdtemp(prefix="hdp_tez_stream_dedup_")
+    src = _scratch_dir("hdp_tez_stream_dedup_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sdf = spark.readStream.schema(ev.schema).parquet(src)
     res = WIN.stream_dedup(
@@ -5887,12 +5870,11 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     value>5 rows. Reading the table back proves partition isolation: the
     click partition holds the filtered subset, every other partition is
     untouched — a static overwrite would have truncated them all."""
-    import tempfile
 
     from hdp_tez_spark.sources.catalog import insert_overwrite_partitions
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="hdp_tez_dynpart_") + "/events_by_type"
+    path = _scratch_dir("hdp_tez_dynpart_") + "/events_by_type"
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     clicks_kept = ev.where(
         (F.col("event_type") == "click") & (F.col("value") > 5)
@@ -6126,14 +6108,13 @@ def q_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     that day). The final state must equal a direct aggregation of the
     raw events — which is what the oracle computes. Hive-on-Tez daily
     INSERT OVERWRITE rollup parity (MROutput per-partition commit)."""
-    import tempfile
 
     from hdp_tez_spark.extensions.matview import apply_delta, read_rollup
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
-    state = tempfile.mkdtemp(prefix="hdp_tez_rollup_") + "/state"
+    state = _scratch_dir("hdp_tez_rollup_") + "/state"
     first = ev.where(F.col("day") < "2024-01-16")
     second = ev.where(F.col("day") >= "2024-01-16")
     redeliver = ev.where(F.col("day") == "2024-01-10")
@@ -6170,10 +6151,9 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL. The evolving-table reality of any long-lived 100 TB dataset;
     Tez reads such tables through per-split InputFormat schemas
     (MRInput / MultiMRInput, SURVEY §2.1)."""
-    import tempfile
 
     ords = _t(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="hdp_tez_schevo_") + "/orders_evolved"
+    base = _scratch_dir("hdp_tez_schevo_") + "/orders_evolved"
     ords.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey"
     ).write.parquet(f"{base}/gen=1")
@@ -6208,7 +6188,7 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("qty")
     )
-    path = _staging_path("csv", sf_dir) + "/lineitem_csv"
+    path = _scratch_dir("hdp_tez_csv_") + "/lineitem_csv"
     li.write.mode("overwrite").option("header", "true").csv(path)
     back = (
         spark.read.option("header", "true")
@@ -6243,7 +6223,7 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority", F.col("o_custkey").cast("long").alias("ck")
     )
-    path = _staging_path("json", sf_dir) + "/orders_json"
+    path = _scratch_dir("hdp_tez_json_") + "/orders_json"
     write_json(orders, path)
     back = read_json(
         spark, path, "o_orderstatus string, o_orderpriority string, ck long"
@@ -6275,7 +6255,7 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    path = _staging_path("orc", sf_dir) + "/customer_orc"
+    path = _scratch_dir("hdp_tez_orc_") + "/customer_orc"
     write_orc(cust, path)
     back = read_orc(spark, path)
     return (

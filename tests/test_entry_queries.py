@@ -64,8 +64,30 @@ def test_registry_driver_contract_invariants():
     callable/SQL hole — any of which silently weakens the round's
     correctness evidence."""
     names = list(QUERIES)
-    assert len(names) == len(set(names))
     assert len(names) >= 50
+    # duplicate keys in the _REGISTRY literal collapse silently at dict
+    # construction (shifting every later entry's prefix slot), so the
+    # check must read the SOURCE, not the built dict
+    import ast
+    import inspect
+
+    src = inspect.getsource(entry_mod)
+    tree = ast.parse(src)
+    literal_keys = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and isinstance(node.target, ast.Name)
+            and node.target.id == "_REGISTRY"
+            and isinstance(node.value, ast.Dict)
+        ):
+            literal_keys = [
+                k.value for k in node.value.keys if isinstance(k, ast.Constant)
+            ]
+    assert literal_keys is not None, "_REGISTRY dict literal not found"
+    dupes = {k for k in literal_keys if literal_keys.count(k) > 1}
+    assert not dupes, f"duplicate _REGISTRY keys collapse silently: {dupes}"
+    assert literal_keys == names
     for name in names[:50]:
         assert callable(QUERIES[name]), name
         sql = ORACLES.get(name)
