@@ -4297,6 +4297,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its orphaned location (LOCATION_ALREADY_EXISTS)
     run = uuid.uuid4().hex[:8]
     t_orders, t_li = f"hdp_bkt_orders_{run}", f"hdp_bkt_lineitem_{run}"
+
+    # exit-time cleanup: the unique-per-run names stop collisions but
+    # used to strand ~2 tables (~4 MB) in spark-warehouse/ per
+    # invocation. Best-effort catalog DROP (session may already be
+    # stopped at exit) plus rmtree of the physical table dirs.
+    import atexit
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def _drop_bucketed(tables=(t_orders, t_li), wh=warehouse, sp=spark):
+        for t in tables:
+            try:
+                sp.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    atexit.register(_drop_bucketed)
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     write_bucketed(orders, t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
@@ -7984,17 +8003,72 @@ GROUP BY shard ORDER BY shard
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
-    # r06 rotation (VERDICT r05 'Next round' #2): (a) the 10 queries with
-    # no green driver row in ANY round — embedding_covariance (r04/r05
-    # red: negative-zero string-hash, fixed this round with +0.0
-    # normalization on both sides) and the 9 added after the r5 prefix
-    # froze; (b) the 9 queries whose implementation changed this round
-    # (textbook-BPE separator-doubling merge, benford digit clamp +
-    # lineage cut, grouped_auc NULL-label guard, cohens_kappa lineage
-    # cut, json/orc/csv stable staging dirs); (c) the 31 queries whose
-    # newest driver evidence is oldest (latest green r01, then r02) so
-    # rolling re-verification keeps every family fresh. All 50 pass the
-    # local sf0.01 gate in --exact mode (driver-faithful string compare).
+    # r07 rotation (VERDICT r06 'Next round' #1): pure evidence refresh —
+    # all 215 queries are green and nothing changed semantically, so the
+    # prefix rotates to the 50 queries whose newest driver evidence is
+    # OLDEST: the 30 whose latest green row is CORRECTNESS_r02 (the
+    # driver freshness histogram's tail) plus the alphabetically-first
+    # 20 of the 48 r03-checked queries. All 50 pass the local sf0.01
+    # gate in --exact mode (driver-faithful string compare) before this
+    # rotation landed; the remaining 28 r03-checked queries are next
+    # round's natural prefix.
+    "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
+    "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
+    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
+    "cosine_topk_quantized": (
+        q_cosine_topk_quantized,
+        _SQL_COSINE_TOPK_QUANTIZED,
+    ),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
+    "event_dedup": (q_event_dedup, _SQL_EVENT_DEDUP),
+    "exists_subquery": (q_exists_subquery, _SQL_EXISTS_SUBQUERY),
+    "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
+    "incremental_dedup": (q_incremental_dedup, _SQL_INCREMENTAL_DEDUP),
+    "langid": (q_langid, _SQL_LANGID),
+    "not_in_subquery": (q_not_in_subquery, _SQL_NOT_IN_SUBQUERY),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "pivot": (q_pivot, _SQL_PIVOT),
+    "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
+    "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
+    "salted_join": (q_salted_join, _SQL_SALTED_JOIN),
+    "scalar_subquery": (q_scalar_subquery, _SQL_SCALAR_SUBQUERY),
+    "session_window": (q_session_window, _SQL_SESSION_WINDOW),
+    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
+    "sql_passthrough": (q_sql_passthrough, _SQL_PASSTHROUGH_TEXT),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
+    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
+    "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
+    "wordcount": (q_wordcount, _SQL_WORDCOUNT),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
+    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
+    "bm25": (q_bm25, _SQL_BM25),
+    "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
+    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
+    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
+    "cube": (q_cube, _SQL_CUBE),
+    "distinct": (q_distinct, _SQL_DISTINCT),
+    "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+    "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
+    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "histogram": (q_histogram, _SQL_HISTOGRAM),
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
+    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
+    # ------------- driver-checked prefix ends here (50) -------------
+    # Entries below are driver-green in CORRECTNESS_r01-r06 (code
+    # unchanged since their green round) and stay covered by the repo's
+    # own per-commit sf0.001 + sweep sf0.01 --exact oracle suites.
     "embedding_covariance": (
         q_embedding_covariance,
         _SQL_EMBEDDING_COVARIANCE,
@@ -8049,15 +8123,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_EMBEDDING_NEAR_DUPES,
     ),
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
-    # cuped re-enters the prefix: its variance columns re-rounded to 2 dp
-    # this round (sf0.001 --exact sweep caught 15-sig-digit float noise),
-    # displacing langid (r02-green, unchanged, locally exact-green)
     "cuped": (q_cuped, _SQL_CUPED),
     "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
-    # ------------- driver-checked prefix ends here (50) -------------
-    # Entries below are driver-green in CORRECTNESS_r01-r05 (code
-    # unchanged since their green round) and stay covered by the repo's
-    # own per-commit sf0.001 + sweep sf0.01 --exact oracle suites.
     "attribution": (q_attribution, _SQL_ATTRIBUTION),
     "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),
     "psi_drift": (q_psi_drift, _SQL_PSI_DRIFT),
@@ -8070,7 +8137,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "collocations": (q_collocations, _SQL_COLLOCATIONS),
     "rendezvous_shard": (q_rendezvous_shard, _SQL_RENDEZVOUS_SHARD),
-    "langid": (q_langid, _SQL_LANGID),
     "period_over_period": (q_period_over_period, _SQL_PERIOD_OVER_PERIOD),
     "windowed_topk": (q_windowed_topk, _SQL_WINDOWED_TOPK),
     "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
@@ -8109,12 +8175,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bootstrap_ci": (q_bootstrap_ci, _SQL_BOOTSTRAP_CI),
     "ann_recall": (q_ann_recall, _SQL_ANN_RECALL),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "exact_quantiles": (q_exact_quantiles, _SQL_EXACT_QUANTILES),
-    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
-    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
-    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_DECONTAMINATE),
     "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "scd2": (q_scd2, _SQL_SCD2),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
@@ -8174,33 +8236,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
-    "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
     "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
     "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
     "topk": (q_topk, _SQL_TOPK),
     "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
-    "full_outer_join": (q_full_outer_join, _SQL_FULL_OUTER_JOIN),
-    "bm25": (q_bm25, _SQL_BM25),
-    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
-    "chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCUMENTS),
     "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
-    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
-    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
-    "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
     "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
     "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
-    "cube": (q_cube, _SQL_CUBE),
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
-    "collect_sorted": (q_collect_sorted, _SQL_COLLECT_SORTED),
-    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "rollup": (q_rollup, _SQL_ROLLUP),
-    "distinct": (q_distinct, _SQL_DISTINCT),
     "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
-    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
-    "histogram": (q_histogram, _SQL_HISTOGRAM),
-    "corpus_gate": (q_corpus_gate, _SQL_CORPUS_GATE),
     "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
@@ -8209,38 +8255,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
     "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
-    "fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
-    "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
-    "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
-    "cosine_topk_quantized": (
-        q_cosine_topk_quantized,
-        _SQL_COSINE_TOPK_QUANTIZED,
-    ),
-    "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
-    "exists_subquery": (q_exists_subquery, _SQL_EXISTS_SUBQUERY),
-    "not_in_subquery": (q_not_in_subquery, _SQL_NOT_IN_SUBQUERY),
-    "scalar_subquery": (q_scalar_subquery, _SQL_SCALAR_SUBQUERY),
-    "salted_join": (q_salted_join, _SQL_SALTED_JOIN),
-    "tumbling_window": (q_tumbling_window, _SQL_TUMBLING_WINDOW),
-    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
-    "session_window": (q_session_window, _SQL_SESSION_WINDOW),
-    "event_dedup": (q_event_dedup, _SQL_EVENT_DEDUP),
-    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
-    "sql_passthrough": (q_sql_passthrough, _SQL_PASSTHROUGH_TEXT),
-    "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
-    "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
-    "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
-    "train_test_split": (q_train_test_split, _SQL_TRAIN_TEST_SPLIT),
-    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
-    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
-    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
-    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
-    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
-    "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
-    "incremental_dedup": (q_incremental_dedup, _SQL_INCREMENTAL_DEDUP),
-    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
-    "wordcount": (q_wordcount, _SQL_WORDCOUNT),
-    "pivot": (q_pivot, _SQL_PIVOT),
 }
 
 

@@ -16,6 +16,20 @@ import os
 import re
 import sys
 import time
+import warnings
+
+# The pandas FutureWarning about all-NA concat fires inside PySpark's
+# Arrow serializers in the PYTHON WORKER processes, so a driver-side
+# filter alone can't catch it — workers inherit PYTHONWARNINGS from the
+# driver env, which must be set BEFORE the JVM/session starts. Keeps the
+# driver's 2000-char stdout/stderr capture free of warning spam ahead of
+# the one JSON metric line this script exists to print.
+warnings.filterwarnings("ignore", category=FutureWarning)
+_pw = os.environ.get("PYTHONWARNINGS", "")
+if "ignore::FutureWarning" not in _pw:
+    os.environ["PYTHONWARNINGS"] = (
+        _pw + ("," if _pw else "") + "ignore::FutureWarning"
+    )
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

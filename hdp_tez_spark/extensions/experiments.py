@@ -190,14 +190,19 @@ def cuped_adjust(
     reduction = F.when(
         (var_x > 0) & (var_y > 0), 1.0 - (var_y - cov * cov / var_x) / var_y
     ).otherwise(F.lit(0.0))
+    # + 0.0 normalizes IEEE -0.0 on the subtraction-derived columns,
+    # mirroring the oracle's + CAST(0 AS DOUBLE): Spark's BigDecimal
+    # round never emits -0.0 today, but keeping both sides of the
+    # string-compare symmetric means a rounding-path change can't
+    # silently reintroduce a '-0.0' vs '0.0' hash split.
     return stats.select(
         *group_cols,
         "n",
-        F.round(theta, 6).alias("theta"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
         F.round(my, 6).alias("mean_raw"),
         F.round(var_y, var_dp).alias("var_raw"),
-        F.round(var_adj, var_dp).alias("var_adj"),
-        F.round(reduction, 6).alias("var_reduction"),
+        (F.round(var_adj, var_dp) + F.lit(0.0)).alias("var_adj"),
+        (F.round(reduction, 6) + F.lit(0.0)).alias("var_reduction"),
     ).orderBy(*group_cols)
 
 

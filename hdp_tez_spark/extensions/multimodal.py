@@ -242,7 +242,17 @@ def resize_images(
 
         for pdf in batches:
             out_bytes = []
-            for payload in pdf[payload_col]:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # Explicit per-row error beats the opaque TypeError
+                    # bytes(None) would raise inside the Arrow worker;
+                    # callers that expect nulls should .where(isNotNull)
+                    # the payload column before resizing.
+                    raise ValueError(
+                        f"resize_images: NULL {payload_col} for "
+                        f"{id_col}={doc_id}; filter null payloads "
+                        "upstream (df.where(F.col(payload).isNotNull()))"
+                    )
                 with Image.open(io.BytesIO(bytes(payload))) as im:
                     resized = im.resize((tw, th), Image.BILINEAR)
                     buf = io.BytesIO()

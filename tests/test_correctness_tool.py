@@ -48,8 +48,21 @@ def test_exact_mode_catches_negative_zero(tool):
 def test_fidelity_flags_negative_zero_imbalance(tool):
     a = pd.DataFrame({"x": [0.0]})
     b = pd.DataFrame({"x": [-0.0]})
-    probs = tool.driver_fidelity(a, b)
+    probs = tool.negzero_mismatch(tool.canonical(a), tool.canonical(b))
     assert any("negative-zero" in p for p in probs)
+
+
+def test_fidelity_flags_negative_zero_position_swap(tool):
+    """Equal COUNTS of -0.0 on both sides but in different rows: the old
+    count-based heuristic passed this silently (ADVICE r06); the
+    element-wise signbit mask on canonical frames must flag it. The key
+    column makes the two -0.0 cells land in different sorted rows."""
+    a = pd.DataFrame({"k": ["a", "b"], "x": [-0.0, 0.0]})
+    b = pd.DataFrame({"k": ["a", "b"], "x": [0.0, -0.0]})
+    probs = tool.negzero_mismatch(tool.canonical(a), tool.canonical(b))
+    assert any("negative-zero" in p for p in probs)
+    # and tolerant-mode compare surfaces it end-to-end
+    assert any("negative-zero" in p for p in tool.compare("q", a, b))
 
 
 def test_exact_mode_matches_date_vs_midnight_datetime(tool):

@@ -687,3 +687,172 @@ def test_bpe_doubling_merge_equals_textbook(syms, left, right):
     assert _doubling_merge(seq, left, right) == _textbook_merge(
         seq, left, right
     )
+
+
+# ---------------------------------------------------------------------------
+# r07: randomized-vs-reference-Python oracles for the dedup string-rewrite
+# family (VERDICT r06 'Next round' #5) — the trickiest pure-SQL rewrites
+# in the repo, hardened with the same harness that caught the BPE
+# separator-doubling bug.
+# ---------------------------------------------------------------------------
+
+_VOCAB = "the cat sat mat dog log fog ran bat".split()
+
+docs_texts = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python twin of dedup._tokens: lowercase, split on [^a-z0-9]+,
+    drop empties."""
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    """Python twin of dedup._shingles: distinct word k-grams; short or
+    empty docs collapse to the single joined-token shingle (empty doc ->
+    the empty string, exactly like concat_ws over an empty array)."""
+    toks = _py_tokens(text)
+    if len(toks) >= k:
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(texts=docs_texts, max_dist=st.integers(0, 3))
+@settings(**SETTINGS)
+def test_edit_distance_pairs_matches_python_reference(spark, texts, max_dist):
+    """edit_distance_pairs == brute-force Levenshtein over every distinct
+    string pair that shares >= 1 whole token (the documented blocking
+    contract) — and every reported distance is the true DP distance."""
+    from hdp_tez_spark.extensions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {
+        (r.text_a, r.text_b): r.dist
+        for r in edit_distance_pairs(df, "s", max_dist=max_dist).collect()
+    }
+    vals = sorted(set(texts))
+    want = {}
+    for i, a in enumerate(vals):
+        for b in vals[i + 1:]:
+            if not (set(_py_tokens(a)) & set(_py_tokens(b))):
+                continue  # token blocking: pair is outside the contract
+            d = _py_levenshtein(a, b)
+            if d <= max_dist:
+                want[(a, b)] = d
+    assert got == want
+
+
+@given(texts=docs_texts, threshold=st.sampled_from([0.4, 0.6, 0.8]))
+@settings(**SETTINGS)
+def test_prefix_filter_join_matches_python_jaccard(spark, texts, threshold):
+    """prefix_filter_join (k=1) == ALL distinct-id pairs with token-set
+    Jaccard >= threshold: the prefix-filter theorem promises zero false
+    negatives, and verification kills every false positive — so the
+    result must equal the brute-force set-Jaccard join exactly,
+    including the rounded jaccard value."""
+    from hdp_tez_spark.extensions.dedup import prefix_filter_join
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_join(
+            df, "doc_id", "text", threshold=threshold, k=1
+        ).collect()
+    }
+    sets = {i: _py_shingles(t, 1) for i, t in rows}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i >= j:
+                continue
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            jac = round(inter / union, 6) if union else 0.0
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert got == want
+
+
+def _py_md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(texts=docs_texts)
+@settings(**SETTINGS)
+def test_simhash_fingerprints_match_python_reference(spark, texts):
+    """simhash_fingerprints == pure-Python majority vote over 60 bits of
+    the md5 token hashes WITH multiplicity (repeated tokens vote once
+    per occurrence, not once per type)."""
+    from hdp_tez_spark.extensions.dedup import (
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts) if _py_tokens(t)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc: r.simhash
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+    want = {}
+    for i, t in rows:
+        votes = [0] * SIMHASH_BITS
+        for tok in _py_tokens(t):
+            h = _py_md5_long(tok)
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want[i] = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+    assert got == want
+
+
+@given(texts=docs_texts)
+@settings(**SETTINGS)
+def test_minhash_signatures_match_python_reference(spark, texts):
+    """minhash_signatures == pure-Python min over (a*x+b) mod P of the
+    k=2 shingle-hash set, with the same md5-derived permutation
+    coefficients — the full signature, every permutation."""
+    from hdp_tez_spark.extensions.dedup import (
+        MINHASH_P,
+        _perm_coeffs,
+        minhash_signatures,
+    )
+
+    num_perms, k = 4, 2
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc, r.perm): r.minhash
+        for r in minhash_signatures(
+            df, "doc_id", "text", num_perms=num_perms, k=k
+        ).collect()
+    }
+    coeffs = _perm_coeffs(num_perms)
+    want = {}
+    for i, t in rows:
+        xs = [_py_md5_long(s) % MINHASH_P for s in _py_shingles(t, k)]
+        for p, (a, b) in enumerate(coeffs):
+            want[(i, p)] = min((a * x + b) % MINHASH_P for x in xs)
+    assert got == want

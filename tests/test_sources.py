@@ -110,22 +110,30 @@ def test_bucketed_join_has_no_shuffle(spark):
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("b_orders", "b_lineitem"):
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
-    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
-        "o_orderkey"
-    ).saveAsTable("b_orders")
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).saveAsTable("b_lineitem")
-    # MERGE hint: at this tiny SF Catalyst would otherwise broadcast and
-    # bypass the bucketing entirely; on real data SMJ is the default
-    j = spark.table("b_lineitem").hint("MERGE").join(
-        spark.table("b_orders"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "Bucketed: true" in plan, plan
-    assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    try:
+        orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("b_orders")
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("b_lineitem")
+        # MERGE hint: at this tiny SF Catalyst would otherwise broadcast
+        # and bypass the bucketing entirely; on real data SMJ is the
+        # default
+        j = spark.table("b_lineitem").hint("MERGE").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == want
+    finally:
+        # leave the warehouse dir the size we found it
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
 
 def test_text_roundtrip(spark, nation):

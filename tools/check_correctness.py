@@ -91,20 +91,35 @@ def driver_fidelity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str
                 "compares '5' vs '5.0'; align types (cast HUGEINT sums to "
                 "BIGINT in the oracle)"
             )
-        if s_flt and d_flt:
-            # IEEE negative zero: round(tiny_negative, k) -> -0.0, which
-            # str()s as '-0.0' and breaks the driver's string hash against
-            # a '+0.0' on the other side even though -0.0 == 0.0 floats.
-            sa = spark_pdf[c].to_numpy(dtype=float)
-            da = duck_pdf[c].to_numpy(dtype=float)
-            sn = int(np.sum(np.signbit(sa) & (sa == 0.0)))
-            dn = int(np.sum(np.signbit(da) & (da == 0.0)))
-            if sn != dn:
-                problems.append(
-                    f"col {c}: negative-zero cells spark={sn} duck={dn} — "
-                    "driver hashes '-0.0' != '0.0'; normalize with + 0.0 "
-                    "on both sides"
-                )
+    return problems
+
+
+def negzero_mismatch(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Element-wise IEEE negative-zero check on CANONICAL (sorted)
+    frames: round(tiny_negative, k) -> -0.0, which str()s as '-0.0' and
+    breaks the driver's string hash against a '+0.0' in the same
+    position on the other side even though -0.0 == 0.0 as floats.
+    Positional signbit masks (not per-column counts) so equal numbers
+    of -0.0 cells in DIFFERENT rows still flag."""
+    problems = []
+    for c in a.columns:
+        if not (
+            np.issubdtype(a[c].dtype, np.floating)
+            and np.issubdtype(b[c].dtype, np.floating)
+        ):
+            continue
+        av = a[c].to_numpy(dtype=float)
+        bv = b[c].to_numpy(dtype=float)
+        am = np.signbit(av) & (av == 0.0)
+        bm = np.signbit(bv) & (bv == 0.0)
+        neq = am != bm
+        if neq.any():
+            i = int(np.argmax(neq))
+            problems.append(
+                f"col {c}: negative-zero at sorted-row {i} on "
+                f"{'spark' if am[i] else 'duck'} side only — driver hashes "
+                "'-0.0' != '0.0'; normalize with + 0.0 on both sides"
+            )
     return problems
 
 
@@ -152,6 +167,7 @@ def compare(
         return problems
     problems.extend(driver_fidelity(spark_pdf, duck_pdf))
     a, b = canonical(spark_pdf), canonical(duck_pdf)
+    problems.extend(negzero_mismatch(a, b))
     if exact:
         problems.extend(exact_compare(a, b))
         return problems

@@ -1,0 +1,67 @@
+"""Repeat-run medians for individual registry queries (BENCH_NOTES
+5-rep protocol): the single-shot driver bench carries a 0.5-2s
+first-execution cost (whole-stage-codegen + AQE replan + broadcast
+build), so cross-round deltas on ~1s queries need steady-state medians
+to mean anything.
+
+Usage:
+    python tools/reps.py [query ...]            # default 5 reps, sf0.1
+    SPARK_GRAFT_REPS=7 python tools/reps.py stream_interval_join
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore", category=FutureWarning)
+_pw = os.environ.get("PYTHONWARNINGS", "")
+if "ignore::FutureWarning" not in _pw:
+    os.environ["PYTHONWARNINGS"] = (
+        _pw + ("," if _pw else "") + "ignore::FutureWarning"
+    )
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from hdp_tez_spark.session import get_session, warm_up
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        raise SystemExit("usage: python tools/reps.py <query> [query ...]")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+
+    spark = get_session("hdp-tez-spark-reps", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_up(spark)
+
+    qs = entry_mod.queries()
+    for name in names:
+        fn = qs[name]
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "reps": times,
+                    "median": round(statistics.median(times), 3),
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
