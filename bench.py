@@ -222,6 +222,15 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated subset (e.g. "core28" for
+    # the baseline-shared prefix, or explicit names) — used for scale
+    # probes at nonstandard SFs where the full 144-query set is overkill
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only == "core28":
+        names = names[:_CORE_N]
+    elif only:
+        want = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in want]
 
     # Warm up the JVM/codegen paths once (excluded from timings).
     warm_up(spark)

@@ -43,16 +43,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _ns_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
     natively, so they are read as int64 nanos and cast (footer-only probe,
-    driver-side, O(files-listed) not O(data))."""
+    driver-side, O(files-listed) not O(data)).
+
+    The arrow-schema unit alone is NOT sufficient: pyarrow also reports
+    legacy INT96 timestamps (Spark's own default parquet writer format)
+    as timestamp[ns], but Spark reads INT96 natively — applying the
+    nanos-as-long cast to those breaks analysis. So a column is flagged
+    only when its PHYSICAL type in the parquet footer is INT64."""
     import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = ds.dataset(path, format="parquet").schema
-    return [
+    dataset = ds.dataset(path, format="parquet")
+    schema = dataset.schema
+    ns_names = [
         f.name
         for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
     ]
+    if not ns_names:
+        return []
+    meta = pq.ParquetFile(next(iter(dataset.files))).metadata.schema
+    physical = {
+        meta.column(i).name: meta.column(i).physical_type
+        for i in range(meta.num_columns)
+    }
+    return [n for n in ns_names if physical.get(n) == "INT64"]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
