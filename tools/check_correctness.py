@@ -189,9 +189,15 @@ def compare(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--exact")]
-    vanilla = "--vanilla" in sys.argv[1:]
-    exact = "--exact" in sys.argv[1:]
+    raw = sys.argv[1:]
+    tz = None
+    if "--tz" in raw:
+        i = raw.index("--tz")
+        tz = raw[i + 1]
+        raw = raw[:i] + raw[i + 2 :]
+    args = [a for a in raw if a not in ("--vanilla", "--exact")]
+    vanilla = "--vanilla" in raw
+    exact = "--exact" in raw
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if vanilla:
@@ -203,6 +209,10 @@ def main() -> int:
         spark.sparkContext.setLogLevel("ERROR")
     else:
         spark = get_session("correctness-check", master="local[8]")
+    if tz:
+        # TZ robustness probe (verify-skill gotcha): the catalog pins UTC
+        # internally, so oracle matches must hold under any session zone.
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
