@@ -20,6 +20,7 @@ gate passed it (r05 verdict: 64/2080 cells differed only in zero sign).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -37,15 +38,24 @@ from hdp_tez_spark.sources.catalog import TABLES
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; Spark-written tables (e.g.
+        # the local make_sf.py sf1.0) are directories of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            # Spark-written parquet (e.g. the local sf1.0) is
+            # UTC-adjusted, so DuckDB yields tz-aware cells while the
+            # driver's single-file testdata yields naive ones; compare
+            # in UTC-naive form on both sides
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if df[c].dtype == object:
             # normalize lists/arrays to tuples for sortability
             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
@@ -81,10 +91,12 @@ def driver_fidelity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str
         if c not in duck_pdf.columns:
             continue
         sd, dd = spark_pdf[c].dtype, duck_pdf[c].dtype
-        s_int = np.issubdtype(sd, np.integer)
-        d_int = np.issubdtype(dd, np.integer)
-        s_flt = np.issubdtype(sd, np.floating)
-        d_flt = np.issubdtype(dd, np.floating)
+        # pandas checkers, not np.issubdtype: extension dtypes like
+        # datetime64[us, Etc/UTC] are not numpy dtypes and would raise
+        s_int = pd.api.types.is_integer_dtype(sd)
+        d_int = pd.api.types.is_integer_dtype(dd)
+        s_flt = pd.api.types.is_float_dtype(sd)
+        d_flt = pd.api.types.is_float_dtype(dd)
         if (s_int and d_flt) or (s_flt and d_int):
             problems.append(
                 f"col {c}: dtype split spark={sd} duck={dd} — driver hash "
@@ -104,8 +116,8 @@ def negzero_mismatch(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     problems = []
     for c in a.columns:
         if not (
-            np.issubdtype(a[c].dtype, np.floating)
-            and np.issubdtype(b[c].dtype, np.floating)
+            pd.api.types.is_float_dtype(a[c].dtype)
+            and pd.api.types.is_float_dtype(b[c].dtype)
         ):
             continue
         av = a[c].to_numpy(dtype=float)
