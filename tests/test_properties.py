@@ -856,3 +856,198 @@ def test_minhash_signatures_match_python_reference(spark, texts):
         for p, (a, b) in enumerate(coeffs):
             want[(i, p)] = min((a * x + b) % MINHASH_P for x in xs)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis operators (textstats.py): the same randomized
+# Python-reference harness, aimed at the pure column-expression ops whose
+# oracles are SQL mirrors rather than independent recomputations.
+# ---------------------------------------------------------------------------
+
+_ML_VOCAB = sorted(
+    {w for ws in __import__("hdp_tez_spark.extensions.textstats", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS.values() for w in ws}
+) + ["zz", "qqq", "42", "xylophone"]
+
+ml_texts = st.lists(
+    st.lists(st.sampled_from(_ML_VOCAB), min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=ml_texts)
+@settings(**SETTINGS)
+def test_langid_matches_python_reference(spark, texts):
+    """langid == pure-Python argmax over per-language stopword fractions
+    with the exact (rounded score, lang-code) struct tiebreak that
+    array_max applies — including the all-zero case, which must pick the
+    lexicographically largest language code."""
+    from hdp_tez_spark.extensions.textstats import LANG_STOPWORDS, langid
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {r.id: (r.pred_lang, r.pred_score) for r in langid(df, "id", "s").collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        cands = []
+        for lang in sorted(LANG_STOPWORDS):
+            frac = (
+                sum(tok in LANG_STOPWORDS[lang] for tok in toks) / len(toks)
+                if toks
+                else 0.0
+            )
+            cands.append((round(frac, 6), lang))
+        score, lang = max(cands)
+        want[i] = (lang, score)
+    assert got == want
+
+
+_PII_FRAGMENTS = [
+    "hello",
+    "order 1234567890 shipped",
+    "alice.smith+tag@example.co",
+    "bob@sub.domain.io",
+    "a@b",                       # not an email (TLD < 2 alpha)
+    "10.0.0.1",
+    "999.999.1.1",               # matches: pattern is 1-3 digits, not <=255
+    "1.2.3",                     # not an IP (3 octets)
+    "+1 (555) 123-4567",
+    "(02) 9999 1234",
+    "+12",                       # too short for the phone pattern
+    "v1.2.3.4beta",              # \b boundaries: digits flanked by letters
+    "mail me: x_9%y@z.org now",
+]
+
+pii_texts = st.lists(
+    st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=0, max_size=5).map(", ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=pii_texts)
+@settings(**SETTINGS)
+def test_redact_pii_matches_python_re_reference(spark, texts):
+    """redact_pii == Python `re` applied with the same three patterns in
+    the same email -> ip -> phone order (counts on the ORIGINAL text,
+    replacement sequential) — a third regex engine agreeing with Java
+    keeps the 'POSIX-classes-only so Java and RE2 agree' contract honest."""
+    import re
+
+    from hdp_tez_spark.extensions.textstats import (
+        PII_EMAIL_REGEX,
+        PII_IPV4_REGEX,
+        PII_PHONE_REGEX,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {
+        r.id: (r.redacted, r.n_emails, r.n_ips, r.n_phones)
+        for r in redact_pii(df, "id", "s").collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        red = re.sub(PII_EMAIL_REGEX, "<EMAIL>", t)
+        red = re.sub(PII_IPV4_REGEX, "<IP>", red)
+        red = re.sub(PII_PHONE_REGEX, "<PHONE>", red)
+        want[i] = (
+            red,
+            len(re.findall(PII_EMAIL_REGEX, t)),
+            len(re.findall(PII_IPV4_REGEX, t)),
+            len(re.findall(PII_PHONE_REGEX, t)),
+        )
+    assert got == want
+
+
+ascii_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=ascii_texts)
+@settings(**SETTINGS)
+def test_fingerprint_matches_hashlib_reference(spark, texts):
+    """fingerprint == hashlib.md5 over the whitespace-normalized
+    lowercase form, and fp_int == the first 15 hex digits parsed base-16
+    (60 bits, never overflows a long)."""
+    import hashlib
+    import re
+
+    from hdp_tez_spark.extensions.textstats import fingerprint
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {r.id: (r.fp_md5, r.fp_int) for r in fingerprint(df, "id", "s").collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        norm = re.sub("[^a-z0-9]+", " ", t.lower()).strip()
+        h = hashlib.md5(norm.encode("utf-8")).hexdigest()
+        want[i] = (h, int(h[:15], 16))
+    assert got == want
+
+
+@given(texts=ascii_texts)
+@settings(**SETTINGS)
+def test_repetition_stats_matches_python_reference(spark, texts):
+    """repetition_stats == exact Python token/distinct counts with the
+    rounded duplicate ratio (empty docs -> ratio 0.0 by contract)."""
+    from hdp_tez_spark.extensions.textstats import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {
+        r.id: (r.n_tokens, r.n_unique, r.rep_ratio)
+        for r in repetition_stats(df, "id", "s").collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        n, u = len(toks), len(set(toks))
+        want[i] = (n, u, round(1 - u / n, 6) if n else 0.0)
+    assert got == want
+
+
+@given(texts=ascii_texts)
+@settings(**SETTINGS)
+def test_quality_score_matches_python_reference(spark, texts):
+    """quality_score component formulas == a from-scratch Python
+    recomputation: integer components exact; float ratios and the
+    weighted combo within 1.5e-6 (one ulp of the 6-dp rounding — the
+    two sides may legally disagree only on a rounding tie that the
+    fixed strategies cannot produce, so this is belt-and-braces)."""
+    from hdp_tez_spark.extensions.textstats import LANG_STOPWORDS, quality_score
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    rows = {r.id: r for r in quality_score(df, "id", "s").collect()}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        n_chars = len(t)
+        n_tokens = len(toks)
+        n_punct = sum(not (c.isalnum() and c.isascii()) and c != " " for c in t)
+        n_digits = sum(c.isdigit() and c.isascii() for c in t)
+        n_stop = sum(tok in LANG_STOPWORDS["en"] for tok in toks)
+        mean_tok_len = sum(map(len, toks)) / n_tokens if n_tokens else 0.0
+        punct_ratio = n_punct / n_chars if n_chars else 0.0
+        digit_ratio = n_digits / n_chars if n_chars else 0.0
+        stop_ratio = n_stop / n_tokens if n_tokens else 0.0
+        score = (
+            0.3 * min(n_chars / 500.0, 1.0)
+            + 0.3 * min(stop_ratio * 5, 1.0)
+            + 0.2 * (1 - min(punct_ratio * 10, 1.0))
+            + 0.2 * (1 - min(digit_ratio * 10, 1.0))
+        )
+        r = rows[i]
+        assert r.n_tokens == n_tokens
+        for gotv, wantv in (
+            (r.punct_ratio, punct_ratio),
+            (r.digit_ratio, digit_ratio),
+            (r.stopword_ratio, stop_ratio),
+            (r.mean_token_len, mean_tok_len),
+            (r.quality, score),
+        ):
+            assert abs(gotv - round(wantv, 6)) <= 1.5e-6, (i, gotv, wantv)
