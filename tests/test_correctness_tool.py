@@ -87,3 +87,38 @@ def test_exact_mode_passes_identical_frames(tool):
     a = pd.DataFrame({"k": ["x", "y"], "v": [1.25, -0.5]})
     b = pd.DataFrame({"k": ["y", "x"], "v": [-0.5, 1.25]})  # row order differs
     assert tool.compare("q", a, b, exact=True) == []
+
+
+def test_tz_aware_timestamps_normalize_to_utc_naive(tool):
+    """Spark-written parquet is UTC-adjusted, so DuckDB yields tz-aware
+    cells while the driver's single-file testdata yields naive ones
+    (surfaced by the sf1.0 probe, r07): canonical() must strip the zone
+    after converting to UTC so the string compare sees one form."""
+    aware = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-06-01 05:45:00"]).tz_localize("Asia/Kathmandu")}
+    )
+    naive = pd.DataFrame({"ts": pd.to_datetime(["2024-06-01 00:00:00"])})
+    assert tool.exact_compare(tool.canonical(aware), tool.canonical(naive)) == []
+    # fidelity must not crash on the extension dtype either (old
+    # np.issubdtype raised TypeError on datetime64[us, Etc/UTC])
+    assert tool.driver_fidelity(aware, naive) == []
+
+
+def test_duck_con_reads_spark_written_table_dirs(tool, tmp_path):
+    """duck_con must register both layouts: the driver's single-file
+    tables and Spark-written DIRECTORIES of part files (local sf1.0)."""
+    import duckdb
+
+    from hdp_tez_spark.sources.catalog import TABLES
+
+    # one table as a directory of parts, the rest as single files
+    pdf = pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["A", "B"]})
+    d = tmp_path / "region.parquet"
+    d.mkdir()
+    pdf.iloc[:1].to_parquet(d / "part-0.parquet")
+    pdf.iloc[1:].to_parquet(d / "part-1.parquet")
+    for t in TABLES:
+        if t != "region":
+            pd.DataFrame({"x": [1]}).to_parquet(tmp_path / f"{t}.parquet")
+    con = tool.duck_con(str(tmp_path))
+    assert con.sql("SELECT count(*) FROM region").fetchone()[0] == 2
