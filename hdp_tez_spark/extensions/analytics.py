@@ -908,7 +908,9 @@ def merge_intervals(
     exposure-window readouts, where naive SUM(end - start) double-counts
     every overlap. Output per key: (key, n_raw, n_merged, covered_sec)
     with covered_sec = total length of the merged union in seconds
-    (rounded to 6 dp).
+    (rounded to 4 dp — the sum accumulates one float difference per
+    island, and at 10x volume summation-order noise flips the 6th
+    decimal; 4 dp keeps >=100x headroom, per the float-summing rule).
 
     Scale shape: the gaps-and-islands trick in ONE keyed window pass —
     an interval starts a new island when its start exceeds the running
@@ -959,7 +961,7 @@ def merge_intervals(
         .agg(
             F.sum("__cnt").alias("n_raw"),
             F.count(F.lit(1)).alias("n_merged"),
-            F.round(F.sum(F.col("__ie") - F.col("__is")), 6).alias(
+            F.round(F.sum(F.col("__ie") - F.col("__is")), 4).alias(
                 "covered_sec"
             ),
         )

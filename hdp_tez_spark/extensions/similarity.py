@@ -784,7 +784,12 @@ def random_project(
     scale = 1.0 / math.sqrt(out_dim)
     proj = F.transform(
         F.col("__signs"),
-        lambda s: F.round(_dot(F.col(vec_col), s) * scale, 6),
+        # + 0.0 normalizes IEEE -0.0: a tiny-negative dot product rounds
+        # to negative zero, which string-hashes as '-0.0' != '0.0'
+        # (surfaced by the sf1.0 probe, r07; same fix as
+        # embedding_covariance) — mirrored by + CAST(0 AS DOUBLE) in the
+        # oracle
+        lambda s: F.round(_dot(F.col(vec_col), s) * scale, 6) + F.lit(0.0),
     )
     return (
         # NULL or ragged vectors are excluded, not silently projected to
