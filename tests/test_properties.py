@@ -1051,3 +1051,52 @@ def test_quality_score_matches_python_reference(spark, texts):
             (r.quality, score),
         ):
             assert abs(gotv - round(wantv, 6)) <= 1.5e-6, (i, gotv, wantv)
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # key
+        st.integers(0, 40),                     # start
+        st.integers(-5, 30),                    # length (negative -> inverted, must drop)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=intervals)
+@settings(**SETTINGS)
+def test_merge_intervals_matches_python_union(spark, rows):
+    """merge_intervals == a from-scratch Python sweep-line union:
+    n_raw counts the surviving (non-inverted) rows, n_merged the merged
+    islands, covered_sec the union length — with touching intervals
+    merged and inverted intervals dropped, per the documented contract."""
+    from hdp_tez_spark.extensions.analytics import merge_intervals
+
+    df = spark.createDataFrame(
+        [(k, float(s), float(s + ln)) for k, s, ln in rows],
+        "k int, s double, e double",
+    )
+    got = {
+        r.key: (r.n_raw, r.n_merged, r.covered_sec)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    by_key: dict[int, list[tuple[float, float]]] = {}
+    for k, s, ln in rows:
+        if ln >= 0:
+            by_key.setdefault(k, []).append((float(s), float(s + ln)))
+    want = {}
+    for k, ivs in by_key.items():
+        ivs.sort()
+        islands: list[list[float]] = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[k] = (
+            len(ivs),
+            len(islands),
+            round(sum(e - s for s, e in islands), 4),
+        )
+    assert got == want
