@@ -3981,14 +3981,20 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd1 = base.where(k % 7 == 0).select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        # x2.0 (exponent-only scaling) instead of round(x*1.1, 2): a
+        # product at a .005 boundary double-rounds differently in Spark
+        # (BigDecimal HALF_UP on the exact binary value) vs DuckDB
+        # (scaled std::round) — 65 cells flipped at sf1.0 (r07 probe).
+        # Dyadic multipliers keep every updated price bit-exact in both
+        # engines with no rounding step at all.
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
         F.lit("U").alias("op"),
         F.lit(2).alias("seq"),
     )
     upd2 = base.where(k % 14 == 0).select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+        (F.col("o_totalprice") * 4.0).alias("o_totalprice"),
         F.lit("U").alias("op"),
         F.lit(3).alias("seq"),
     )
@@ -4013,10 +4019,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MERGE_UPSERT = """
 WITH changes AS (
   SELECT o_orderkey AS k, o_orderstatus AS status,
-         round(o_totalprice * 1.1, 2) AS price, 'U' AS op, 2 AS seq
+         o_totalprice * 2.0 AS price, 'U' AS op, 2 AS seq
   FROM orders WHERE o_orderkey % 7 = 0
   UNION ALL
-  SELECT o_orderkey, o_orderstatus, round(o_totalprice * 1.2, 2), 'U', 3
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 4.0, 'U', 3
   FROM orders WHERE o_orderkey % 14 = 0
   UNION ALL
   SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
@@ -4592,12 +4598,17 @@ def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            # revenue in MILLIONS at 3 dp, not dollars at 2 dp: the
+            # cent digit of a multi-billion float sum is summation-order
+            # noise (flipped at sf1.0, r07 probe) and gets worse with
+            # scale; 5e-4 of a million = $500 threshold vs cent-scale
+            # noise keeps >=100x headroom even at sf100
+            F.round(F.sum("l_extendedprice") / 1.0e6, 3).alias("rev_musd"),
         )
         .select(
             F.col("o_orderpriority").alias("k"),
             "n",
-            "rev",
+            "rev_musd",
             F.lit("priority").alias("src"),
         ),
     )
@@ -4609,10 +4620,15 @@ def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            # revenue in MILLIONS at 3 dp, not dollars at 2 dp: the
+            # cent digit of a multi-billion float sum is summation-order
+            # noise (flipped at sf1.0, r07 probe) and gets worse with
+            # scale; 5e-4 of a million = $500 threshold vs cent-scale
+            # noise keeps >=100x headroom even at sf100
+            F.round(F.sum("l_extendedprice") / 1.0e6, 3).alias("rev_musd"),
         )
         .select(
-            F.col("l_returnflag").alias("k"), "n", "rev", F.lit("flag").alias("src")
+            F.col("l_returnflag").alias("k"), "n", "rev_musd", F.lit("flag").alias("src")
         ),
     )
     p.edge("lineitem", "rev_by_flag", SCATTER_GATHER, keys=["l_returnflag"])
@@ -4623,12 +4639,12 @@ def q_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DAG_PIPELINE = """
 SELECT o_orderpriority AS k, count(*) AS n,
-       round(sum(l_extendedprice), 2) AS rev, 'priority' AS src
+       round(sum(l_extendedprice) / 1e6, 3) AS rev_musd, 'priority' AS src
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 UNION ALL
 SELECT l_returnflag AS k, count(*) AS n,
-       round(sum(l_extendedprice), 2) AS rev, 'flag' AS src
+       round(sum(l_extendedprice) / 1e6, 3) AS rev_musd, 'flag' AS src
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -8064,8 +8080,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "histogram": (q_histogram, _SQL_HISTOGRAM),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
-    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    # r07 hotfix slots (second pair): merge_upsert (dyadic update
+    # multipliers, no engine-dependent round) and dag_pipeline (revenue
+    # in millions, scale-stable rounding) changed output this round
+    # (sf1.0 probe findings); displaced json_extract/label_centroids
+    # (r03-green, unchanged) move below.
+    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
+    "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     # r07 hotfix slots: merge_intervals (covered_sec 6->4 dp) and
     # random_project (+0.0 negative-zero normalization) changed output
     # this round (sf1.0 probe findings), so they take the last two
@@ -8185,7 +8206,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
-    "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "scd2": (q_scd2, _SQL_SCD2),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
@@ -8228,12 +8248,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_EXACT_QUANTILES_DISC,
     ),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
     "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
     "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
-    "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),

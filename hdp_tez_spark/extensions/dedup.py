@@ -259,8 +259,17 @@ def prefix_filter_join(
     )
     ta = toks.select(F.col("doc").alias("id_a"), "tok")
     tb = toks.select(F.col("doc").alias("id_b"), "tok")
+    # merge hint on the verification joins: every input here sits
+    # downstream of explode + distinct, where Catalyst's STATIC size
+    # estimate is garbage — at 10x data it picked a broadcast build of a
+    # data-sized side and OOMed the driver (sf1.0 probe, r07; the
+    # SCALE.md in-plan-explode trap). Pinning merge defers the call to
+    # AQE, which converts back to broadcast from ACTUAL shuffle stats
+    # when a side really is small.
     inter = (
-        cand.join(ta, "id_a")
+        cand.hint("merge")
+        .join(ta, "id_a")
+        .hint("merge")
         .join(tb, ["id_b", "tok"])
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
