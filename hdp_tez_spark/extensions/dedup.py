@@ -239,7 +239,10 @@ def prefix_filter_join(
     # window pass once, not once per join side
     pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
     cand = (
-        pa.join(
+        # merge hint: prefixes is also post-explode, so the candidate
+        # self-join must not trust a static broadcast estimate either
+        # (same trap as the verification joins below)
+        pa.hint("merge").join(
             pb,
             (F.col("pa.tok") == F.col("pb.tok")) & (F.col("pa.doc") < F.col("pb.doc")),
         )

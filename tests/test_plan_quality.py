@@ -421,6 +421,14 @@ def test_prefix_filter_join_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the sf1.0 OOM regression guard (r07): no STATIC broadcast build —
+    # every join side here sits downstream of explode+distinct where
+    # Catalyst's size estimate is garbage, so the broadcast call belongs
+    # to AQE (runtime stats) only. AQE's converted joins don't appear in
+    # the static plan, so asserting its absence pins exactly the
+    # static-estimation decision that OOMed.
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_transition_counts_single_window_shuffle(spark):
