@@ -634,24 +634,37 @@ ORDER BY l_orderkey, l_linenumber
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Money sums run in EXACT decimal arithmetic (the data is 2-dp money;
+    # discounts/taxes are 2-dp rates), presented as double. A measured
+    # sf1.0 probe (r07, BENCH_NOTES) put partition-order noise on these
+    # double sums at 0.0049 against the 0.005 threshold of round(x, 2) —
+    # a 1.0x margin, i.e. the rounded cent was nondeterministic across
+    # layouts. Decimal sums are order-independent and engine-exact (real
+    # TPC-H types are DECIMAL for the same reason); the final double cast
+    # of an exact decimal is deterministic in any IEEE engine. Precisions
+    # stay narrow so products never hit Spark's 38-digit cap (which would
+    # reintroduce rounding): (12,2)*(5,2)->(18,4), *(5,2)->(24,6).
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax1 = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity is integer-valued: a double sum below 2^53 is
+            # already exact and order-independent — no decimal needed
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round the EXACT decimal to 2 dp before the double cast:
+            # deterministic (no float noise reaches the round), and it
+            # keeps the scaled integer under 2^53 so the decimal->double
+            # conversion is a single correct rounding in both engines (a
+            # scale-6 sum overflows 2^53 and DuckDB's two-step
+            # int->double->divide landed 1 ulp off Spark's BigDecimal
+            # conversion at sf1.0)
+            F.round(F.sum(price * disc1), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * disc1 * tax1), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -663,10 +676,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)       AS sum_qty,
-       round(sum(l_extendedprice), 2)  AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 6)       AS avg_qty,
        round(avg(l_extendedprice), 6)  AS avg_price,
        round(avg(l_discount), 6)       AS avg_disc,
@@ -8078,7 +8094,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, _SQL_HISTOGRAM),
-    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    # r07 hotfix slot (third): tpch_q1 money sums moved to exact decimal
+    # arithmetic this round (sf1.0 noise-margin probe) — prefix slot for
+    # driver re-verification; displaced inverted_index (r03-green,
+    # unchanged) moves below.
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
     # r07 hotfix slots (second pair): merge_upsert (dyadic update
     # multipliers, no engine-dependent round) and dag_pipeline (revenue
@@ -8126,7 +8146,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "except": (q_except, _SQL_EXCEPT),
     "window_moving": (q_window_moving, _SQL_WINDOW_MOVING),
     "lag_lead": (q_lag_lead, _SQL_LAG_LEAD),
-    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "percentile": (q_percentile, _SQL_PERCENTILE),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
@@ -8248,6 +8267,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_EXACT_QUANTILES_DISC,
     ),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
