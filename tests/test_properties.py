@@ -1100,3 +1100,66 @@ def test_merge_intervals_matches_python_union(spark, rows):
             round(sum(e - s for s, e in islands), 4),
         )
     assert got == want
+
+
+@given(texts=ascii_texts)
+@settings(**SETTINGS)
+def test_token_stats_matches_python_reference(spark, texts):
+    """token_stats == Python re: whitespace-ish token count on the
+    lowered text, BPE-ish segment count on the ORIGINAL text (leftmost
+    alternation, same in Java and Python re), char count."""
+    import re
+
+    from hdp_tez_spark.extensions.textstats import BPE_ISH_REGEX, token_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {
+        r.id: (r.n_tokens, r.n_bpeish, r.n_chars_seen)
+        for r in token_stats(df, "id", "s").collect()
+    }
+    want = {
+        i: (len(_py_tokens(t)), len(re.findall(BPE_ISH_REGEX, t)), len(t))
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+@given(texts=ml_texts)
+@settings(**SETTINGS)
+def test_lm_score_matches_python_reference(spark, texts):
+    """lm_score == a from-scratch Python bigram LM with the same
+    Laplace-0.5 smoothing: c2 from corpus bigrams, c1 = sum over w2 of
+    c2, V = distinct words appearing in the bigram table (NOT the full
+    unigram vocab — a single-token doc contributes no words), docs with
+    < 2 tokens excluded."""
+    import math
+    from collections import Counter
+
+    from hdp_tez_spark.extensions.textstats import lm_score
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    got = {
+        r.id: (r.n_bigrams, r.lm_score)
+        for r in lm_score(df, "id", "s").collect()
+    }
+    c2: Counter = Counter()
+    doc_bigrams = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[i] = bgs
+        c2.update(bgs)
+    c1: Counter = Counter()
+    words = set()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        words.update((w1, w2))
+    V = len(words)
+    want_ids = {i for i, bgs in doc_bigrams.items() if bgs}
+    assert set(got) == want_ids
+    for i in want_ids:
+        bgs = doc_bigrams[i]
+        lps = [math.log((c2[b] + 0.5) / (c1[b[0]] + 0.5 * V)) for b in bgs]
+        n, score = got[i]
+        assert n == len(bgs)
+        assert abs(score - round(sum(lps) / len(lps), 6)) <= 1.5e-6, (i, score)
