@@ -4304,6 +4304,34 @@ FROM part GROUP BY p_brand
 """
 
 
+_BUCKETED_PENDING: list = []  # (spark, warehouse_dir, table_name)
+_BUCKETED_CLEANUP_REGISTERED = False
+
+
+def _drain_bucketed_pending() -> None:
+    """Drop every bucketed table queued by earlier q_bucketed_join runs:
+    best-effort catalog DROP (the owning session may already be stopped)
+    plus rmtree of the physical table directory."""
+    import shutil
+
+    while _BUCKETED_PENDING:
+        sp, wh, t = _BUCKETED_PENDING.pop()
+        try:
+            sp.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def _register_bucketed_cleanup() -> None:
+    global _BUCKETED_CLEANUP_REGISTERED
+    if not _BUCKETED_CLEANUP_REGISTERED:
+        import atexit
+
+        atexit.register(_drain_bucketed_pending)
+        _BUCKETED_CLEANUP_REGISTERED = True
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-map-join parity (Hive CLUSTERED BY ... INTO N BUCKETS on
     Tez, SURVEY §2.7): write both join sides bucketed on the join key
@@ -4320,24 +4348,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     t_orders, t_li = f"hdp_bkt_orders_{run}", f"hdp_bkt_lineitem_{run}"
 
-    # exit-time cleanup: the unique-per-run names stop collisions but
-    # used to strand ~2 tables (~4 MB) in spark-warehouse/ per
-    # invocation. Best-effort catalog DROP (session may already be
-    # stopped at exit) plus rmtree of the physical table dirs.
-    import atexit
-    import shutil
-
+    # cleanup: unique-per-run names stop collisions but would strand ~2
+    # tables (~4 MB) per invocation. A SINGLE module-level atexit handler
+    # drains a shared pending list (no handler accumulation under
+    # repeat-run harnesses like tools/reps.py), and each new invocation
+    # first drops the PREVIOUS run's tables — so a 5-rep loop carries at
+    # most one run's tables on disk at a time. (Assumes the prior
+    # invocation's result DataFrame was already materialized, which every
+    # driver/bench/reps harness does before re-invoking.)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-
-    def _drop_bucketed(tables=(t_orders, t_li), wh=warehouse, sp=spark):
-        for t in tables:
-            try:
-                sp.sql(f"DROP TABLE IF EXISTS {t}")
-            except Exception:
-                pass
-            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-
-    atexit.register(_drop_bucketed)
+    _drain_bucketed_pending()
+    _register_bucketed_cleanup()
+    _BUCKETED_PENDING.append((spark, warehouse, t_orders))
+    _BUCKETED_PENDING.append((spark, warehouse, t_li))
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     write_bucketed(orders, t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
@@ -6814,8 +6837,8 @@ SELECT l_returnflag, n,
        -- subtraction-derived quantities can sit a float ulp below zero
        round(CASE WHEN var_x > 0 THEN cov / var_x END, 6)
          + CAST(0 AS DOUBLE) AS theta,
-       round(my, 6) AS mean_raw,
-       round(var_y, 2) AS var_raw,
+       round(my, 6) + CAST(0 AS DOUBLE) AS mean_raw,
+       round(var_y, 2) + CAST(0 AS DOUBLE) AS var_raw,
        round(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x
                   ELSE var_y END, 2) + CAST(0 AS DOUBLE) AS var_adj,
        round(CASE WHEN var_x > 0 AND var_y > 0

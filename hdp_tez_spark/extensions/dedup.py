@@ -266,9 +266,13 @@ def prefix_filter_join(
     # downstream of explode + distinct, where Catalyst's STATIC size
     # estimate is garbage — at 10x data it picked a broadcast build of a
     # data-sized side and OOMed the driver (sf1.0 probe, r07; the
-    # SCALE.md in-plan-explode trap). Pinning merge defers the call to
-    # AQE, which converts back to broadcast from ACTUAL shuffle stats
-    # when a side really is small.
+    # SCALE.md in-plan-explode trap). NOTE the trade is permanent: Spark
+    # honors SHUFFLE_MERGE hints during AQE replanning too, so these
+    # joins are pinned to sort-merge at EVERY scale — AQE will NOT
+    # convert them back to broadcast even when a side is tiny. That
+    # costs ~2x at toy scale (sf0.1: 4.2s -> 8.4s) and is accepted:
+    # two bounded shuffles can never OOM the driver, a mis-estimated
+    # broadcast build can.
     inter = (
         cand.hint("merge")
         .join(ta, "id_a")

@@ -199,8 +199,8 @@ def cuped_adjust(
         *group_cols,
         "n",
         (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
-        F.round(my, 6).alias("mean_raw"),
-        F.round(var_y, var_dp).alias("var_raw"),
+        (F.round(my, 6) + F.lit(0.0)).alias("mean_raw"),
+        (F.round(var_y, var_dp) + F.lit(0.0)).alias("var_raw"),
         (F.round(var_adj, var_dp) + F.lit(0.0)).alias("var_adj"),
         (F.round(reduction, 6) + F.lit(0.0)).alias("var_reduction"),
     ).orderBy(*group_cols)

@@ -49,7 +49,18 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     legacy INT96 timestamps (Spark's own default parquet writer format)
     as timestamp[ns], but Spark reads INT96 natively — applying the
     nanos-as-long cast to those breaks analysis. So a column is flagged
-    only when its PHYSICAL type in the parquet footer is INT64."""
+    only when its PHYSICAL type in the parquet footer is INT64.
+
+    Footer probing details: only TOP-LEVEL columns are candidates (the
+    nanosAsLong cast applies to top-level schema fields), so the physical
+    map is keyed by the footer column's full dotted PATH, not its leaf
+    name — a nested struct leaf that happens to share a top-level
+    column's name ("meta.ts" vs "ts") can no longer shadow it. And
+    because a multi-file directory may contain heterogeneous parts
+    (schema evolution / mixed writers), up to three files are probed and
+    a column is flagged only when every probed footer agrees on INT64 —
+    a mixed INT64/INT96 directory fails loudly at read time rather than
+    silently mis-casting (no single cast is correct for it)."""
     import pyarrow.dataset as ds
     import pyarrow.parquet as pq
     import pyarrow.types as pat
@@ -63,12 +74,20 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     ]
     if not ns_names:
         return []
-    meta = pq.ParquetFile(next(iter(dataset.files))).metadata.schema
-    physical = {
-        meta.column(i).name: meta.column(i).physical_type
-        for i in range(meta.num_columns)
-    }
-    return [n for n in ns_names if physical.get(n) == "INT64"]
+    flagged = set(ns_names)
+    for fpath in list(dataset.files)[:3]:
+        meta = pq.ParquetFile(fpath).metadata.schema
+        # path is the full dotted path ("parent.child" for nested leaves);
+        # a top-level column's path equals its name
+        physical = {
+            meta.column(i).path: meta.column(i).physical_type
+            for i in range(meta.num_columns)
+        }
+        flagged &= {n for n in flagged if physical.get(n) == "INT64"}
+        if not flagged:
+            break
+    # preserve schema order for deterministic read plans
+    return [n for n in ns_names if n in flagged]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
