@@ -8061,15 +8061,77 @@ GROUP BY shard ORDER BY shard
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
-    # r07 rotation (VERDICT r06 'Next round' #1): pure evidence refresh —
-    # all 215 queries are green and nothing changed semantically, so the
-    # prefix rotates to the 50 queries whose newest driver evidence is
-    # OLDEST: the 30 whose latest green row is CORRECTNESS_r02 (the
-    # driver freshness histogram's tail) plus the alphabetically-first
-    # 20 of the 48 r03-checked queries. All 50 pass the local sf0.01
-    # gate in --exact mode (driver-faithful string compare) before this
-    # rotation landed; the remaining 28 r03-checked queries are next
-    # round's natural prefix.
+    # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
+    # prefix rotates to the 32 queries whose newest driver evidence is
+    # CORRECTNESS_r03 (the oldest tail left in the freshness histogram:
+    # mrr_group_order, shuffle_hash_join, union_grouped, secondary_sort,
+    # topk, the tpch r03 batch, ...), plus cuped (mean_raw/var_raw -0.0
+    # normalization landed this round — ADVICE r07 #2) and the
+    # alphabetically-first 17 r04-checked queries, which include
+    # bucketed_join (cleanup-path rework this round — ADVICE r07 #4).
+    # All 50 pass the local sf0.01 --exact gate (driver-faithful string
+    # compare) before this rotation landed; after it the oldest driver
+    # evidence anywhere is r04.
+    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
+    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
+    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
+    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
+    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
+    "pagerank": (q_pagerank, _SQL_PAGERANK),
+    "range_join": (q_range_join, _SQL_RANGE_JOIN),
+    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
+    "rollup": (q_rollup, _SQL_ROLLUP),
+    "scd2": (q_scd2, _SQL_SCD2),
+    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
+    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
+    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "topk": (q_topk, _SQL_TOPK),
+    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
+    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
+    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
+    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
+    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
+    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
+    "cuped": (q_cuped, _SQL_CUPED),
+    "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
+    "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
+    "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
+    "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
+    "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
+    "chi_square": (q_chi_square, _SQL_CHI_SQUARE),
+    "cogroup": (q_cogroup, _SQL_COGROUP),
+    "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
+    "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
+    "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
+    "ewma": (q_ewma, _SQL_EWMA),
+    "exact_quantiles_disc": (
+        q_exact_quantiles_disc,
+        _SQL_EXACT_QUANTILES_DISC,
+    ),
+    "funnel": (q_funnel, _SQL_FUNNEL),
+    "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
+    "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
+    "hll_overlap": (q_hll_overlap, _SQL_HLL_OVERLAP),
+    "incident_window_join": (
+        q_incident_window_join,
+        _SQL_INCIDENT_WINDOW_JOIN,
+    ),
+    # ------------- driver-checked prefix ends here (50) -------------
+    # Entries below are driver-green in CORRECTNESS_r04-r07 (code
+    # unchanged since their green round) and stay covered by the
+    # repo's own per-commit sf0.001 + sweep sf0.01 --exact suites.
     "array_stats": (q_array_stats, _SQL_ARRAY_STATS),
     "cluster_split": (q_cluster_split, _SQL_CLUSTER_SPLIT),
     "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
@@ -8117,30 +8179,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets": (q_grouping_sets, _SQL_GROUPING_SETS),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, _SQL_HISTOGRAM),
-    # r07 hotfix slot (third): tpch_q1 money sums moved to exact decimal
-    # arithmetic this round (sf1.0 noise-margin probe) — prefix slot for
-    # driver re-verification; displaced inverted_index (r03-green,
-    # unchanged) moves below.
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "join_validate": (q_join_validate, _SQL_JOIN_VALIDATE),
-    # r07 hotfix slots (second pair): merge_upsert (dyadic update
-    # multipliers, no engine-dependent round) and dag_pipeline (revenue
-    # in millions, scale-stable rounding) changed output this round
-    # (sf1.0 probe findings); displaced json_extract/label_centroids
-    # (r03-green, unchanged) move below.
     "merge_upsert": (q_merge_upsert, _SQL_MERGE_UPSERT),
     "dag_pipeline": (q_dag_pipeline, _SQL_DAG_PIPELINE),
-    # r07 hotfix slots: merge_intervals (covered_sec 6->4 dp) and
-    # random_project (+0.0 negative-zero normalization) changed output
-    # this round (sf1.0 probe findings), so they take the last two
-    # prefix slots for driver re-verification; the displaced
-    # lateral_topn/median_udaf (r03-green, unchanged) move below.
     "merge_intervals": (q_merge_intervals, _SQL_MERGE_INTERVALS),
     "random_project": (q_random_project, _SQL_RANDOM_PROJECT),
-    # ------------- driver-checked prefix ends here (50) -------------
-    # Entries below are driver-green in CORRECTNESS_r01-r06 (code
-    # unchanged since their green round) and stay covered by the repo's
-    # own per-commit sf0.001 + sweep sf0.01 --exact oracle suites.
     "embedding_covariance": (
         q_embedding_covariance,
         _SQL_EMBEDDING_COVARIANCE,
@@ -8194,13 +8238,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_EMBEDDING_NEAR_DUPES,
     ),
     "quality_score": (q_quality_score, _SQL_QUALITY_SCORE),
-    "cuped": (q_cuped, _SQL_CUPED),
     "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
     "attribution": (q_attribution, _SQL_ATTRIBUTION),
     "calibration_bins": (q_calibration_bins, _SQL_CALIBRATION_BINS),
     "psi_drift": (q_psi_drift, _SQL_PSI_DRIFT),
-    "lateral_topn": (q_lateral_topn, _SQL_LATERAL_TOPN),
-    "median_udaf": (q_median_udaf, _SQL_MEDIAN_UDAF),
     "lm_score": (q_lm_score, _SQL_LM_SCORE),
     "rolling_active_users": (
         q_rolling_active_users,
@@ -8245,88 +8286,35 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "acf": (q_acf, _SQL_ACF),
     "bootstrap_ci": (q_bootstrap_ci, _SQL_BOOTSTRAP_CI),
     "ann_recall": (q_ann_recall, _SQL_ANN_RECALL),
-    "pagerank": (q_pagerank, _SQL_PAGERANK),
-    "ntile_buckets": (q_ntile_buckets, _SQL_NTILE_BUCKETS),
-    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
-    "scd2": (q_scd2, _SQL_SCD2),
-    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
-    "robust_outliers": (q_robust_outliers, _SQL_ROBUST_OUTLIERS),
-    "bfs_distances": (q_bfs_distances, _SQL_BFS_DISTANCES),
     "prefix_filter_join": (q_prefix_filter_join, _SQL_PREFIX_FILTER_JOIN),
-    "ewma": (q_ewma, _SQL_EWMA),
     "stream_left_join": (q_stream_left_join, _SQL_STREAM_LEFT_JOIN),
     "partition_overwrite": (q_partition_overwrite, _SQL_PARTITION_OVERWRITE),
     "point_in_time_join": (q_point_in_time_join, _SQL_POINT_IN_TIME_JOIN),
     "transition_counts": (q_transition_counts, _SQL_TRANSITION_COUNTS),
-    "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
-    "binary_auc": (q_binary_auc, _SQL_BINARY_AUC),
-    "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
-    "incident_window_join": (
-        q_incident_window_join,
-        _SQL_INCIDENT_WINDOW_JOIN,
-    ),
     "k_anonymity": (q_k_anonymity, _SQL_K_ANONYMITY),
     "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
     "woe_iv": (q_woe_iv, _SQL_WOE_IV),
     "python_udtf": (q_python_udtf, _SQL_PYTHON_UDTF),
-    "funnel": (q_funnel, _SQL_FUNNEL),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
     "sorted_group_apply": (q_sorted_group_apply, _SQL_SORTED_GROUP_APPLY),
     "proportion_ci": (q_proportion_ci, _SQL_PROPORTION_CI),
-    "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "winsorize": (q_winsorize, _SQL_WINSORIZE),
-    "ab_ttest": (q_ab_ttest, _SQL_AB_TTEST),
-    "chi_square": (q_chi_square, _SQL_CHI_SQUARE),
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
-    "hll_overlap": (q_hll_overlap, _SQL_HLL_OVERLAP),
     "ohlc_downsample": (q_ohlc_downsample, _SQL_OHLC_DOWNSAMPLE),
     "rollup_maintain": (q_rollup_maintain, _SQL_ROLLUP_MAINTAIN),
     "schema_evolution": (q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "profile_table": (q_profile_table, _SQL_PROFILE_TABLE),
-    "exact_quantiles_disc": (
-        q_exact_quantiles_disc,
-        _SQL_EXACT_QUANTILES_DISC,
-    ),
-    "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
-    "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
-    "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "stream_cdc_upsert": (q_stream_cdc_upsert, _SQL_STREAM_CDC_UPSERT),
     "zorder_stats": (q_zorder_stats, _SQL_ZORDER_STATS),
-    "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
-    "bucketed_join": (q_bucketed_join, _SQL_BUCKETED_JOIN),
     "stream_tumbling": (q_stream_tumbling, _SQL_TUMBLING_WINDOW),
     "observed_metrics": (q_observed_metrics, _SQL_OBSERVED_METRICS),
     "object_registry": (q_object_registry, _SQL_OBJECT_REGISTRY),
     "kmeans_cells": (q_kmeans_cells, _SQL_KMEANS_CELLS),
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
-    "cogroup": (q_cogroup, _SQL_COGROUP),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
-    "asof_join": (q_asof_join, _SQL_ASOF_JOIN),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
-    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
-    "sortmerge_join": (q_sortmerge_join, _SQL_SORTMERGE_JOIN),
-    "window_rank": (q_window_rank, _SQL_WINDOW_RANK),
-    "mrr_group_order": (q_mrr_group_order, _SQL_MRR),
-    "shuffle_hash_join": (q_shuffle_hash_join, _SQL_SHUFFLE_HASH_JOIN),
-    "topk": (q_topk, _SQL_TOPK),
-    "ordered_wordcount": (q_ordered_wordcount, _SQL_ORDERED_WORDCOUNT),
-    "semi_join": (q_semi_join, _SQL_SEMI_JOIN),
-    "range_join": (q_range_join, _SQL_RANGE_JOIN),
-    "union_grouped": (q_union_grouped, _SQL_UNION_GROUPED),
-    "secondary_sort": (q_secondary_sort, _SQL_SECONDARY_SORT),
-    "rollup": (q_rollup, _SQL_ROLLUP),
-    "window_running": (q_window_running, _SQL_WINDOW_RUNNING),
-    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
-    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
-    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
-    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
-    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
-    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
-    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
-    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
 }
 
 
