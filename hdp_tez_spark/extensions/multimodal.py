@@ -235,24 +235,30 @@ def resize_images(
     tw, th = target
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_codec("image")
         import io
 
-        from PIL import Image
-
         for pdf in batches:
+            # NULL validation BEFORE the codec gate: the actionable
+            # "filter nulls upstream" error needs no imaging library, so
+            # callers get it (and tests cover it) even in codec-less
+            # environments where _require_codec would mask it.
+            nulls = pdf[payload_col].isna()
+            if nulls.any():
+                doc_id = pdf[id_col][nulls].iloc[0]
+                # Explicit per-row error beats the opaque TypeError
+                # bytes(None) would raise inside the Arrow worker;
+                # callers that expect nulls should .where(isNotNull)
+                # the payload column before resizing.
+                raise ValueError(
+                    f"resize_images: NULL {payload_col} for "
+                    f"{id_col}={doc_id}; filter null payloads "
+                    "upstream (df.where(F.col(payload).isNotNull()))"
+                )
+            _require_codec("image")
+            from PIL import Image
+
             out_bytes = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    # Explicit per-row error beats the opaque TypeError
-                    # bytes(None) would raise inside the Arrow worker;
-                    # callers that expect nulls should .where(isNotNull)
-                    # the payload column before resizing.
-                    raise ValueError(
-                        f"resize_images: NULL {payload_col} for "
-                        f"{id_col}={doc_id}; filter null payloads "
-                        "upstream (df.where(F.col(payload).isNotNull()))"
-                    )
                 with Image.open(io.BytesIO(bytes(payload))) as im:
                     resized = im.resize((tw, th), Image.BILINEAR)
                     buf = io.BytesIO()

@@ -113,3 +113,19 @@ def test_resize_real_decode_when_codecs_present(spark):
     assert (row.width, row.height) == (8, 8)
     with Image.open(io.BytesIO(bytes(row.resized))) as im:
         assert im.size == (8, 8)
+
+
+def test_resize_null_payload_guard_needs_no_codec(spark):
+    """The NULL-payload guard fires BEFORE the codec gate (r08: the
+    validation needs no imaging library), so the actionable
+    'filter nulls upstream' message is testable — and reaches users —
+    even in codec-free containers like this one."""
+    df = spark.createDataFrame(
+        [(7, None)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        resize_images(df).collect()
+    msg = str(ei.value)
+    assert "NULL payload" in msg
+    assert "doc_id=7" in msg
+    assert "isNotNull" in msg
