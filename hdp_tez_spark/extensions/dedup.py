@@ -656,8 +656,17 @@ def connected_components(
             )
             .observe(
                 obs,
-                F.sum(
-                    F.when(F.col("label") != F.col("__old"), 1).otherwise(0)
+                # coalesce: SUM over ZERO rows is NULL, and a None
+                # `changed` never equals 0 — an empty edge set (a corpus
+                # with no near-dup pairs at all, the common case for a
+                # clean daily batch) would spin all max_iter rounds and
+                # then crash as "not converged" (found by the r08
+                # composed-pipeline property test)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("label") != F.col("__old"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("changed"),
             )
             .drop("__old")

@@ -312,3 +312,14 @@ def test_incremental_near_dupes_equals_full_lsh_slice(
             nid, oid = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
             want[(nid, oid)] = (r.jaccard, "new_old")
     assert got == want
+
+
+def test_connected_components_empty_edges_returns_empty(spark):
+    """Regression (r08): an empty edge set — a batch with zero near-dup
+    pairs — must return an empty labeling immediately, not spin
+    max_iter rounds and crash 'not converged' (the observe-metric SUM
+    over zero rows is NULL, which never compared equal to 0)."""
+    from hdp_tez_spark.extensions.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).collect() == []
