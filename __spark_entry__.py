@@ -1331,7 +1331,11 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucketed near-dup pairs — the SCALE path (bucket
     equi-join, never all-pairs); the oracle replicates the 4-plane sign
     bucket so recall trade-offs match exactly. n_planes=0 (exhaustive
-    cross-join verification mode) remains available on the operator."""
+    cross-join verification mode) remains available on the operator, and
+    n_planes=None derives the plane count from corpus size (r08: fixed
+    planes are quadratic across corpus growth — the production default;
+    4 is pinned here only for oracle parity, and happens to equal the
+    auto-derived count at this corpus size)."""
     from hdp_tez_spark.extensions import similarity as SIM
 
     return SIM.embedding_near_dupes(

@@ -345,7 +345,8 @@ def embedding_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold),
     bucket-prefiltered with the same sign-LSH. Output (id_a, id_b, cosine).
@@ -353,7 +354,27 @@ def embedding_near_dupes(
     Note: sign-LSH prefiltering can miss near-dup pairs straddling a
     hyperplane; for exhaustive dedup run with n_planes=0 (single bucket)
     at correspondingly higher cost.
+
+    SCALE: within-bucket candidate pairs grow as N^2 / 2^n_planes, so a
+    FIXED plane count is quadratic across corpus growth — measured r08:
+    a 3x corpus (20k -> 60k vectors, clean disjoint rotations) cost 4.2x
+    wall at the registry's pinned n_planes=4. Pass ``n_planes=None`` to
+    derive the plane count from the corpus size (one count() job):
+    buckets scale with N so expected bucket population stays near
+    ``target_bucket_rows`` and candidate work stays ~linear. The first
+    ``n_planes`` vector coordinates are used as hyperplane signs, so the
+    embedding dimension must be >= the derived count (capped at 24 ~
+    16.7M buckets; beyond that pre-cluster with kmeans_cells/IVF).
     """
+    if n_planes is None:
+        import math
+
+        n = df.count()
+        n_planes = (
+            0
+            if n <= target_bucket_rows
+            else min(24, math.ceil(math.log2(n / target_bucket_rows)))
+        )
     b = _spread(df.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -323,3 +323,43 @@ def test_connected_components_empty_edges_returns_empty(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).collect() == []
+
+
+def test_embedding_near_dupes_auto_planes(spark):
+    """n_planes=None derives the plane count from corpus size (r08
+    scale fix: fixed planes are quadratic across corpus growth). On a
+    corpus under target_bucket_rows the auto path degrades to the
+    exhaustive single bucket, so its output must EQUAL the n_planes=0
+    result; and every reported pair must clear the cosine threshold."""
+    import random
+
+    from hdp_tez_spark.extensions.similarity import embedding_near_dupes
+
+    rng = random.Random(8)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ] + [(100 + i, [float(i + 1)] * 8) for i in range(3)]  # guaranteed dupes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dupes(
+            df, threshold=0.9, n_planes=None, target_bucket_rows=4096
+        ).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dupes(df, threshold=0.9, n_planes=0).collect()
+    }
+    assert auto == exhaustive
+    assert all(c >= 0.9 for c in auto.values())
+    # above target_bucket_rows the derived count follows ceil(log2(n/t))
+    big_auto = embedding_near_dupes(
+        df, threshold=0.9, n_planes=None, target_bucket_rows=8
+    )
+    # 43 rows, target 8 -> ceil(log2(43/8)) = 3 planes; result must be a
+    # verified SUBSET of exhaustive (LSH may drop straddlers, never adds)
+    got = {
+        (r.id_a, r.id_b): r.cosine for r in big_auto.collect()
+    }
+    assert set(got) <= set(exhaustive)
+    assert all(c >= 0.9 for c in got.values())

@@ -25,7 +25,18 @@ Inflation model (mirrors how TPC-H itself scales):
 
 Usage:
     python tools/make_sf.py                       # sf0.1 x10 -> .scratch/sf1.0
-    python tools/make_sf.py <src_dir> <out_dir> <factor>
+    python tools/make_sf.py <src_dir> <out_dir> <factor> [tables]
+    # [tables]: optional comma-separated subset (e.g. documents,embeddings)
+    # for corpus-only probes that don't need 30x fact tables.
+
+COMPOSITION CAVEAT: inflate from the ORIGINAL sf0.1, not from an
+already-inflated directory. Document suffixing composes cleanly
+(replica vocabularies stay disjoint), but embedding rotation does NOT:
+rot_a then rot_b lands on rot_{a+b}, so a x3 of a x10 produces
+overlapping rotation families — artificial exact-duplicate vectors that
+make near-dup probes pathologically dup-heavy (measured r08: 6.3x wall
+on embedding_near_dupes at the same corpus size a clean x30 handles
+sub-linearly).
 """
 
 from __future__ import annotations
@@ -101,6 +112,7 @@ def main() -> None:
         else os.path.join(here, ".scratch", "sf1.0")
     )
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else list(TABLES)
     os.makedirs(out, exist_ok=True)
 
     spark = get_session("hdp-tez-spark-make-sf")
@@ -109,7 +121,7 @@ def main() -> None:
     # legacy INT96, which pyarrow reports as timestamp[ns] and which makes
     # the generated tables look unlike the /root/testdata originals
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    for name in TABLES:
+    for name in tables:
         df = load_table(spark, src, name)
         big = inflate_table(df, name, factor)
         # ~32 MB-ish files via a modest repartition on the big facts;
