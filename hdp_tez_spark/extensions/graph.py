@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hdp_tez_spark.plans.checkpoints import truncate_lineage
+from hdp_tez_spark.plans.checkpoints import LoopCheckpointer, truncate_lineage
 
 
 def pagerank(
@@ -77,6 +77,10 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
+    # per-round cuts via LoopCheckpointer: chained Dataset checkpoints
+    # get geometrically slower with chain depth (plans/checkpoints.py);
+    # a 30-iteration PageRank would walk straight into it
+    lc = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "pagerank")
     for _ in range(iters):
         contribs = (
             ew.join(ranks, ew["__src"] == ranks["node"])
@@ -98,7 +102,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = truncate_lineage(ranks, checkpoint_dir)
+        ranks = lc.cut(ranks)
+    ranks = lc.finish(ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
@@ -147,6 +152,11 @@ def bfs_distances(
         checkpoint_dir,
     )
     frontier = dist.select("node")
+    # two cuts per round (frontier + visited set) — both through
+    # LoopCheckpointer so deep traversals never hit the geometric
+    # chained-checkpoint cost (plans/checkpoints.py)
+    lc_f = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "bfs-frontier")
+    lc_d = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "bfs-dist")
     for hop in range(1, max_hops + 1):
         if frontier.isEmpty():
             break
@@ -156,12 +166,13 @@ def bfs_distances(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
         )
-        nxt = truncate_lineage(nxt, checkpoint_dir)
-        dist = truncate_lineage(
-            dist.unionByName(nxt.select("node", F.lit(hop).alias("dist"))),
-            checkpoint_dir,
+        nxt = lc_f.cut(nxt)
+        dist = lc_d.cut(
+            dist.unionByName(nxt.select("node", F.lit(hop).alias("dist")))
         )
         frontier = nxt
+    lc_f.cleanup()
+    dist = lc_d.finish(dist)
     return dist.orderBy("node")
 
 

@@ -821,3 +821,47 @@ def random_project(
         .crossJoin(F.broadcast(sdf))
         .select(F.col(id_col), proj.alias(out))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): vectors
+    whose embedding cosine exceeds `threshold` are semantic duplicates;
+    duplicate pairs are closed transitively and each group keeps its
+    minimum id as the representative. Output (id, rep) for EVERY input
+    row — singletons represent themselves; keep rows where rep == id to
+    materialize the semantically deduplicated corpus. This is the
+    embedding-space sibling of dedup_clusters (which groups on lexical
+    n-gram Jaccard): paraphrases and near-verbatim translations that
+    share no shingles still collapse here.
+
+    Scale shape: candidate pairs come from embedding_near_dupes'
+    sign-LSH bucket equi-join (never all-pairs; n_planes=None derives
+    the plane count from one corpus count() so candidate work stays
+    ~linear as the corpus grows); transitive closure is the shared
+    iterative min-label propagation (O(component diameter) rounds,
+    lineage-truncated per round, one job per round via observe). Dup
+    groups in a deduplicated corpus are shallow — a handful of rounds.
+    The final labeling joins back on the id column only; embeddings
+    never leave the pair stage.
+    """
+    from hdp_tez_spark.extensions.dedup import connected_components
+
+    pairs = embedding_near_dupes(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, n_planes=n_planes
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("rep"),
+        )
+    )

@@ -409,7 +409,7 @@ def bpe_merges(
     deterministic, engine-portable string expression, which is what
     makes the operator oracle-checkable.
     """
-    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+    from hdp_tez_spark.plans.checkpoints import LoopCheckpointer, truncate_lineage
 
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
@@ -422,6 +422,7 @@ def bpe_merges(
         .select("word", "cnt", _word_seq(F.col("word")).alias("seq"))
     )
     vocab = truncate_lineage(vocab, checkpoint_dir)
+    lc = LoopCheckpointer(spark, checkpoint_dir, "bpe")
 
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -451,7 +452,11 @@ def bpe_merges(
         merged = left + right
         merges.append((r, left, right, merged, pcnt))
         vocab = vocab.withColumn("seq", _apply_merge(F.col("seq"), left, right))
-        vocab = truncate_lineage(vocab, checkpoint_dir)
+        # LoopCheckpointer, not truncate_lineage: a 20+-merge run chains
+        # 20+ checkpoints, which gets geometrically slower with depth
+        # (plans/checkpoints.py)
+        vocab = lc.cut(vocab)
+    lc.cleanup()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )

@@ -100,3 +100,116 @@ def truncate_lineage(
     out = df.checkpoint(eager=True)
     df.unpersist()
     return out
+
+
+class LoopCheckpointer:
+    """Per-round lineage truncation for ITERATIVE DataFrame loops
+    (connected components, PageRank, BFS, BPE training).
+
+    Why not just `truncate_lineage` per round: Dataset.localCheckpoint /
+    checkpoint cost grows GEOMETRICALLY with the depth of the
+    checkpoint-built-on-checkpoint chain in Spark 4.1 — measured r08 on
+    a constant 15k-row labels table with an identical plan every round:
+    rounds 0-14 ~0.25s, then ~2.5x per round (round 22: 70s; round 30
+    would be hours). Reliable `checkpoint()` shows the same curve, and a
+    plain `count()` on the same plans stays flat at 0.25s — so it is the
+    checkpoint machinery, not the job, and not lineage recompute (plans
+    and RDD debug strings stay flat; post-checkpoint reads are instant).
+    Any loop deep enough walks into it: a connected-components pass over
+    a near-critical similarity graph (the sf1.0 semantic-dedup graph
+    needs ~22 propagate+jump rounds), or a 20-merge BPE run.
+
+    Fix (measured flat through 40 rounds): every ``reset_every``-th cut
+    is a parquet ROUND-TRIP through a double buffer — a file scan has no
+    RDD ancestry, so the chain the checkpoint machinery walks never
+    exceeds ``reset_every``; the other rounds keep the cheap
+    `truncate_lineage` path (localCheckpoint, or reliable checkpoint
+    when a dir is configured).
+
+    Spill location: explicit ``checkpoint_dir``, else the SparkContext's
+    configured checkpoint dir, else a driver-local temp dir — the same
+    posture as `truncate_lineage` (driver-local paths are only correct
+    in local mode; a real cluster configures a DFS checkpoint dir with
+    one line and every loop spill follows it automatically).
+
+    Usage::
+
+        lc = LoopCheckpointer(df.sparkSession, checkpoint_dir, "cc")
+        try:
+            for ...:
+                state = lc.cut(new_state)   # once per round
+            return lc.finish(state)         # cuts file deps, rm spill
+        finally:
+            lc.cleanup()                    # idempotent; no-op after finish
+    """
+
+    def __init__(
+        self,
+        spark,
+        checkpoint_dir: str | None = None,
+        label: str = "loop",
+        reset_every: int = 8,
+    ) -> None:
+        import uuid
+
+        self._spark = spark
+        self._checkpoint_dir = checkpoint_dir
+        self._reset_every = max(1, reset_every)
+        self._rounds = 0
+        self._writes = 0
+        self._base: str | None = None  # resolved lazily, only if needed
+        self._label = label
+        self._token = uuid.uuid4().hex[:8]
+
+    def _resolve_base(self) -> str:
+        if self._base is None:
+            base = self._checkpoint_dir
+            if base is None:
+                jsc = self._spark.sparkContext._jsc.sc()
+                live = jsc.getCheckpointDir()
+                base = live.get() if live.isDefined() else None
+            if base is None:
+                import tempfile
+
+                # the mkdtemp dir is already unique — use it directly so
+                # cleanup removes everything we created
+                self._base = tempfile.mkdtemp(prefix="spark-loop-spill-")
+            else:
+                self._base = f"{base}/spill-{self._label}-{self._token}"
+        return self._base
+
+    def _buffer(self, i: int) -> str:
+        return f"{self._resolve_base()}/buf-{i % 2}"
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        """Truncate one round's lineage; call exactly once per round.
+        Eager either way — attached `observe` metrics ride the job."""
+        self._rounds += 1
+        if self._rounds % self._reset_every != 0:
+            return truncate_lineage(df, self._checkpoint_dir)
+        path = self._buffer(self._writes)
+        self._writes += 1
+        df.write.mode("overwrite").parquet(path)
+        return self._spark.read.parquet(path)
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Detach `df` from the spill files (one checkpoint on a flat,
+        at-most-``reset_every``-deep plan — cheap) and delete them."""
+        if self._writes:
+            df = truncate_lineage(df, self._checkpoint_dir)
+        self.cleanup()
+        return df
+
+    def cleanup(self) -> None:
+        """Delete the spill dir (Hadoop FS — works for file:/hdfs:/s3a:).
+        Idempotent; safe to call from `finally` after `finish`."""
+        if self._base is None or not self._writes:
+            self._base = None
+            return
+        sc = self._spark.sparkContext
+        jvm = sc._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._base)
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+        self._base = None
+        self._writes = 0

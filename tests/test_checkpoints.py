@@ -158,3 +158,46 @@ def test_lazy_reliable_checkpoint_does_not_pin_cache(spark, ckpt_dir):
     assert out.count() == 50
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after <= before, f"lazy path pinned {after - before} datasets"
+
+
+def test_loop_checkpointer_parquet_reset_and_cleanup(spark, ckpt_dir):
+    """A loop deeper than reset_every must produce correct results, spill
+    through parquet on every reset_every-th cut, and leave no files after
+    finish(). (The geometric chained-checkpoint slowdown itself is a
+    timing property measured in SCALE.md; here we pin the mechanics.)
+    Uses the self-resetting ckpt_dir fixture: an explicit checkpoint_dir
+    is sticky session state (module docstring)."""
+    from pathlib import Path
+
+    from hdp_tez_spark.plans.checkpoints import LoopCheckpointer
+
+    lc = LoopCheckpointer(spark, ckpt_dir, "t", reset_every=3)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    for i in range(7):  # rounds 3 and 6 spill to parquet
+        df = lc.cut(df.withColumn("v", F.col("v") + 1))
+    assert lc._writes == 2
+    spill_root = Path(ckpt_dir)
+    spilled = [p for p in spill_root.rglob("*.parquet") if "spill-t-" in str(p)]
+    assert spilled, "reset rounds must write parquet buffers"
+    out = lc.finish(df)
+    assert sorted(r.v for r in out.collect()) == list(range(7, 17))
+    assert not [
+        p for p in spill_root.rglob("*.parquet") if "spill-t-" in str(p)
+    ], "finish must rm spills"
+    lc.cleanup()  # idempotent after finish
+
+
+def test_loop_checkpointer_shallow_loop_no_files(spark):
+    """Loops shorter than reset_every never touch the filesystem and
+    finish() returns the frame unchanged (localCheckpoint default path —
+    no checkpoint_dir, so nothing sticky)."""
+    from hdp_tez_spark.plans.checkpoints import LoopCheckpointer
+
+    lc = LoopCheckpointer(spark, None, "t", reset_every=8)
+    df = spark.range(5)
+    for _ in range(3):
+        df = lc.cut(df)
+    assert lc._writes == 0
+    assert lc._base is None
+    out = lc.finish(df)
+    assert out is df
