@@ -61,6 +61,10 @@ HEADLINE = [
     "union_grouped",
     "cube",
     # LLM-pipeline extensions
+    # NOTE: the first 28 entries are the baseline-shared core-28 whose
+    # composition must stay fixed across rounds — new queries go BELOW
+    # the core boundary (dup_spans/semantic_dedup live after
+    # session_window for that reason)
     "dedup_exact",
     "minhash_lsh",
     "simhash",
@@ -74,6 +78,8 @@ HEADLINE = [
     # the only per-query timings inlined in the stdout JSON line (see
     # _CORE_N below) — the full timings dict goes to BENCH_TIMINGS.json.
     # iterative / cogroup / interval paths (added round 2 per BASELINE §C)
+    "dup_spans",
+    "semantic_dedup",
     "dedup_clusters",
     "cogroup",
     "interval_join",
