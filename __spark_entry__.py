@@ -1204,8 +1204,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MINHASH_LSH = f"""
-WITH {_SQL_TOKS_CTE},
+# minhash signature/band/candidate chain, shared by the minhash_lsh
+# oracle and the minhash_recall oracle (assumes jaccard_pairs + sh from
+# _SQL_TOKS_CTE are in scope)
+_SQL_MINHASH_CTES = """
 xs AS (
   SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
   FROM sh
@@ -1229,9 +1231,55 @@ candidates AS (
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
 )
+"""
+
+_SQL_MINHASH_LSH = f"""
+WITH {_SQL_TOKS_CTE},
+{_SQL_MINHASH_CTES}
 SELECT c.id_a, c.id_b, j.jaccard
 FROM candidates c JOIN jaccard_pairs j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.1
+"""
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall readout of MinHash-LSH banding against exact n-gram-Jaccard
+    ground truth at the same threshold — the acceptance metric the
+    (num_perms, band_rows) trade-off is tuned by, mirroring ann_recall's
+    role for the ANN family (similarity.py ann_recall composed over
+    dedup.py ngram_jaccard_pairs / minhash_lsh_pairs). Output per left
+    doc id: (query_id, n_exact, n_hit, recall). recall is an exact-int
+    ratio with n_exact <= 3 on this corpus even at sf1.0 (measured), so
+    round(x, 6) is tie-free (6-dp ties need a denominator divisible by
+    128)."""
+    from hdp_tez_spark.extensions import dedup as D
+    from hdp_tez_spark.extensions.similarity import ann_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.1)
+    approx = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.1)
+    return ann_recall(exact, approx, query_col="id_a", neighbor_col="id_b")
+
+
+_SQL_MINHASH_RECALL = f"""
+WITH {_SQL_TOKS_CTE},
+{_SQL_MINHASH_CTES},
+approx AS (
+  SELECT c.id_a, c.id_b
+  FROM candidates c JOIN jaccard_pairs j
+    ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= 0.1
+),
+exact_p AS (SELECT id_a, id_b FROM jaccard_pairs WHERE jaccard >= 0.1),
+hits AS (
+  SELECT e.id_a AS query_id, count(*) AS n_exact, count(a.id_b) AS n_hit
+  FROM exact_p e
+  LEFT JOIN approx a ON e.id_a = a.id_a AND e.id_b = a.id_b
+  GROUP BY e.id_a
+)
+SELECT query_id, n_exact::BIGINT AS n_exact, n_hit::BIGINT AS n_hit,
+       round(n_hit / n_exact, 6) AS recall
+FROM hits ORDER BY query_id
 """
 
 
@@ -8169,12 +8217,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # bucketed_join (cleanup-path rework this round — ADVICE r07 #4).
     # All 50 pass the local sf0.01 --exact gate (driver-faithful string
     # compare) before this rotation landed; after it the oldest driver
-    # evidence anywhere is r04. The two r08-NEW queries (dup_spans,
-    # semantic_dedup) lead the prefix — never-checked queries take
-    # priority over evidence refresh; hll_overlap/incident_window_join
-    # (r04-green, code unchanged) moved below the boundary to make room.
+    # evidence anywhere is r04. The three r08-NEW queries (dup_spans,
+    # semantic_dedup, minhash_recall) lead the prefix — never-checked
+    # queries take priority over evidence refresh; grouped_ols/
+    # hll_overlap/incident_window_join (r04-green, code unchanged)
+    # moved below the boundary to make room.
     "dup_spans": (q_dup_spans, _SQL_DUP_SPANS),
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
+    "minhash_recall": (q_minhash_recall, _SQL_MINHASH_RECALL),
     "inverted_index": (q_inverted_index, _SQL_INVERTED_INDEX),
     "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
@@ -8225,8 +8275,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "funnel": (q_funnel, _SQL_FUNNEL),
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
-    "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     # ------------- driver-checked prefix ends here (50) -------------
+    "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     # Entries below are driver-green in CORRECTNESS_r04-r07 (code
     # unchanged since their green round) and stay covered by the
     # repo's own per-commit sf0.001 + sweep sf0.01 --exact suites.

@@ -80,6 +80,7 @@ HEADLINE = [
     # iterative / cogroup / interval paths (added round 2 per BASELINE §C)
     "dup_spans",
     "semantic_dedup",
+    "minhash_recall",
     "dedup_clusters",
     "cogroup",
     "interval_join",
