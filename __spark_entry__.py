@@ -8205,6 +8205,46 @@ FROM embeddings emb LEFT JOIN rep r ON emb.vec_id = r.v
 """
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional skyline / Pareto frontier over `part`: the parts
+    no other part beats on BOTH price (lower-or-equal) and size
+    (greater-or-equal) with at least one strict win — the classic
+    "cheapest yet largest" preference query (Borzsony et al., ICDE'01),
+    the one canonical OLAP operator the registry still lacked. The
+    oracle is the textbook quadratic NOT EXISTS; the engine plans the
+    O(N log N) shape instead (extensions/analytics.py `skyline`):
+    collapse to per-price max-size cells, a distributed exclusive
+    prefix-max scan over the cells (range partition + per-partition
+    window + broadcast per-PARTITION offsets — no single-task global
+    window, no self-join), then one equi-join back. Comparisons only,
+    no float arithmetic — layout-proof by construction."""
+    from hdp_tez_spark.extensions.analytics import skyline
+
+    return (
+        skyline(
+            _t(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand", "p_retailprice", "p_size"
+            ),
+            minimize_col="p_retailprice",
+            maximize_col="p_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SQL_SKYLINE = """
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part a
+WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice <= a.p_retailprice
+      AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_partkey
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
     # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
@@ -8222,6 +8262,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # queries take priority over evidence refresh; grouped_ols/
     # hll_overlap/incident_window_join (r04-green, code unchanged)
     # moved below the boundary to make room.
+    "skyline": (q_skyline, _SQL_SKYLINE),
     "dup_spans": (q_dup_spans, _SQL_DUP_SPANS),
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "minhash_recall": (q_minhash_recall, _SQL_MINHASH_RECALL),
@@ -8274,8 +8315,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_EXACT_QUANTILES_DISC,
     ),
     "funnel": (q_funnel, _SQL_FUNNEL),
-    "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     # ------------- driver-checked prefix ends here (50) -------------
+    # gaps_islands (r04-green, code unchanged) moved below the boundary
+    # to make room for the never-checked skyline at the prefix head.
+    "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     # Entries below are driver-green in CORRECTNESS_r04-r07 (code
     # unchanged since their green round) and stay covered by the

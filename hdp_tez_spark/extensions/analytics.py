@@ -1277,3 +1277,77 @@ def gini_coefficient(
         "n",
         F.round(F.when(F.col("__tot") > 0, g), 6).alias("gini"),
     )
+
+
+def skyline(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier): rows not strictly
+    dominated by any other row, where `b` dominates `a` iff
+    b.minimize <= a.minimize AND b.maximize >= a.maximize with at least
+    one strict inequality. The classic "cheapest-yet-largest" OLAP
+    operator (Borzsony/Kossmann/Stocker, ICDE 2001); duplicates of a
+    frontier point all survive (neither dominates the other), matching
+    the NOT-EXISTS strict-dominance definition.
+
+    To minimize (or maximize) both dimensions, negate one column first.
+    Rows with NULL in either dimension are excluded — dominance is
+    undefined on them.
+
+    Scale shape — O(N log N), never the quadratic self-join: a point is
+    dominated iff  max(y over points with strictly smaller x) >= its y
+    OR             max(y over points with the same x)           > its y.
+    Rows first collapse to one cell per distinct x (map-side combined
+    groupBy carrying the per-x max of y), then the strictly-less-than
+    running max comes from the same distributed exclusive scan
+    `prefix_sum` uses (operators/sort.py:191): range-partition on x,
+    row-framed window WITHIN each partition (parallel), plus a
+    broadcast one-row-per-PARTITION offset table for the cross-
+    partition prefix — no single-task global window over the distinct-x
+    table, whose cardinality is data-sized at 100 TB. The final
+    dominance test is an equi-join of the input back to its x-cell
+    (AQE broadcasts it when the frontier's x-domain is small).
+    """
+    x, y = F.col(minimize_col), F.col(maximize_col)
+    base = df.where(x.isNotNull() & y.isNotNull())
+
+    cells = base.groupBy(minimize_col).agg(
+        F.max(y).alias("__grp_max")
+    )
+    # distributed EXCLUSIVE prefix-max over cells ordered by x
+    part = cells.repartitionByRange(minimize_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    part = part.withColumn("__local_max", F.max("__grp_max").over(local_w))
+    offsets = part.groupBy("__pid").agg(
+        F.max("__grp_max").alias("__part_max")
+    )
+    prev_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = offsets.select(
+        "__pid", F.max("__part_max").over(prev_w).alias("__offset")
+    )
+    scanned = part.join(F.broadcast(offsets), "__pid").select(
+        minimize_col,
+        "__grp_max",
+        F.greatest(
+            # NULL-safe: greatest() ignores NULLs, yields NULL only when
+            # both are NULL (the globally smallest x — nothing precedes)
+            F.col("__local_max"),
+            F.col("__offset"),
+        ).alias("__lt_max"),
+    )
+    joined = base.join(scanned, on=minimize_col)
+    dominated = (
+        F.coalesce(F.col("__lt_max") >= y, F.lit(False))
+        | (F.col("__grp_max") > y)
+    )
+    return joined.where(~dominated).select(*df.columns)

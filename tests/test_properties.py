@@ -1163,3 +1163,37 @@ def test_lm_score_matches_python_reference(spark, texts):
         n, score = got[i]
         assert n == len(bgs)
         assert abs(score - round(sum(lps) / len(lps), 6)) <= 1.5e-6, (i, score)
+
+
+points2d = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=points2d)
+@settings(**SETTINGS)
+def test_skyline_matches_quadratic_reference(spark, pts):
+    """skyline == the textbook O(n^2) strict-dominance filter, including
+    duplicate frontier points (neither dominates the other) and ties on
+    a single dimension."""
+    from hdp_tez_spark.extensions.analytics import skyline
+
+    pdf = pd.DataFrame(pts, columns=["x", "y"]).reset_index(names="id")
+    want = sorted(
+        r.id
+        for r in pdf.itertuples()
+        if not any(
+            (o.x <= r.x and o.y >= r.y and (o.x < r.x or o.y > r.y))
+            for o in pdf.itertuples()
+        )
+    )
+    got = (
+        skyline(spark.createDataFrame(pdf), "x", "y")
+        .select("id")
+        .toPandas()["id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == want

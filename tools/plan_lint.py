@@ -1,0 +1,172 @@
+"""Registry-wide physical-plan lint: automated scale-hygiene gate.
+
+Plans every `__spark_entry__.queries()` entry (planning only — no
+result collection) and flags the plan shapes that are silent
+scale-killers at 100 TB even when sf0.01 results are correct:
+
+- `CartesianProduct`           — an O(N*M) join that will never finish
+                                 on real data unless the operator IS a
+                                 cross join.
+- `BroadcastNestedLoopJoin`    — same blowup class; legitimate ONLY
+                                 when the broadcast side is provably
+                                 tiny (a grouping-key-free aggregate =
+                                 exactly 1 row, or a bounded literal).
+                                 Each allowed query carries a reason.
+- `BatchEvalPython`            — row-at-a-time Python in the hot path
+                                 (10-100x slower than Arrow). Python is
+                                 allowed only Arrow-batched (MapInPandas
+                                 / ArrowEvalPython / FlatMapGroupsInPandas)
+                                 or as the documented `@udtf` parity
+                                 surface (BatchEvalPythonUDTF).
+
+This is the executable form of the per-operator plan audits VERDICT
+rounds 4-7 did by hand on the 5 most expensive queries — here it runs
+over the whole registry so a regression in ANY query's join strategy
+fails CI, not just the ones a reviewer happens to re-read.
+
+Usage:
+    python tools/plan_lint.py [sf_dir] [query ...]
+
+Exit 0 = no non-whitelisted findings. JSON report on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+# A BroadcastNestedLoopJoin is the correct, bounded plan when one side
+# is a grouping-key-free aggregate (exactly 1 row) or a driver-bounded
+# constant relation. Every entry documents WHY its BNLJ is size-bounded;
+# anything not listed here that plans a BNLJ/CartesianProduct fails.
+BNLJ_ALLOWED: dict[str, str] = {
+    "cross_join": "the operator IS a cross join (small dims by contract)",
+    "bm25": "corpus-level stats (1-row agg: N, avgdl) crossJoined onto terms",
+    "tfidf_top_terms": "1-row corpus doc-count agg crossJoined onto terms",
+    "heavy_hitters": "1-row corpus total crossJoined for support fractions",
+    "histogram": "1-row min/max agg crossJoined to derive bucket width",
+    "ks_test": "1-row per-sample CDF scale aggs crossJoined onto the grid",
+    "js_divergence": "1-row distribution totals crossJoined onto bins",
+    "psi_drift": "1-row per-window totals crossJoined onto buckets",
+    "chi_square": "1-row grand-total agg crossJoined onto the contingency",
+    "mutual_information": "1-row grand total crossJoined onto cell counts",
+    "gini": "1-row population aggregate crossJoined onto deciles",
+    "woe_iv": "1-row event/non-event totals crossJoined onto bins",
+    "binary_auc": "1-row positive/negative counts crossJoined onto ranks",
+    "benford_audit": "1-row row-count agg crossJoined onto digit counts",
+    "importance_sample": "1-row normalization agg crossJoined onto docs",
+    "cosine_topk": "query vector is a 1-row relation crossJoined onto corpus",
+    "cosine_topk_quantized": "1-row query-vector relation; codebook bounded",
+    "random_project": "d x k projection matrix is a bounded literal relation",
+    "ann_recall": "exact-vs-approx eval crossJoins the bounded query set",
+    "exact_quantiles": "1-row count agg crossJoined for rank targets",
+    "exact_quantiles_disc": "1-row count agg crossJoined for rank targets",
+    "key_skew_stats": "1-row corpus aggregate crossJoined onto key counts",
+    "hll_overlap": "1-row per-side sketch aggs crossJoined",
+    "approx_percentile_bound": "1-row exact-vs-approx aggs crossJoined",
+    "lm_score": "1-row corpus vocab/total aggs crossJoined onto docs",
+    "collocations": "1-row corpus token total crossJoined onto bigrams",
+    "kruskal_wallis": "1-row grand rank stats crossJoined onto groups",
+    "cohens_kappa": "1-row agreement totals crossJoined",
+    "mann_whitney": "1-row per-arm counts crossJoined",
+    "fk_integrity": "per-edge 1-row orphan/total-count aggs crossJoined",
+    "ntile_buckets": "1-row total-count agg crossJoined for the bucket formula",
+    "range_join": "the operator IS a banded theta join (demo surface; the "
+    "scale path is the bucketed point_in_interval join)",
+    "rolling_active_users": "day-spine range join — spine is calendar-"
+    "bounded (<= #days), broadcast by construction",
+    "rrf_fusion": "fusion inputs are LIMITed top-k candidate lists",
+    "stream_drift": "pooled-reference grid rebuild — bounded |categories|",
+    "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
+    "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
+    "triangle_count": "1-row census totals (wedges/triangles) crossJoined",
+}
+
+# Row-at-a-time Python UDTF is the documented @udtf parity surface
+# (SURVEY §2 row 48) — slow by contract, exercised by exactly one query.
+UDTF_ALLOWED = {"python_udtf"}
+
+_PATTERNS = {
+    "cartesian": re.compile(r"CartesianProduct"),
+    "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
+    # BatchEvalPython but NOT BatchEvalPythonUDTF
+    "row_udf": re.compile(r"BatchEvalPython(?!UDTF)"),
+    "udtf": re.compile(r"BatchEvalPythonUDTF"),
+}
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    """Return the list of non-whitelisted findings for one query plan."""
+    findings = []
+    if _PATTERNS["cartesian"].search(plan) and name not in BNLJ_ALLOWED:
+        findings.append("CartesianProduct in plan (unbounded all-pairs)")
+    if _PATTERNS["bnlj"].search(plan) and name not in BNLJ_ALLOWED:
+        findings.append(
+            "BroadcastNestedLoopJoin without a documented bounded side"
+        )
+    if _PATTERNS["row_udf"].search(plan):
+        findings.append("row-at-a-time BatchEvalPython in the plan")
+    if _PATTERNS["udtf"].search(plan) and name not in UDTF_ALLOWED:
+        findings.append("BatchEvalPythonUDTF outside the @udtf parity query")
+    return findings
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+
+    import __spark_entry__ as entry_mod
+    from hdp_tez_spark.session import get_session
+
+    spark = get_session()
+    qs = entry_mod.queries()
+    report, bad = {}, 0
+    t0 = time.time()
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+            findings = lint_plan(name, plan)
+            stats = {
+                "exchanges": plan.count("Exchange"),
+                "codegen": "WholeStageCodegen" in plan,
+                "bnlj": bool(_PATTERNS["bnlj"].search(plan)),
+                "cartesian": bool(_PATTERNS["cartesian"].search(plan)),
+            }
+        except Exception as exc:  # planning itself failed
+            findings = [f"planning error: {exc!r:.200}"]
+            stats = {}
+        report[name] = {"findings": findings, **stats}
+        if findings:
+            bad += 1
+            print(f"FAIL {name}: {findings}", file=sys.stderr)
+    # whitelist rot: allowed entries whose plan no longer contains a
+    # BNLJ/CartesianProduct at this SF (harmless, but keep the list honest)
+    stale = sorted(
+        n
+        for n in BNLJ_ALLOWED
+        if n in report
+        and not (report[n].get("bnlj") or report[n].get("cartesian"))
+    )
+    summary = {
+        "queries": len(report),
+        "failed": bad,
+        "stale_allowlist": stale,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps({"summary": summary, "report": report}, indent=1))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
