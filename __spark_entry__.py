@@ -8245,6 +8245,120 @@ ORDER BY p_partkey
 """
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity selection (extensions/
+    similarity.py mmr_select): greedily pick 8 embeddings maximizing
+    0.5*rel - 0.5*max-sim-to-already-picked, rel = cosine to the
+    vec_id=0 query vector — the diversity-aware counterpart of
+    cosine_topk (top-k by relevance alone picks near-duplicates; MMR is
+    the standard reranker/curation subset selector). The oracle replays
+    the same greedy argmax as a DuckDB recursive CTE whose single
+    accumulator row carries the picked (id, vector) lists. Both sides
+    round every cosine to 6 dp before it enters a score and break ties
+    on ascending id (the registry's ANN determinism contract), and the
+    0.5 blend is dyadic-exact, so each round's argmax is engine-
+    reproducible."""
+    from hdp_tez_spark.extensions.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    return mmr_select(
+        emb.where(F.col("vec_id") != 0),
+        query_vec=qvec,
+        k=8,
+        lam=0.5,
+    )
+
+
+_SQL_MMR_SELECT = """
+WITH RECURSIVE cand AS (
+  SELECT c.vec_id AS id, c.embedding::DOUBLE[] AS v,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings
+                WHERE vec_id = 0)), 6) AS rel
+  FROM embeddings c WHERE c.vec_id <> 0
+),
+sel AS (
+  (SELECT 1 AS step, [c.id] AS ids, [c.v] AS vs
+   FROM cand c
+   ORDER BY 0.5 * c.rel DESC, c.id
+   LIMIT 1)
+  UNION ALL
+  SELECT s.step + 1, list_append(s.ids, c.id), list_append(s.vs, c.v)
+  FROM sel s JOIN cand c ON NOT list_contains(s.ids, c.id)
+  WHERE s.step < 8
+  QUALIFY row_number() OVER (
+    ORDER BY 0.5 * c.rel - 0.5 * list_max(list_transform(s.vs,
+               w -> round(list_cosine_similarity(c.v, w), 6))) DESC,
+             c.id) = 1
+)
+SELECT t.i::INT AS step, f.ids[t.i] AS selected_id, c.rel AS rel
+FROM (SELECT ids FROM sel WHERE step = 8) f, range(1, 9) t(i)
+JOIN cand c ON c.id = f.ids[t.i]
+ORDER BY step
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise market-basket association rules (extensions/analytics.py
+    association_rules) on the parts-bought-together baskets (same
+    l_partkey % 4 == 0 sparsifier stripe as triangle_count): directed
+    (antecedent -> consequent) pairs in >= 2 distinct orders with
+    support / confidence / lift — the Apriori readout for co-purchase
+    and token-co-occurrence mining. Ratios are exact-int divisions
+    rounded to 6 dp; top-50 by (lift, antecedent, consequent) keeps the
+    output bounded and the ordering float-tie-free (ties broken by the
+    integer pair)."""
+    from hdp_tez_spark.extensions.analytics import association_rules
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    return (
+        association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+_SQL_ASSOC_RULES = """
+WITH bk AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+total AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM bk),
+item_cnt AS (SELECT i, count(*) AS cnt FROM bk GROUP BY i),
+pairs AS (
+  SELECT l.i AS a, r.i AS b, count(*) AS pair_n
+  FROM bk l JOIN bk r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i
+  HAVING count(*) >= 2
+),
+directed AS (
+  SELECT a AS antecedent, b AS consequent, pair_n FROM pairs
+  UNION ALL
+  SELECT b AS antecedent, a AS consequent, pair_n FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.pair_n,
+       round(d.pair_n / t.n, 6) AS support,
+       round(d.pair_n / ca.cnt, 6) AS confidence,
+       round(d.pair_n * t.n / (ca.cnt * cc.cnt), 6) AS lift
+FROM directed d
+JOIN item_cnt ca ON ca.i = d.antecedent
+JOIN item_cnt cc ON cc.i = d.consequent
+CROSS JOIN total t
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 50
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
     # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
@@ -8263,6 +8377,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # hll_overlap/incident_window_join (r04-green, code unchanged)
     # moved below the boundary to make room.
     "skyline": (q_skyline, _SQL_SKYLINE),
+    "mmr_select": (q_mmr_select, _SQL_MMR_SELECT),
+    "assoc_rules": (q_assoc_rules, _SQL_ASSOC_RULES),
     "dup_spans": (q_dup_spans, _SQL_DUP_SPANS),
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "minhash_recall": (q_minhash_recall, _SQL_MINHASH_RECALL),
@@ -8310,14 +8426,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     "ewma": (q_ewma, _SQL_EWMA),
+    # ------------- driver-checked prefix ends here (50) -------------
+    # exact_quantiles_disc, gaps_islands and funnel (r04/r05-green,
+    # code unchanged) moved below the boundary to make room for the
+    # never-checked skyline / mmr_select / assoc_rules at the prefix
+    # head.
     "exact_quantiles_disc": (
         q_exact_quantiles_disc,
         _SQL_EXACT_QUANTILES_DISC,
     ),
     "funnel": (q_funnel, _SQL_FUNNEL),
-    # ------------- driver-checked prefix ends here (50) -------------
-    # gaps_islands (r04-green, code unchanged) moved below the boundary
-    # to make room for the never-checked skyline at the prefix head.
     "gaps_islands": (q_gaps_islands, _SQL_GAPS_ISLANDS),
     "grouped_ols": (q_grouped_ols, _SQL_GROUPED_OLS),
     # Entries below are driver-green in CORRECTNESS_r04-r07 (code

@@ -81,6 +81,9 @@ HEADLINE = [
     "dup_spans",
     "semantic_dedup",
     "minhash_recall",
+    "skyline",
+    "mmr_select",
+    "assoc_rules",
     "dedup_clusters",
     "cogroup",
     "interval_join",

@@ -1351,3 +1351,85 @@ def skyline(
         | (F.col("__grp_max") > y)
     )
     return joined.where(~dominated).select(*df.columns)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal/Srikant's Apriori output
+    at the pairwise level): for every directed item pair (antecedent ->
+    consequent) co-occurring in >= min_pair_count distinct baskets,
+    emit support / confidence / lift. Output: (antecedent, consequent,
+    pair_n, support, confidence, lift), ratios rounded to 6 dp —
+    exact-int divisions, so both engines round the same doubles.
+
+    Scale shape: pair generation reuses graph.cooccurrence_edges —
+    basket-keyed self-join (co-members only, never all-pairs across the
+    item universe) with the `max_basket` sparsifier capping degenerate
+    baskets BEFORE the join. Everything downstream is aggregate-sized:
+    item supports are |items| rows, the basket total is a 1-row
+    broadcast, and the two enrichment joins are equi-joins on item id
+    that AQE broadcasts when |items| is small.
+    """
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges
+
+    bk = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket is not None:
+        # cap BEFORE any statistic so supports, totals and pairs all
+        # describe the same (capped) basket population
+        sizes = bk.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        bk = bk.join(
+            sizes.where(F.col("__sz") <= max_basket).select("__b"), "__b"
+        )
+    total = bk.agg(
+        F.count_distinct(F.col("__b")).cast("double").alias("__n")
+    )
+    item_cnt = bk.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    pairs = cooccurrence_edges(bk, "__b", "__i", min_count=min_pair_count)
+    directed = pairs.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        F.col("n_baskets").alias("pair_n"),
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("antecedent"),
+            F.col("a").alias("consequent"),
+            F.col("n_baskets").alias("pair_n"),
+        )
+    )
+    enriched = (
+        directed.join(
+            item_cnt.select(
+                F.col("__i").alias("antecedent"),
+                F.col("__cnt").alias("__cnt_a"),
+            ),
+            "antecedent",
+        )
+        .join(
+            item_cnt.select(
+                F.col("__i").alias("consequent"),
+                F.col("__cnt").alias("__cnt_c"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.col("pair_n").cast("double")
+    return enriched.select(
+        "antecedent",
+        "consequent",
+        "pair_n",
+        F.round(p / F.col("__n"), 6).alias("support"),
+        F.round(p / F.col("__cnt_a"), 6).alias("confidence"),
+        F.round(
+            p * F.col("__n") / (F.col("__cnt_a") * F.col("__cnt_c")), 6
+        ).alias("lift"),
+    )

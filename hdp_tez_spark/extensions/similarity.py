@@ -865,3 +865,82 @@ def semantic_dedup(
             F.coalesce(F.col("label"), F.col(id_col)).alias("rep"),
         )
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k items maximizing
+        lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+    — the standard diversity-aware subset selector for retrieval
+    reranking and training-data curation (relevant AND mutually
+    non-redundant). rel/sim are cosine similarities.
+
+    Determinism contract (the registry's 6-dp cosine convention): every
+    cosine is rounded to 6 dp before entering a score, ties break on
+    ascending id, and `lam` should be dyadic (0.5, 0.25, ...) so the
+    blend is one exact float multiply — the argmax each round is then
+    engine-reproducible, not summation-noise roulette.
+
+    Scale shape: k bounded driver round-trips, each a map-side scan +
+    TakeOrdered(1) — no shuffle, no |corpus|^2 similarity matrix, state
+    is k (id, vector) pairs on the driver (aggregate-sized, like the
+    k-means centroids). The marginal-penalty column is a greatest() over
+    <= k-1 cosine-vs-literal expressions, map-side per candidate; the
+    scan is cached so round r doesn't re-read the source. Cost is
+    O(k * |corpus| * d) compute — the same envelope as scoring the
+    corpus against k queries — with expression depth linear in k (keep
+    k <= ~64; larger k wants a checkpoint every ~32 rounds).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec]).cast(
+        "array<double>"
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__rel", F.round(cosine(F.col("__v"), qlit), 6))
+    cand = cand.cache()
+    try:
+        picked: list[tuple[int, int, float]] = []
+        sims: list[Column] = []  # cosine-vs-each-selected expressions
+        for step in range(1, k + 1):
+            # step 1 has no penalty term (argmax of lam * rel alone);
+            # later steps take the TRUE max over selected — which can be
+            # negative, so never clamp it at 0
+            max_sim = F.greatest(*sims) if len(sims) > 1 else (
+                sims[0] if sims else F.lit(0.0)
+            )
+            score = F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * max_sim
+            top = (
+                cand.where(
+                    ~F.col("__id").isin([i for _, i, _ in picked])
+                    if picked
+                    else F.lit(True)
+                )
+                .orderBy(F.desc(score), F.asc("__id"))
+                .limit(1)
+                .select("__id", "__v", "__rel")
+                .collect()
+            )
+            if not top:
+                break  # corpus exhausted before k picks
+            row = top[0]
+            picked.append((step, row["__id"], row["__rel"]))
+            vlit = F.array(*[F.lit(float(x)) for x in row["__v"]]).cast(
+                "array<double>"
+            )
+            sims.append(F.round(cosine(F.col("__v"), vlit), 6))
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            picked, schema="step INT, selected_id BIGINT, rel DOUBLE"
+        ).orderBy("step")
+    finally:
+        cand.unpersist()

@@ -47,6 +47,8 @@ LINT_SUBSET = [
     "full_outer_join",
     "cross_join",
     "skyline",
+    "mmr_select",
+    "assoc_rules",
     "triangle_count",
     "pagerank",
     "dedup_clusters",

@@ -1197,3 +1197,116 @@ def test_skyline_matches_quadratic_reference(spark, pts):
         .tolist()
     )
     assert got == want
+
+
+vecs3d = st.lists(
+    st.tuples(
+        st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4)
+    ).filter(lambda t: any(t)),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(vs=vecs3d, lam_num=st.integers(0, 4))
+@settings(**SETTINGS)
+def test_mmr_select_matches_greedy_reference(spark, vs, lam_num):
+    """mmr_select == a plain-Python greedy MMR with the same 6-dp
+    rounding and ascending-id tiebreak, across dyadic lambdas including
+    the degenerate ends (1.0 = pure relevance ranking, 0.0 = pure
+    diversity)."""
+    import math
+
+    from hdp_tez_spark.extensions.similarity import mmr_select
+
+    lam = lam_num / 4.0
+    query = [1.0, 0.0, 0.0]
+    k = min(5, len(vs))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    rel = {i: cos(v, query) for i, v in enumerate(vs)}
+    picked, remaining = [], set(range(len(vs)))
+    for _ in range(k):
+        best = max(
+            remaining,
+            key=lambda i: (
+                lam * rel[i]
+                - (1 - lam)
+                * (max(cos(vs[i], vs[j]) for j in picked) if picked else 0.0),
+                -i,
+            ),
+        )
+        picked.append(best)
+        remaining.discard(best)
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vs)), "embedding": [list(map(float, v)) for v in vs]}
+    )
+    got = (
+        mmr_select(spark.createDataFrame(pdf), query, k=k, lam=lam)
+        .select("selected_id")
+        .toPandas()["selected_id"]
+        .tolist()
+    )
+    assert got == picked
+
+
+baskets = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 8)),  # (basket, item)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=baskets, min_n=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_association_rules_matches_python_reference(spark, rows, min_n):
+    """association_rules == a dict-based Apriori pairwise reference:
+    same directed rules, same 6-dp support/confidence/lift."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from hdp_tez_spark.extensions.analytics import association_rules
+
+    by_basket = defaultdict(set)
+    for b, i in rows:
+        by_basket[b].add(i)
+    n_total = len(by_basket)
+    item_cnt: dict[int, int] = defaultdict(int)
+    pair_cnt: dict[tuple[int, int], int] = defaultdict(int)
+    for items in by_basket.values():
+        for i in items:
+            item_cnt[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_cnt[(a, b)] += 1
+    want = set()
+    for (a, b), n in pair_cnt.items():
+        if n < min_n:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            want.add(
+                (
+                    ant,
+                    con,
+                    n,
+                    round(n / n_total, 6),
+                    round(n / item_cnt[ant], 6),
+                    round(n * n_total / (item_cnt[ant] * item_cnt[con]), 6),
+                )
+            )
+
+    pdf = pd.DataFrame(rows, columns=["b", "i"])
+    got = set(
+        tuple(r)
+        for r in association_rules(
+            spark.createDataFrame(pdf), "b", "i", min_pair_count=min_n
+        )
+        .toPandas()
+        .itertuples(index=False)
+    )
+    assert got == want

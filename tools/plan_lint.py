@@ -73,6 +73,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "kruskal_wallis": "1-row grand rank stats crossJoined onto groups",
     "cohens_kappa": "1-row agreement totals crossJoined",
     "mann_whitney": "1-row per-arm counts crossJoined",
+    "assoc_rules": "1-row basket-total agg crossJoined for support/lift",
     "fk_integrity": "per-edge 1-row orphan/total-count aggs crossJoined",
     "ntile_buckets": "1-row total-count agg crossJoined for the bucket formula",
     "range_join": "the operator IS a banded theta join (demo surface; the "
