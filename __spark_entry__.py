@@ -8359,6 +8359,58 @@ LIMIT 50
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (extensions/analytics.py
+    peak_concurrency): per-user daily activity spans [min ts, max ts]
+    from events, then for each day the maximum number of simultaneously
+    active users and the earliest instant the peak is hit — the classic
+    capacity-planning overlap maximum (meeting-rooms problem),
+    complementing merge_intervals' union/coverage. Integer counts and
+    timestamps only — no float in the output; at equal instants starts
+    order before ends (inclusive endpoints), ties broken by user id, so
+    the sweep order is total and the answer engine-exact. The running
+    count rides the distributed prefix_sum scan, not a single-task
+    global window."""
+    from hdp_tez_spark.extensions.analytics import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("__d")
+    ).agg(F.min("ts").alias("span_start"), F.max("ts").alias("span_end"))
+    return peak_concurrency(
+        spans, "span_start", "span_end", "user_id"
+    ).orderBy("bucket_start")
+
+
+_SQL_PEAK_CONCURRENCY = """
+WITH spans AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+pts AS (
+  SELECT s AS ts, 1 AS delta, 0 AS ord, user_id AS id FROM spans
+  UNION ALL
+  SELECT e AS ts, -1 AS delta, 1 AS ord, user_id AS id FROM spans
+),
+cum AS (
+  SELECT CAST(ts AS DATE) AS bucket_start, ts,
+         sum(delta) OVER (ORDER BY ts, ord, id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM pts
+),
+daily AS (
+  SELECT bucket_start, max(running) AS peak FROM cum GROUP BY bucket_start
+)
+SELECT d.bucket_start, CAST(d.peak AS BIGINT) AS peak,
+       min(c.ts) AS peak_ts
+FROM cum c
+JOIN daily d ON c.bucket_start = d.bucket_start AND c.running = d.peak
+GROUP BY d.bucket_start, d.peak
+ORDER BY d.bucket_start
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver-checked prefix (first 50 entries) ----
     # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
@@ -8379,6 +8431,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "skyline": (q_skyline, _SQL_SKYLINE),
     "mmr_select": (q_mmr_select, _SQL_MMR_SELECT),
     "assoc_rules": (q_assoc_rules, _SQL_ASSOC_RULES),
+    "peak_concurrency": (q_peak_concurrency, _SQL_PEAK_CONCURRENCY),
     "dup_spans": (q_dup_spans, _SQL_DUP_SPANS),
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "minhash_recall": (q_minhash_recall, _SQL_MINHASH_RECALL),
@@ -8425,12 +8478,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
-    "ewma": (q_ewma, _SQL_EWMA),
     # ------------- driver-checked prefix ends here (50) -------------
-    # exact_quantiles_disc, gaps_islands and funnel (r04/r05-green,
-    # code unchanged) moved below the boundary to make room for the
-    # never-checked skyline / mmr_select / assoc_rules at the prefix
-    # head.
+    # ewma, exact_quantiles_disc, gaps_islands and funnel (r04/r05-
+    # green, code unchanged) moved below the boundary to make room for
+    # the never-checked skyline / mmr_select / assoc_rules /
+    # peak_concurrency at the prefix head.
+    "ewma": (q_ewma, _SQL_EWMA),
     "exact_quantiles_disc": (
         q_exact_quantiles_disc,
         _SQL_EXACT_QUANTILES_DISC,

@@ -84,6 +84,7 @@ HEADLINE = [
     "skyline",
     "mmr_select",
     "assoc_rules",
+    "peak_concurrency",
     "dedup_clusters",
     "cogroup",
     "interval_join",

@@ -1433,3 +1433,71 @@ def association_rules(
             p * F.col("__n") / (F.col("__cnt_a") * F.col("__cnt_c")), 6
         ).alias("lift"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Sweep-line maximum overlap: for each time bucket, the peak number
+    of simultaneously-active intervals and the earliest instant the peak
+    is reached — max concurrent sessions / calls / jobs, the classic
+    capacity-planning readout. Endpoints are INCLUSIVE (a zero-length
+    interval still counts 1 at its instant): at equal timestamps starts
+    order before ends, ties broken by id. Output:
+    (bucket_start, peak, peak_ts) — integers and timestamps only, no
+    float anywhere.
+
+    Scale shape: intervals explode to exactly 2 delta points each; the
+    running concurrency comes from the distributed `prefix_sum` scan
+    (operators/sort.py:191 — range partition on the sweep order,
+    per-partition window, one-row-per-PARTITION offset broadcast), so
+    no single-task global window over the data-sized point list. The
+    per-bucket peak is a map-side-combined groupBy, and the peak
+    instant is recovered by one equi-join of the point list back to its
+    bucket's peak — bucket cardinality is calendar-bounded.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    if bucket != "day":
+        raise ValueError(f"unsupported bucket {bucket!r} (only 'day')")
+    s, e, i = F.col(start_col), F.col(end_col), F.col(id_col)
+    base = intervals.where(s.isNotNull() & e.isNotNull() & (s <= e))
+    points = base.select(
+        s.alias("__ts"), F.lit(1).alias("__delta"),
+        F.lit(0).alias("__ord"), i.alias("__id"),
+    ).unionByName(
+        base.select(
+            e.alias("__ts"), F.lit(-1).alias("__delta"),
+            F.lit(1).alias("__ord"), i.alias("__id"),
+        )
+    )
+    cum = prefix_sum(
+        points,
+        [F.col("__ts"), F.col("__ord"), F.col("__id")],
+        "__delta",
+        "__running",
+    ).select(
+        F.to_date("__ts").alias("bucket_start"),
+        F.col("__ts"),
+        F.col("__running"),
+    )
+    # rename the peak table's key: `daily` shares lineage with `cum`
+    # (self-join), so qualified refs to the same column name are
+    # ambiguous to the analyzer
+    daily = cum.groupBy(F.col("bucket_start").alias("__b")).agg(
+        F.max("__running").cast("bigint").alias("peak")
+    )
+    return (
+        cum.join(
+            daily,
+            (F.col("bucket_start") == F.col("__b"))
+            & (F.col("__running") == F.col("peak")),
+        )
+        .groupBy("__b", "peak")
+        .agg(F.min("__ts").alias("peak_ts"))
+        .select(F.col("__b").alias("bucket_start"), "peak", "peak_ts")
+    )

@@ -49,6 +49,7 @@ LINT_SUBSET = [
     "skyline",
     "mmr_select",
     "assoc_rules",
+    "peak_concurrency",
     "triangle_count",
     "pagerank",
     "dedup_clusters",

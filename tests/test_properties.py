@@ -1310,3 +1310,49 @@ def test_association_rules_matches_python_reference(spark, rows, min_n):
         .itertuples(index=False)
     )
     assert got == want
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),            # id
+        st.integers(0, 80),           # start offset (hours)
+        st.integers(0, 30),           # duration (hours)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=interval_rows)
+@settings(**SETTINGS)
+def test_peak_concurrency_matches_sweep_reference(spark, rows):
+    """peak_concurrency == a plain-Python sweep with inclusive
+    endpoints (starts before ends at equal instants), including
+    zero-length intervals and cross-bucket carryover."""
+    import datetime as dt
+
+    from hdp_tez_spark.extensions.analytics import peak_concurrency
+
+    base = dt.datetime(2024, 1, 1)
+    ivs = [
+        (i, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + d))
+        for i, s, d in rows
+    ]
+    pts = [(s, 0, i) for i, s, e in ivs] + [(e, 1, i) for i, s, e in ivs]
+    running, want = 0, {}
+    for ts, order, _ in sorted(pts, key=lambda t: (t[0], t[1], t[2])):
+        running += 1 if order == 0 else -1
+        day = ts.date()
+        cur = want.get(day)
+        if cur is None or running > cur[0]:
+            want[day] = (running, ts)
+    got = {
+        r["bucket_start"]: (r["peak"], r["peak_ts"])
+        for r in peak_concurrency(
+            spark.createDataFrame(ivs, "id INT, s TIMESTAMP, e TIMESTAMP"),
+            "s",
+            "e",
+            "id",
+        ).collect()
+    }
+    assert got == want
