@@ -14,7 +14,13 @@ import pytest
 
 import __spark_entry__ as E
 from tests.conftest import SF_SMOKE
-from tools.plan_lint import BNLJ_ALLOWED, UDTF_ALLOWED, lint_plan, plan_of
+from tools.plan_lint import (
+    BNLJ_ALLOWED,
+    GLOBAL_WINDOW_ALLOWED,
+    UDTF_ALLOWED,
+    lint_plan,
+    plan_of,
+)
 
 # High-risk subset: every query here must lint clean. Families:
 # candidate-pair generation (the all-pairs blowup risk), every join
@@ -78,5 +84,7 @@ def test_allowlists_reference_real_queries():
     """Allowlist rot guard: every documented-bounded BNLJ exception must
     still name a registry query."""
     names = set(E.queries())
-    missing = (set(BNLJ_ALLOWED) | UDTF_ALLOWED) - names
+    missing = (
+        set(BNLJ_ALLOWED) | set(GLOBAL_WINDOW_ALLOWED) | UDTF_ALLOWED
+    ) - names
     assert not missing, sorted(missing)

@@ -18,6 +18,12 @@ scale-killers at 100 TB even when sf0.01 results are correct:
                                  / ArrowEvalPython / FlatMapGroupsInPandas)
                                  or as the documented `@udtf` parity
                                  surface (BatchEvalPythonUDTF).
+- partition-less `Window`      — a global ORDER BY window funnels its
+                                 whole input through ONE task; legal
+                                 only over a provably bounded input
+                                 (the one-row-per-partition prefix-scan
+                                 offsets, calendar-bounded series,
+                                 LIMITed candidate lists).
 
 This is the executable form of the per-operator plan audits VERDICT
 rounds 4-7 did by hand on the 5 most expensive queries — here it runs
@@ -91,6 +97,38 @@ BNLJ_ALLOWED: dict[str, str] = {
 # (SURVEY §2 row 48) — slow by contract, exercised by exactly one query.
 UDTF_ALLOWED = {"python_udtf"}
 
+# A partition-less Window (global ORDER BY window) funnels its whole
+# input through ONE task — the #1 Spark antipattern when the input is
+# data-sized. It is the correct plan ONLY over a provably bounded
+# input. Two bounded families exist in this engine; every user carries
+# its reason:
+_OFFSETS = (
+    "prefix-scan offsets window: input is ONE row per shuffle "
+    "partition (operators/sort.py prefix_sum / the skyline prefix-max)"
+)
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "binary_auc": _OFFSETS,
+    "gini": _OFFSETS,
+    "global_sort": _OFFSETS,
+    "kruskal_wallis": _OFFSETS,
+    "ks_test": _OFFSETS,
+    "mann_whitney": _OFFSETS,
+    "ntile_buckets": _OFFSETS,
+    "peak_concurrency": _OFFSETS,
+    "skyline": _OFFSETS,
+    "spearman_corr": _OFFSETS,
+    "period_over_period": "lag over the per-day totals table — "
+    "calendar-bounded (<= #days)",
+    "rrf_fusion": "row_number over the fused candidate set — inputs "
+    "are LIMITed top-k lists",
+}
+
+# `+- Window [aggs], [order]` = global (2 bracket groups);
+# `+- Window [aggs], [part], [order]` = partitioned (3 groups).
+# WindowGroupLimit prints `[part], [order], fn, k, mode` — always
+# partitioned, excluded by the lookbehind on the operator name.
+_GLOBAL_WINDOW_LINE = re.compile(r"(?<!GroupLimit )\bWindow \[")
+
 _PATTERNS = {
     "cartesian": re.compile(r"CartesianProduct"),
     "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
@@ -113,7 +151,25 @@ def lint_plan(name: str, plan: str) -> list[str]:
         findings.append("row-at-a-time BatchEvalPython in the plan")
     if _PATTERNS["udtf"].search(plan) and name not in UDTF_ALLOWED:
         findings.append("BatchEvalPythonUDTF outside the @udtf parity query")
+    if _has_global_window(plan) and name not in GLOBAL_WINDOW_ALLOWED:
+        findings.append(
+            "partition-less Window (single-task global sort funnel) "
+            "without a documented bounded input"
+        )
     return findings
+
+
+def _has_global_window(plan: str) -> bool:
+    for line in plan.splitlines():
+        if not _GLOBAL_WINDOW_LINE.search(line) or "WindowGroupLimit" in line:
+            continue
+        # exactly one `], [` separator = (aggs, order): no partition list
+        if line.count("], [") == 1 and (
+            "ASC" in line.rsplit("], [", 1)[-1]
+            or "DESC" in line.rsplit("], [", 1)[-1]
+        ):
+            return True
+    return False
 
 
 def plan_of(df) -> str:
@@ -143,6 +199,7 @@ def main() -> int:
                 "codegen": "WholeStageCodegen" in plan,
                 "bnlj": bool(_PATTERNS["bnlj"].search(plan)),
                 "cartesian": bool(_PATTERNS["cartesian"].search(plan)),
+                "global_window": _has_global_window(plan),
             }
         except Exception as exc:  # planning itself failed
             findings = [f"planning error: {exc!r:.200}"]
@@ -159,10 +216,16 @@ def main() -> int:
         if n in report
         and not (report[n].get("bnlj") or report[n].get("cartesian"))
     )
+    stale_gw = sorted(
+        n
+        for n in GLOBAL_WINDOW_ALLOWED
+        if n in report and not report[n].get("global_window")
+    )
     summary = {
         "queries": len(report),
         "failed": bad,
         "stale_allowlist": stale,
+        "stale_global_window_allowlist": stale_gw,
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps({"summary": summary, "report": report}, indent=1))
