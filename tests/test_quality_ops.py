@@ -1407,3 +1407,35 @@ def test_windowed_js_drift_absent_category_counts(spark):
 
     with _pytest.raises(ValueError):
         windowed_js_drift(df, [], "c")
+
+
+def test_new_round8_ops_handle_empty_input(spark):
+    """skyline / association_rules / peak_concurrency / mmr_select on
+    empty (or too-small) inputs: empty results, no errors — the
+    degenerate partitions a real cluster always contains somewhere."""
+    from hdp_tez_spark.extensions.analytics import (
+        association_rules,
+        peak_concurrency,
+        skyline,
+    )
+    from hdp_tez_spark.extensions.similarity import mmr_select
+
+    empty_xy = spark.createDataFrame([], "id INT, x INT, y INT")
+    assert skyline(empty_xy, "x", "y").count() == 0
+
+    empty_bk = spark.createDataFrame([], "b INT, i INT")
+    assert association_rules(empty_bk, "b", "i").count() == 0
+
+    empty_iv = spark.createDataFrame([], "id INT, s TIMESTAMP, e TIMESTAMP")
+    assert peak_concurrency(empty_iv, "s", "e", "id").count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = mmr_select(empty_emb, [1.0, 0.0], k=3)
+    assert got.count() == 0  # breaks out before the first pick
+
+    # fewer rows than k: returns what exists, steps 1..n
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    rows = mmr_select(two, [1.0, 0.0], k=5).collect()
+    assert [r["step"] for r in rows] == [1, 2]
