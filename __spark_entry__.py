@@ -8257,7 +8257,10 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     round every cosine to 6 dp before it enters a score and break ties
     on ascending id (the registry's ANN determinism contract), and the
     0.5 blend is dyadic-exact, so each round's argmax is engine-
-    reproducible."""
+    reproducible. The oracle unrolls the deepest accumulator row it
+    reached (ORDER BY step DESC LIMIT 1) rather than demanding step = k,
+    so on a sub-k corpus both sides agree on the partial 1..n picks
+    (ADVICE r08)."""
     from hdp_tez_spark.extensions.similarity import mmr_select
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -8297,9 +8300,12 @@ sel AS (
                w -> round(list_cosine_similarity(c.v, w), 6))) DESC,
              c.id) = 1
 )
-SELECT t.i::INT AS step, f.ids[t.i] AS selected_id, c.rel AS rel
-FROM (SELECT ids FROM sel WHERE step = 8) f, range(1, 9) t(i)
-JOIN cand c ON c.id = f.ids[t.i]
+SELECT u.i::INT AS step, u.sid AS selected_id, c.rel AS rel
+FROM (
+  SELECT unnest(range(1, len(ids) + 1)) AS i, unnest(ids) AS sid
+  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)
+) u
+JOIN cand c ON c.id = u.sid
 ORDER BY step
 """
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hdp_tez_spark.extensions.dedup import _spread
 
@@ -939,8 +940,18 @@ def mmr_select(
             )
             sims.append(F.round(cosine(F.col("__v"), vlit), 6))
         spark = corpus.sparkSession
-        return spark.createDataFrame(
-            picked, schema="step INT, selected_id BIGINT, rel DOUBLE"
-        ).orderBy("step")
+        # the operator is id-type-agnostic (string/UUID ids are as valid
+        # as bigints), so the result schema inherits the corpus id type
+        # instead of hardcoding BIGINT (ADVICE r08)
+        schema = T.StructType(
+            [
+                T.StructField("step", T.IntegerType(), False),
+                T.StructField(
+                    "selected_id", corpus.schema[id_col].dataType, True
+                ),
+                T.StructField("rel", T.DoubleType(), True),
+            ]
+        )
+        return spark.createDataFrame(picked, schema=schema).orderBy("step")
     finally:
         cand.unpersist()

@@ -80,6 +80,29 @@ def test_plan_lints_clean(spark, name):
     assert not findings, findings
 
 
+def test_global_window_detection_is_nesting_aware():
+    """ADVICE r08: a global window whose aggregate list itself contains
+    `], [` (array literals, nested specs) must still be detected — the
+    old separator count silently missed it."""
+    from tools.plan_lint import _bracket_groups, _has_global_window
+
+    nasty = (
+        "   +- Window [collect_list(a, [1, 2], [3, 4]) AS xs#1], "
+        "[b#2 ASC NULLS FIRST]"
+    )
+    assert _has_global_window(nasty)
+    partitioned = (
+        "   +- Window [collect_list(a, [1, 2], [3, 4]) AS xs#1], [k#3], "
+        "[ts#4 ASC NULLS FIRST]"
+    )
+    assert not _has_global_window(partitioned)
+    grouplimit = (
+        "   +- WindowGroupLimit [k#1], [ts#2 ASC NULLS FIRST], rank, 3"
+    )
+    assert not _has_global_window(grouplimit)
+    assert _bracket_groups("x [a, [b], c], [d]") == ["a, [b], c", "d"]
+
+
 def test_allowlists_reference_real_queries():
     """Allowlist rot guard: every documented-bounded BNLJ exception must
     still name a registry query."""

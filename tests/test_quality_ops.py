@@ -1439,3 +1439,22 @@ def test_new_round8_ops_handle_empty_input(spark):
     )
     rows = mmr_select(two, [1.0, 0.0], k=5).collect()
     assert [r["step"] for r in rows] == [1, 2]
+
+
+def test_mmr_select_inherits_corpus_id_type(spark):
+    """ADVICE r08: mmr_select is id-type-agnostic — a string/UUID id
+    corpus must come back with selected_id typed STRING, not coerced to
+    (or failing as) BIGINT."""
+    from hdp_tez_spark.extensions.similarity import mmr_select
+
+    corpus = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0]), ("doc-c", [0.7, 0.7])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    got = mmr_select(corpus, [1.0, 0.0], k=2)
+    assert got.schema["selected_id"].dataType.simpleString() == "string"
+    rows = got.collect()
+    assert [r["step"] for r in rows] == [1, 2]
+    assert rows[0]["selected_id"] == "doc-a"  # most relevant first
+    # step 2 prefers the orthogonal doc-b over the redundant doc-c
+    assert rows[1]["selected_id"] == "doc-b"

@@ -159,15 +159,38 @@ def lint_plan(name: str, plan: str) -> list[str]:
     return findings
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """The top-level `[...]` groups of a plan line, nesting-aware.
+
+    The old `], [` separator count miscounted when the window's
+    aggregate-expression list itself contained nested `], [` (array
+    literals, collect_list output types), silently missing a global
+    window — a false negative in this gate (ADVICE r08). Brackets in
+    plan strings are balanced, so a depth counter recovers the true
+    top-level group structure.
+    """
+    groups, depth, start = [], 0, -1
+    for pos, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = pos
+            depth += 1
+        elif ch == "]" and depth:
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : pos])
+    return groups
+
+
 def _has_global_window(plan: str) -> bool:
     for line in plan.splitlines():
-        if not _GLOBAL_WINDOW_LINE.search(line) or "WindowGroupLimit" in line:
+        m = _GLOBAL_WINDOW_LINE.search(line)
+        if not m or "WindowGroupLimit" in line:
             continue
-        # exactly one `], [` separator = (aggs, order): no partition list
-        if line.count("], [") == 1 and (
-            "ASC" in line.rsplit("], [", 1)[-1]
-            or "DESC" in line.rsplit("], [", 1)[-1]
-        ):
+        groups = _bracket_groups(line[m.start() :])
+        # `Window [aggs], [order]` = global (2 groups);
+        # `Window [aggs], [part], [order]` = partitioned (3 groups)
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
             return True
     return False
 
