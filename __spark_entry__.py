@@ -8376,7 +8376,9 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     order before ends (inclusive endpoints), ties broken by user id, so
     the sweep order is total and the answer engine-exact. The running
     count rides the distributed prefix_sum scan, not a single-task
-    global window."""
+    global window. Both sides split intervals at day boundaries so
+    carried concurrency registers in every covered bucket (ADVICE r08;
+    identity here — the registry spans are per-day by construction)."""
     from hdp_tez_spark.extensions.analytics import peak_concurrency
 
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
@@ -8394,14 +8396,30 @@ WITH spans AS (
   FROM events WHERE ts IS NOT NULL
   GROUP BY user_id, CAST(ts AS DATE)
 ),
+seg AS (  -- split at bucket boundaries so carried concurrency is
+          -- represented in every covered bucket (ADVICE r08); the
+          -- registry spans are single-day, where this is the identity
+  SELECT user_id, s, e, unnest(generate_series(CAST(s AS DATE),
+                                               CAST(e AS DATE),
+                                               INTERVAL 1 DAY))::DATE AS b
+  FROM spans
+),
 pts AS (
-  SELECT s AS ts, 1 AS delta, 0 AS ord, user_id AS id FROM spans
+  SELECT b, greatest(s, CAST(b AS TIMESTAMP)) AS ts,
+         1 AS delta, 0 AS ord, user_id AS id
+  FROM seg
   UNION ALL
-  SELECT e AS ts, -1 AS delta, 1 AS ord, user_id AS id FROM spans
+  SELECT b,
+         CASE WHEN CAST(e AS DATE) = b THEN e
+              ELSE CAST(b + INTERVAL 1 DAY AS TIMESTAMP) END AS ts,
+         -1 AS delta,
+         CASE WHEN CAST(e AS DATE) = b THEN 1 ELSE 2 END AS ord,
+         user_id AS id
+  FROM seg
 ),
 cum AS (
-  SELECT CAST(ts AS DATE) AS bucket_start, ts,
-         sum(delta) OVER (ORDER BY ts, ord, id
+  SELECT b AS bucket_start, ts,
+         sum(delta) OVER (ORDER BY b, ts, ord, id
                           ROWS UNBOUNDED PRECEDING) AS running
   FROM pts
 ),

@@ -1442,23 +1442,36 @@ def peak_concurrency(
     id_col: str,
     bucket: str = "day",
 ) -> DataFrame:
-    """Sweep-line maximum overlap: for each time bucket, the peak number
-    of simultaneously-active intervals and the earliest instant the peak
-    is reached — max concurrent sessions / calls / jobs, the classic
-    capacity-planning readout. Endpoints are INCLUSIVE (a zero-length
-    interval still counts 1 at its instant): at equal timestamps starts
-    order before ends, ties broken by id. Output:
-    (bucket_start, peak, peak_ts) — integers and timestamps only, no
-    float anywhere.
+    """Sweep-line maximum overlap: for EVERY time bucket an interval
+    covers, the peak number of simultaneously-active intervals and the
+    earliest instant the peak is reached — max concurrent sessions /
+    calls / jobs, the classic capacity-planning readout. Endpoints are
+    INCLUSIVE (a zero-length interval still counts 1 at its instant):
+    at equal timestamps starts order before ends, ties broken by id.
+    Output: (bucket_start, peak, peak_ts) — integers and timestamps
+    only, no float anywhere.
 
-    Scale shape: intervals explode to exactly 2 delta points each; the
-    running concurrency comes from the distributed `prefix_sum` scan
+    Bucket contract (ADVICE r08): intervals are split at bucket
+    boundaries before the sweep, so concurrency CARRIED into a bucket
+    is represented — a bucket fully covered by an interval with no
+    endpoint inside it still reports a row (its carry re-registers at
+    the bucket-start instant, so an all-carry bucket reports
+    peak_ts = bucket start). The peak is sampled at in-bucket event
+    instants: interval starts, interval ends, and the bucket-start
+    carry instants — a total order, so the answer is engine-exact.
+
+    Scale shape: each interval explodes to 2 delta points PER COVERED
+    BUCKET (calendar-bounded: a year-long interval is ~365 segment
+    pairs, never data-sized); every bucket's deltas net to zero (ends
+    inside the bucket, or a synthetic close at the bucket boundary), so
+    one global cumulative sum — the distributed `prefix_sum` scan
     (operators/sort.py:191 — range partition on the sweep order,
-    per-partition window, one-row-per-PARTITION offset broadcast), so
-    no single-task global window over the data-sized point list. The
-    per-bucket peak is a map-side-combined groupBy, and the peak
-    instant is recovered by one equi-join of the point list back to its
-    bucket's peak — bucket cardinality is calendar-bounded.
+    per-partition window, one-row-per-PARTITION offset broadcast) —
+    yields the correct per-bucket running count with no single-task
+    global window and no per-bucket repartition. The per-bucket peak is
+    a map-side-combined groupBy, and the peak instant is recovered by
+    one equi-join of the point list back to its bucket's peak — bucket
+    cardinality is calendar-bounded.
     """
     from hdp_tez_spark.operators.sort import prefix_sum
 
@@ -1466,22 +1479,42 @@ def peak_concurrency(
         raise ValueError(f"unsupported bucket {bucket!r} (only 'day')")
     s, e, i = F.col(start_col), F.col(end_col), F.col(id_col)
     base = intervals.where(s.isNotNull() & e.isNotNull() & (s <= e))
-    points = base.select(
-        s.alias("__ts"), F.lit(1).alias("__delta"),
-        F.lit(0).alias("__ord"), i.alias("__id"),
+    # one segment per (interval, covered day): start at max(s, day 00:00)
+    # with ord 0; close at the real end (ord 1) when the interval ends in
+    # this day, else a synthetic close at the next-day boundary (ord 2 —
+    # after every in-bucket instant, so each bucket nets to zero and the
+    # single global prefix_sum restarts every bucket at 0)
+    seg = base.select(
+        i.alias("__id"),
+        s.alias("__s"),
+        e.alias("__e"),
+        F.explode(F.sequence(F.to_date(s), F.to_date(e))).alias("__b"),
+    )
+    ends_here = F.to_date("__e") == F.col("__b")
+    points = seg.select(
+        F.col("__b"),
+        F.greatest("__s", F.col("__b").cast("timestamp")).alias("__ts"),
+        F.lit(1).alias("__delta"),
+        F.lit(0).alias("__ord"),
+        F.col("__id"),
     ).unionByName(
-        base.select(
-            e.alias("__ts"), F.lit(-1).alias("__delta"),
-            F.lit(1).alias("__ord"), i.alias("__id"),
+        seg.select(
+            F.col("__b"),
+            F.when(ends_here, F.col("__e"))
+            .otherwise(F.date_add("__b", 1).cast("timestamp"))
+            .alias("__ts"),
+            F.lit(-1).alias("__delta"),
+            F.when(ends_here, F.lit(1)).otherwise(F.lit(2)).alias("__ord"),
+            F.col("__id"),
         )
     )
     cum = prefix_sum(
         points,
-        [F.col("__ts"), F.col("__ord"), F.col("__id")],
+        [F.col("__b"), F.col("__ts"), F.col("__ord"), F.col("__id")],
         "__delta",
         "__running",
     ).select(
-        F.to_date("__ts").alias("bucket_start"),
+        F.col("__b").alias("bucket_start"),
         F.col("__ts"),
         F.col("__running"),
     )

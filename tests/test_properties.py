@@ -1326,9 +1326,12 @@ interval_rows = st.lists(
 @given(rows=interval_rows)
 @settings(**SETTINGS)
 def test_peak_concurrency_matches_sweep_reference(spark, rows):
-    """peak_concurrency == a plain-Python sweep with inclusive
-    endpoints (starts before ends at equal instants), including
-    zero-length intervals and cross-bucket carryover."""
+    """peak_concurrency == a plain-Python per-bucket sweep with
+    inclusive endpoints (starts before ends at equal instants),
+    zero-length intervals, and intervals split at day boundaries so
+    CARRIED concurrency is represented in every covered bucket
+    (ADVICE r08): a day fully inside an interval reports a row with
+    the carry re-registered at the bucket-start instant."""
     import datetime as dt
 
     from hdp_tez_spark.extensions.analytics import peak_concurrency
@@ -1338,11 +1341,24 @@ def test_peak_concurrency_matches_sweep_reference(spark, rows):
         (i, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + d))
         for i, s, d in rows
     ]
-    pts = [(s, 0, i) for i, s, e in ivs] + [(e, 1, i) for i, s, e in ivs]
+    # reference: split each interval into per-day segments; within a
+    # day, +1 at max(s, day start) (ord 0), -1 at e (ord 1) if the
+    # interval ends today else at the next-day boundary (ord 2)
+    pts = []
+    for i, s, e in ivs:
+        d = s.date()
+        while d <= e.date():
+            day0 = dt.datetime.combine(d, dt.time.min)
+            pts.append((d, max(s, day0), 0, i, 1))
+            if e.date() == d:
+                pts.append((d, e, 1, i, -1))
+            else:
+                nxt = dt.datetime.combine(d + dt.timedelta(days=1), dt.time.min)
+                pts.append((d, nxt, 2, i, -1))
+            d += dt.timedelta(days=1)
     running, want = 0, {}
-    for ts, order, _ in sorted(pts, key=lambda t: (t[0], t[1], t[2])):
-        running += 1 if order == 0 else -1
-        day = ts.date()
+    for day, ts, _ord, _i, delta in sorted(pts):
+        running += delta
         cur = want.get(day)
         if cur is None or running > cur[0]:
             want[day] = (running, ts)

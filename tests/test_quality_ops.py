@@ -1441,6 +1441,39 @@ def test_new_round8_ops_handle_empty_input(spark):
     assert [r["step"] for r in rows] == [1, 2]
 
 
+def test_peak_concurrency_carries_across_buckets(spark):
+    """ADVICE r08 repro: a single span [day1 10:00, day2 14:00] is
+    active 14h into day 2, so day 2 must report peak 1 (carry
+    re-registered at the bucket start) — not 0 and not a missing row.
+    A day fully inside a longer interval (no endpoint events at all)
+    must also report its carried peak."""
+    import datetime as dt
+
+    from hdp_tez_spark.extensions.analytics import peak_concurrency
+
+    d = lambda *a: dt.datetime(*a)  # noqa: E731
+    ivs = [
+        (1, d(2024, 1, 1, 10), d(2024, 1, 2, 14)),   # spans one midnight
+        (2, d(2024, 1, 3, 5), d(2024, 1, 6, 1)),     # fully covers 1/4, 1/5
+        (3, d(2024, 1, 4, 12), d(2024, 1, 4, 12)),   # zero-length inside
+    ]
+    got = {
+        r["bucket_start"]: (r["peak"], r["peak_ts"])
+        for r in peak_concurrency(
+            spark.createDataFrame(ivs, "id INT, s TIMESTAMP, e TIMESTAMP"),
+            "s", "e", "id",
+        ).collect()
+    }
+    assert got == {
+        dt.date(2024, 1, 1): (1, d(2024, 1, 1, 10)),
+        dt.date(2024, 1, 2): (1, d(2024, 1, 2)),     # carry at bucket start
+        dt.date(2024, 1, 3): (1, d(2024, 1, 3, 5)),
+        dt.date(2024, 1, 4): (2, d(2024, 1, 4, 12)), # carry + zero-length
+        dt.date(2024, 1, 5): (1, d(2024, 1, 5)),     # all-carry bucket
+        dt.date(2024, 1, 6): (1, d(2024, 1, 6)),
+    }
+
+
 def test_mmr_select_inherits_corpus_id_type(spark):
     """ADVICE r08: mmr_select is id-type-agnostic — a string/UUID id
     corpus must come back with selected_id typed STRING, not coerced to
