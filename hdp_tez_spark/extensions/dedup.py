@@ -596,121 +596,135 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """(node, label) for every node in `edges`, where label is the minimum
     node id in the node's connected component.
 
-    Iterative min-label propagation WITH pointer jumping: each round every
-    node takes the min of (its own label, its neighbors' labels, and its
-    label's label — one extra self-join of the 16-byte (node, label) map).
-    The jump term halves the remaining label-chain depth per round, so
-    convergence is O(log component-diameter) rounds, not O(diameter):
-    near-dup graphs are shallow either way, but a near-critical similarity
-    graph (edge count ~ node count) grows thin chains hundreds of hops
-    long — measured r08 on the sf1.0 semantic-dedup graph (20k vectors,
-    15.8k edges, components to 878 nodes): plain propagation was still
-    moving 62 labels at round 25; the jump variant converges in 22 (the
-    jump reads the PREVIOUS round's labels, so compression lags one round
-    behind textbook pointer doubling, but stays O(log d) asymptotically).
-    Each round's lineage is truncated so the plan does not grow
-    unboundedly — the standard requirement for iterative DataFrame
-    algorithms. `localCheckpoint` by default; pass `checkpoint_dir` (or
-    configure one on the SparkContext) for a reliable checkpoint that
-    survives executor loss across a long job (plans/checkpoints.py).
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC'14 — the standard distributed CC). Each round:
 
-    ONE job per round: the convergence check rides the checkpoint job as
-    an `observe` metric (changed-label count computed inline while the
-    round's labels materialize) instead of a second compare-old-vs-new
-    join + count job — at cluster scale that second pass per round was
-    the same cost as the propagation itself.
+    - large-star: every node hooks its strictly LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    - small-star: every node hooks its smaller neighbors and itself to
+      the minimum of its smaller neighborhood.
+
+    Both steps preserve connectivity and strictly shrink tree heights;
+    the edge set converges to a star forest rooted at each component's
+    minimum id in O(log^2 n) rounds worst-case, ~log n observed. The
+    fixpoint test is exact and cheap: the edge set is a star forest iff
+    no parent also appears as a child (one edge-table semi-join per
+    round — edge-table sized, tiny next to the corpus scan that built
+    the pairs).
+
+    Why not min-label propagation: it converges in O(component diameter)
+    rounds. r08 patched it with a "pointer jump" through the label map,
+    which helped the shallow sf1.0 similarity graph (22 rounds) — but
+    the r09 chain calibration showed the jump is NOT O(log d): labels
+    point at random positions in a shuffled chain, so compression does
+    not double distances (a 100-node chain needed 40 rounds; a 256-node
+    chain failed to converge in 60). The star algorithm converges on
+    those same shuffled chains in <= 6 rounds (see
+    tests/test_deep_graph_convergence.py, which pins the O(log) bound
+    as a hypothesis property over random chain + random-graph
+    topologies).
+
+    Scale shape: every round shuffles only edge-table-sized data (each
+    star op emits at most one edge per input edge plus one per node),
+    and the per-round lineage cut goes through LoopCheckpointer — NOT
+    chained truncate_lineage, whose cost grows geometrically with chain
+    depth (plans/checkpoints.py). `localCheckpoint` by default; pass
+    `checkpoint_dir` (or configure one on the SparkContext) for
+    reliable checkpoints that survive executor loss.
+
+    `on_round(i, pending)` (optional) is called after each round with
+    the number of non-star edges remaining — production loop
+    monitoring, and the hook the convergence property tests use to
+    assert iteration counts.
 
     This is the missing half of every near-dup pipeline: pair lists
     (minhash/simhash/jaccard) become keep/drop decisions only after
     transitive closure groups them into clusters.
     """
-    from pyspark.sql import Observation
-
-    # Materialize the symmetric edge list ONCE: it is re-joined every
-    # round, and without the checkpoint each round re-runs the entire
-    # upstream pair pipeline (for near-dup graphs, the shingle join that
-    # dominates the whole job) — O(iters) redundant scans at any scale.
-    # The edge list itself is tiny relative to the corpus.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # Materialize the canonical edge list ONCE: it seeds the loop, and
+    # without the cut round 1 would re-run the entire upstream pair
+    # pipeline (for near-dup graphs, the shingle join that dominates
+    # the whole job). The edge list itself is tiny relative to the
+    # corpus.
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
     )
-    sym = truncate_lineage(sym, checkpoint_dir)
-    labels = truncate_lineage(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+    nodes = truncate_lineage(
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct(),
         checkpoint_dir,
     )
-    # per-round cuts go through LoopCheckpointer, NOT truncate_lineage:
-    # chained Dataset checkpoints get geometrically slower with chain
-    # depth (plans/checkpoints.py) and a deep component graph needs
-    # 20+ rounds even with pointer jumping
-    lc = LoopCheckpointer(sym.sparkSession, checkpoint_dir, "cc")
+    e = truncate_lineage(
+        raw.select(
+            F.greatest("u", "v").alias("child"),
+            F.least("u", "v").alias("parent"),
+        ).distinct(),
+        checkpoint_dir,
+    )
+    lc = LoopCheckpointer(e.sparkSession, checkpoint_dir, "cc")
+    pending = -1
     for i in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
+        # large-star: for each node a, m = min(neighborhood(a) + {a});
+        # hook every neighbor b > a to m. Output edges keep the strict
+        # child > parent orientation (b > a >= m).
+        sym = e.unionAll(
+            e.select(F.col("parent").alias("child"), F.col("child").alias("parent"))
+        ).toDF("a", "b")
+        lmin = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("m")
         )
-        # pointer-jump map: label -> that label's own label, from the
-        # PREVIOUS (checkpointed) round so the edge join is not re-run;
-        # label values are always node ids present in `labels`
-        jmap = labels.select(
-            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        large = (
+            sym.where(F.col("b") > F.col("a"))
+            .join(lmin, "a")
+            .select(F.col("b").alias("child"), F.col("m").alias("parent"))
+            .distinct()
         )
-        obs = Observation(f"cc_round_{i}")
-        new_labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .join(jmap, labels.label == F.col("__jn"), "left")
-            .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_min", F.col("label")),
-                    F.coalesce("__jl", F.col("label")),
-                ).alias("label"),
-            )
-            .observe(
-                obs,
-                # coalesce: SUM over ZERO rows is NULL, and a None
-                # `changed` never equals 0 — an empty edge set (a corpus
-                # with no near-dup pairs at all, the common case for a
-                # clean daily batch) would spin all max_iter rounds and
-                # then crash as "not converged" (found by the r08
-                # composed-pipeline property test)
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("label") != F.col("__old"), 1).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias("changed"),
-            )
-            .drop("__old")
+        # small-star: key each edge by its larger endpoint (already the
+        # orientation `large` emits); hook the smaller neighbors and the
+        # key itself to the minimum. child > parent is preserved
+        # (parent != m and m = min(parents) => parent > m; child > m).
+        smin = large.groupBy("child").agg(F.min("parent").alias("m"))
+        small = (
+            large.join(smin, "child")
+            .where(F.col("parent") != F.col("m"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .unionAll(smin.select("child", F.col("m").alias("parent")))
+            .distinct()
         )
-        # eager: runs the round's one job
-        new_labels = lc.cut(new_labels)
-        changed = obs.get["changed"]
-        labels = new_labels
-        if changed == 0:
+        # per-round cut through LoopCheckpointer, NOT truncate_lineage:
+        # chained Dataset checkpoints get geometrically slower with
+        # chain depth (plans/checkpoints.py)
+        e = lc.cut(small)
+        # exact fixpoint test: a star forest has no node that is both a
+        # parent and a child; both star ops preserve connectivity, so
+        # star forest == converged components
+        kids = e.select(F.col("child").alias("__k")).distinct()
+        pending = e.join(kids, e.parent == F.col("__k"), "left_semi").count()
+        if on_round is not None:
+            on_round(i, pending)
+        if pending == 0:
             break
     else:
-        # the loop ran out of rounds while labels were still moving: the
-        # labeling is only partially propagated (long-chain components keep
-        # several labels). Returning it silently would hand callers wrong
-        # clusters — fail loudly instead.
+        # star trees were still collapsing when the round budget ran
+        # out. Returning the partial forest would hand callers wrong
+        # clusters — fail loudly instead. (With the star algorithm this
+        # means max_iter << log2(n), not a deep-diameter graph.)
         lc.cleanup()
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            f"rounds ({changed} labels still changing); the component diameter "
-            f"exceeds max_iter — raise max_iter (rounds needed ~ graph diameter)"
+            f"rounds ({pending} non-star edges remain); rounds needed are "
+            f"O(log n) — raise max_iter"
         )
+    labels = nodes.join(e, nodes.node == e.child, "left").select(
+        "node", F.coalesce("parent", F.col("node")).alias("label")
+    )
     return lc.finish(labels)
 
 

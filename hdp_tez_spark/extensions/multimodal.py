@@ -55,8 +55,10 @@ def _require_codec(name: str) -> None:
     if not HAVE_REAL_CODECS:
         raise NotImplementedError(
             f"real {name} decoding needs a media library not present in this "
-            "environment; the deterministic fake decode path is the testable "
-            "surface (see fake_decode_meta)"
+            "environment; 8-bit non-interlaced PNG payloads decode via the "
+            "stdlib fallback (extensions/pngcodec.py), and the deterministic "
+            "fake decode path remains the format-agnostic testable surface "
+            "(see fake_decode_meta)"
         )
 
 
@@ -223,14 +225,18 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize images to `target` via PIL when an imaging library is
-    present (detected at import — HAVE_REAL_CODECS); raises the honest
-    NotImplementedError stub otherwise.
+    """Resize images to `target`: PIL when an imaging library is present
+    (detected at import — HAVE_REAL_CODECS, bilinear, any PIL-readable
+    format); otherwise REAL pixels still flow for 8-bit non-interlaced
+    PNG payloads through the stdlib codec (extensions/pngcodec.py —
+    zlib-inflate scanlines, unfilter, nearest-neighbor resize, filter-0
+    re-encode). Only a non-PNG payload in a codec-less environment
+    raises the honest NotImplementedError.
 
     The mapInPandas wiring (schema, batch iteration, target size capture)
-    is always real and tested; only the pixel work needs the codec. The
-    real path re-encodes as PNG so the output bytes are deterministic
-    across PIL versions' default parameters.
+    is identical on both branches. Both re-encode as PNG so the output
+    bytes are deterministic for identical inputs (fixed filter + zlib
+    level on the stdlib path; PIL's defaults on the PIL path).
     """
     tw, th = target
 
@@ -254,16 +260,27 @@ def resize_images(
                     f"{id_col}={doc_id}; filter null payloads "
                     "upstream (df.where(F.col(payload).isNotNull()))"
                 )
-            _require_codec("image")
-            from PIL import Image
-
             out_bytes = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                with Image.open(io.BytesIO(bytes(payload))) as im:
-                    resized = im.resize((tw, th), Image.BILINEAR)
-                    buf = io.BytesIO()
-                    resized.save(buf, format="PNG")
-                    out_bytes.append(buf.getvalue())
+            if HAVE_REAL_CODECS:
+                from PIL import Image
+
+                for payload in pdf[payload_col]:
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        resized = im.resize((tw, th), Image.BILINEAR)
+                        buf = io.BytesIO()
+                        resized.save(buf, format="PNG")
+                        out_bytes.append(buf.getvalue())
+            else:
+                from hdp_tez_spark.extensions import pngcodec
+
+                for payload in pdf[payload_col]:
+                    raw = bytes(payload)
+                    if not pngcodec.is_png(raw):
+                        _require_codec("image")  # non-PNG: honest stub
+                    arr = pngcodec.decode(raw)
+                    out_bytes.append(
+                        pngcodec.encode(pngcodec.resize_nearest(arr, tw, th))
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

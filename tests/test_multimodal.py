@@ -79,7 +79,9 @@ def test_fake_decode_is_deterministic(spark):
     assert rows[1] != rows[3]
 
 
-def test_resize_stubbed_without_codecs(spark):
+def test_resize_non_png_stubbed_without_codecs(spark):
+    """A non-PNG payload in a codec-less environment hits the honest
+    NotImplementedError (PNG goes through the stdlib fallback instead)."""
     from hdp_tez_spark.extensions.multimodal import HAVE_REAL_CODECS
 
     if HAVE_REAL_CODECS:
@@ -92,27 +94,36 @@ def test_resize_stubbed_without_codecs(spark):
     )
 
 
-def test_resize_real_decode_when_codecs_present(spark):
-    """Skipped in codec-free containers; lights up automatically when
-    PIL exists: a real 4x4 PNG resizes to the 8x8 target and the output
-    payload is a decodable PNG of that size."""
-    from hdp_tez_spark.extensions.multimodal import HAVE_REAL_CODECS
+def test_resize_png_pixel_path_end_to_end(spark):
+    """REAL pixel round-trip with no imaging library (r08 task #6 —
+    this was the suite's one skipped test): a generated two-tone 4x4
+    PNG resizes to 8x8 through the engine, and the output payload
+    decodes (stdlib codec) to the expected nearest-neighbor pixels.
+    Runs on the PIL branch too when a library is present — the output
+    contract (decodable PNG of target size) is branch-independent."""
+    import numpy as np
 
-    if not HAVE_REAL_CODECS:
-        pytest.skip("no imaging library in this environment")
-    import io
+    from hdp_tez_spark.extensions import pngcodec
 
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 4), (250, 10, 10)).save(buf, format="PNG")
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    src[:2, :, :] = (250, 10, 10)   # top half red
+    src[2:, :, :] = (10, 250, 10)   # bottom half green
+    payload = pngcodec.encode(src)
     df = spark.createDataFrame(
-        [(1, buf.getvalue())], "doc_id long, payload binary"
+        [(1, payload)], "doc_id long, payload binary"
     )
     row = resize_images(df, target=(8, 8)).collect()[0]
     assert (row.width, row.height) == (8, 8)
-    with Image.open(io.BytesIO(bytes(row.resized))) as im:
-        assert im.size == (8, 8)
+    out = pngcodec.decode(bytes(row.resized))
+    assert out.shape == (8, 8, 3)
+    from hdp_tez_spark.extensions.multimodal import HAVE_REAL_CODECS
+
+    if not HAVE_REAL_CODECS:
+        # stdlib branch is exact nearest-neighbor: the doubled image
+        want = pngcodec.resize_nearest(src, 8, 8)
+        assert (out == want).all()
+    else:  # PIL bilinear: just check the two halves kept their hue
+        assert out[0, 0, 0] > 200 and out[7, 0, 1] > 200
 
 
 def test_resize_null_payload_guard_needs_no_codec(spark):
