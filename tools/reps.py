@@ -6,7 +6,14 @@ to mean anything.
 
 Usage:
     python tools/reps.py [query ...]            # default 5 reps, sf0.1
+    python tools/reps.py --standing             # core-28 + per-round adds
     SPARK_GRAFT_REPS=7 python tools/reps.py stream_interval_join
+
+`--standing` is the per-round medians protocol set (BENCH_NOTES): the
+baseline-shared core-28 from bench.py plus every operator added since
+that needed one-off medians in a round note — folded here permanently
+(VERDICT r08 task #8) so the steady-state trend stays comparable
+across rounds without re-deriving the list by hand.
 """
 
 from __future__ import annotations
@@ -31,10 +38,35 @@ import __spark_entry__ as entry_mod
 from hdp_tez_spark.session import get_session, warm_up
 
 
+# Post-baseline operators that joined the medians protocol after their
+# introduction round (one-off medians in BENCH_NOTES before this list
+# existed). Grows append-only as rounds add headline operators.
+STANDING_EXTRAS = [
+    # r08 additions
+    "skyline",
+    "mmr_select",
+    "assoc_rules",
+    "peak_concurrency",
+    "dup_spans",
+    "semantic_dedup",
+    "minhash_recall",
+]
+
+
+def standing_set() -> list[str]:
+    from bench import _CORE_N, HEADLINE
+
+    return list(HEADLINE[:_CORE_N]) + STANDING_EXTRAS
+
+
 def main() -> None:
     names = sys.argv[1:]
+    if names == ["--standing"]:
+        names = standing_set()
     if not names:
-        raise SystemExit("usage: python tools/reps.py <query> [query ...]")
+        raise SystemExit(
+            "usage: python tools/reps.py <query> [query ...] | --standing"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
