@@ -8435,8 +8435,252 @@ ORDER BY d.bucket_start
 """
 
 
-_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ---- driver-checked prefix (first 50 entries) ----
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-point rolling median (extensions/analytics.py
+    rolling_median) of each user's daily event count — the robust
+    moving smoother (one spike barely moves a window median, unlike a
+    mean), percentile_cont interpolation at even counts. Counts are
+    cast to double on BOTH sides so the interpolated midpoints and the
+    string forms agree; medians of small-int windows are exact binary
+    halves, so round(6) is decoration, not noise control."""
+    from hdp_tez_spark.extensions.analytics import rolling_median
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    series = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("n"))
+    return rolling_median(series, "user_id", ["d"], "n", k=7)
+
+
+_SQL_ROLLING_MEDIAN = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*)::DOUBLE AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, d, n,
+       round(median(n) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median
+FROM s
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (extensions/analytics.py
+    seasonal_decompose) of the daily event-count series: trend =
+    centered 7-point moving average (NULL at the edges), seasonal =
+    re-centered mean detrended value per day-of-week, residual = the
+    rest. The capacity/anomaly baseline readout. The series is one row
+    per day (calendar-bounded), so the global ORDER BY window is
+    bounded by construction; `pos` is 0=Sunday on both sides (Spark
+    dayofweek()-1 == DuckDB dayofweek())."""
+    from hdp_tez_spark.extensions.analytics import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    series = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return seasonal_decompose(series, "d", "n", period=7)
+
+
+_SQL_SEASONAL_DECOMPOSE = """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS d, count(*)::DOUBLE AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+base AS (
+  SELECT d AS ts, dayofweek(d)::INT AS pos, n AS observed,
+         CASE WHEN count(n) OVER w = 7 THEN avg(n) OVER w END AS trend
+  FROM s
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+season AS (
+  SELECT pos, avg(observed - trend) AS raw_s
+  FROM base WHERE trend IS NOT NULL GROUP BY pos
+),
+centered AS (
+  SELECT pos, raw_s - (SELECT avg(raw_s) FROM season) AS sv FROM season
+)
+SELECT b.ts, b.pos, round(b.observed, 6) AS observed,
+       round(b.trend, 6) AS trend, round(c.sv, 6) AS seasonal,
+       round(b.observed - b.trend - c.sv, 6) AS residual
+FROM base b LEFT JOIN centered c USING (pos)
+"""
+
+
+def q_pareto_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (extensions/analytics.py
+    pareto_contributors): per market segment, the smallest
+    highest-spend customer prefix covering 80% of segment order value —
+    the 80/20 readout behind curation and account-coverage decisions.
+    Spend is an exact DECIMAL sum and the 80% cut is the exact
+    integer-scaled comparison (cum - v) * 5 < total * 4, so membership
+    never flips at a float rounding boundary; only the display ratios
+    are doubles (rounded 6 dp)."""
+    from hdp_tez_spark.extensions.analytics import pareto_contributors
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        # parquet stores o_totalprice as DOUBLE; sum in DECIMAL(12,2) on
+        # both sides (the r07 money-sum rule) so the value, the DESC
+        # ranking, and the 80% membership cut are summation-order-exact
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "spend"
+            )
+        )
+    )
+    return pareto_contributors(
+        spend, "c_mktsegment", "c_custkey", "spend"
+    ).withColumn(
+        # rank/cut ride the exact DECIMAL; the displayed value goes out
+        # as DOUBLE so both sides print the same canonical string
+        "value",
+        F.col("value").cast("double"),
+    )
+
+
+_SQL_PARETO_CONTRIBUTORS = """
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS v
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_custkey, v,
+         row_number() OVER w AS "rank",
+         sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(v) OVER (PARTITION BY c_mktsegment) AS total
+  FROM spend
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v DESC, c_custkey)
+)
+SELECT c_mktsegment, c_custkey, CAST(v AS DOUBLE) AS value, "rank",
+       round(CAST(v AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+FROM ranked
+WHERE (cum - v) * 5 < total * 4
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pixel path end-to-end (extensions/multimodal.py
+    resize_images + extensions/pngcodec.py): synthesize deterministic
+    4x4 RGB PNG payloads for the first 64 doc ids (id-seeded pixels,
+    identical bytes on every executor/retry), resize to 8x8 through the
+    Arrow mapInPandas pipeline, return (doc_id, width, height). The
+    oracle checks the row/id/dimension contract (SQL cannot decode
+    PNG); pixel-level correctness — exact nearest-neighbor values,
+    filter reconstruction, codec round-trips — is pinned by
+    tests/test_pngcodec.py and tests/test_multimodal.py."""
+    from hdp_tez_spark.extensions.multimodal import (
+        resize_images,
+        synthesize_png_payloads,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(64)
+    )
+    payloads = synthesize_png_payloads(docs, "doc_id", size=(4, 4))
+    return resize_images(payloads, target=(8, 8)).select(
+        "doc_id", "width", "height"
+    )
+
+
+_SQL_IMAGE_RESIZE = """
+SELECT doc_id, 8 AS width, 8 AS height
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+"""
+
+
+# ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
+# r09 rotation (VERDICT r08 'Next round' #2): the 4 never-checked r09
+# queries lead, then ALL 36 queries whose newest driver evidence is
+# CORRECTNESS_r04 (the oldest tail in the freshness histogram:
+# 36 r04 / 38 r05 / 48 r06 / 50 r07 / 50 r08 before this rotation),
+# then the alphabetically-first 10 r05-evidence queries. After r09 the
+# oldest driver evidence anywhere becomes r05. All 50 pass the local
+# sf0.01 --exact gate (driver-faithful string compare) before this
+# rotation lands. The r08-checked prefix (skyline/mmr_select/... )
+# demotes to body order below — dict-literal order is now HISTORY, the
+# operative prefix is this list (rotations stay one-list edits).
+_PREFIX_R09 = [
+    # never-checked (new this round)
+    "image_resize",
+    "seasonal_decompose",
+    "pareto_contributors",
+    "rolling_median",
+    # r04-evidence refresh (all 36)
+    "ewma",
+    "exact_quantiles_disc",
+    "funnel",
+    "gaps_islands",
+    "grouped_ols",
+    "hll_overlap",
+    "incident_window_join",
+    "k_anonymity",
+    "kfold_split",
+    "kmeans_cells",
+    "multimodal_meta",
+    "object_registry",
+    "observed_metrics",
+    "ohlc_downsample",
+    "partition_overwrite",
+    "point_in_time_join",
+    "prefix_filter_join",
+    "profile_table",
+    "proportion_ci",
+    "python_udtf",
+    "range_frame_window",
+    "rolling_zscore",
+    "rollup_maintain",
+    "rrf_fusion",
+    "scalar_functions",
+    "schema_evolution",
+    "sorted_group_apply",
+    "stream_cdc_upsert",
+    "stream_left_join",
+    "stream_tumbling",
+    "transition_counts",
+    "triangle_count",
+    "weighted_sample",
+    "winsorize",
+    "woe_iv",
+    "zorder_stats",
+    # r05-evidence refresh (alphabetically first 10 of 38)
+    "acf",
+    "ann_recall",
+    "apply_mixture",
+    "approx_distinct",
+    "approx_percentile_bound",
+    "attribution",
+    "bootstrap_ci",
+    "calibration_bins",
+    "cms_frequency",
+    "cohort_retention",
+]
+
+_REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r09 additions
+    "image_resize": (q_image_resize, _SQL_IMAGE_RESIZE),
+    "seasonal_decompose": (q_seasonal_decompose, _SQL_SEASONAL_DECOMPOSE),
+    "pareto_contributors": (
+        q_pareto_contributors,
+        _SQL_PARETO_CONTRIBUTORS,
+    ),
+    "rolling_median": (q_rolling_median, _SQL_ROLLING_MEDIAN),
+    # ---- r08 rotation history (the dict-literal prefix below was the
+    # driver-checked prefix through r08; operative order now comes from
+    # _PREFIX_R09 above) ----
     # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
     # prefix rotates to the 32 queries whose newest driver evidence is
     # CORRECTNESS_r03 (the oldest tail left in the freshness histogram:
@@ -8502,7 +8746,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "compact_files": (q_compact_files, _SQL_COMPACT_FILES),
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
-    # ------------- driver-checked prefix ends here (50) -------------
+    # --------- r08 driver-checked prefix ended here (50) ---------
+    # (historical marker — operative order now comes from _PREFIX_R09)
     # ewma, exact_quantiles_disc, gaps_islands and funnel (r04/r05-
     # green, code unchanged) moved below the boundary to make room for
     # the never-checked skyline / mmr_select / assoc_rules /
@@ -8706,6 +8951,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "range_frame_window": (q_range_frame_window, _SQL_RANGE_FRAME_WINDOW),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+}
+
+# Operative registry order: the documented rotation prefix first (the
+# driver's correctness gate reads the first 50 entries), then every
+# remaining query in body order. An unknown/missing prefix name is a
+# hard error at import — a typo must not silently shrink the gate.
+assert len(_PREFIX_R09) == 50, len(_PREFIX_R09)
+_missing = [n for n in _PREFIX_R09 if n not in _REGISTRY_BODY]
+assert not _missing, f"prefix names absent from registry body: {_missing}"
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    **{n: _REGISTRY_BODY[n] for n in _PREFIX_R09},
+    **{k: v for k, v in _REGISTRY_BODY.items() if k not in set(_PREFIX_R09)},
 }
 
 

@@ -212,6 +212,11 @@ HEADLINE = [
     "js_divergence",
     "gini",
     "stream_drift",
+    # round-9 additions (below the core boundary)
+    "rolling_median",
+    "seasonal_decompose",
+    "pareto_contributors",
+    "image_resize",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

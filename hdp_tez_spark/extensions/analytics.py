@@ -512,6 +512,179 @@ def rolling_zscore(
     )
 
 
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    k: int = 7,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Exact trailing-window median per key over the current row and the
+    previous `k - 1` observations — the robust counterpart of a moving
+    average (one spike moves a 7-point mean by spike/7 but usually moves
+    the median not at all), the standard smoother for noisy per-key
+    telemetry before thresholding. Linear interpolation at even counts
+    (percentile_cont semantics — identical in Spark's `percentile` and
+    DuckDB's `median`). Rows with fewer than `min_periods` frame rows
+    get NULL.
+
+    Output: (key, order..., value, rolling_median) — median rounded to
+    6 dp (interpolation midpoints are exact binary halves of in-frame
+    values, so the rounding is decoration, not noise control).
+
+    Scale shape: one shuffle on the key drives a single window sort; the
+    frame holds at most `k` rows per evaluation, so memory is O(k) per
+    task regardless of series length, and the whole expression stays
+    JVM-side (no Pandas hop). Same envelope as `rolling_zscore`.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(k - 1), 0)
+    )
+    v = F.col(value_col).cast("double")
+    med = F.percentile(v, F.lit(0.5)).over(w)
+    n = F.count(v).over(w)
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col),
+        F.round(F.when(n >= min_periods, med), 6).alias("rolling_median"),
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series:
+    observed = trend + seasonal + residual, with
+
+    - trend    = centered `period`-point moving average (NULL at the
+      edges where the window is not full — the textbook convention, so
+      the trend never leans on a one-sided window);
+    - seasonal = mean detrended value per position-in-period
+      (day-of-week for the default period=7), re-centered to sum to
+      zero across positions so the trend keeps the level;
+    - residual = observed - trend - seasonal.
+
+    Output: (ts, pos, observed, trend, seasonal, residual) — floats
+    rounded to 6 dp. `pos` is 0-based position in the period
+    (0 = Sunday for day inputs, matching DuckDB's dayofweek).
+
+    Scale shape: the input is a PRE-AGGREGATED series, one row per
+    bucket — calendar-bounded (ten years of days is 3.7k rows), never
+    data-sized, and assumed GAPLESS (run `gap_fill` first for sparse
+    series: the centered window is rows-based, not calendar-based).
+    The global ORDER BY window over it is therefore a
+    bounded single-task sort by design (plan-lint allowlisted with this
+    reason). The per-position seasonal means are a |period|-row table,
+    broadcast back. The data-sized work (aggregating raw events into
+    the series) happens upstream where it shuffles once on the bucket.
+    """
+    o = F.col(value_col).cast("double")
+    pos = (F.dayofweek(F.col(ts_col)) - F.lit(1)).alias("pos")
+    w = Window.orderBy(ts_col).rowsBetween(
+        -(period // 2), period - 1 - period // 2
+    )
+    base = series.select(
+        F.col(ts_col).alias("ts"),
+        pos,
+        o.alias("observed"),
+        F.when(F.count(o).over(w) == period, F.avg(o).over(w)).alias(
+            "trend"
+        ),
+    )
+    season = (
+        base.where(F.col("trend").isNotNull())
+        .groupBy("pos")
+        .agg(F.avg(F.col("observed") - F.col("trend")).alias("__raw_s"))
+    )
+    # re-center so seasonal sums to zero over the period (level stays
+    # in the trend); __raw_s is a <= period-row table, broadcast join
+    centered = season.crossJoin(
+        season.select(F.avg("__raw_s").alias("__mean_s"))
+    ).select(
+        "pos", (F.col("__raw_s") - F.col("__mean_s")).alias("__s")
+    )
+    return (
+        base.join(F.broadcast(centered), "pos", "left")
+        .select(
+            "ts",
+            "pos",
+            F.round("observed", 6).alias("observed"),
+            F.round("trend", 6).alias("trend"),
+            F.round("__s", 6).alias("seasonal"),
+            F.round(
+                F.col("observed") - F.col("trend") - F.col("__s"), 6
+            ).alias("residual"),
+        )
+    )
+
+
+def pareto_contributors(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Contribution analysis (the 80/20 readout): within each group,
+    rank keys by value descending and keep the smallest prefix whose
+    cumulative share reaches `threshold_num / threshold_den` (default
+    4/5 = 80%) — every row BEFORE the crossing plus the crossing row
+    itself. The classic "which customers are 80% of revenue" /
+    "which domains are 80% of tokens" cut for curation and capacity
+    decisions.
+
+    Output: (group, key, value, rank, share, cum_share) — share ratios
+    rounded to 6 dp.
+
+    Determinism contract: `value_col` should be an exact type (DECIMAL
+    money sums, bigint counts). The keep/drop decision is then an EXACT
+    integer-scaled comparison — (cum - value) * den < total * num in
+    the value's own exact arithmetic — never a float threshold, so no
+    row flips membership at a rounding boundary (the r07 tpch_q1 bug
+    class). Ties rank by ascending key.
+
+    Scale shape: one shuffle on the group drives both window passes
+    (rank/cumsum and the group total share the partitioning); no
+    global window, no driver state. Output is the contributor prefix —
+    data-sized in the worst case, like any filter.
+    """
+    v = F.col(value_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(value_col), F.col(key_col)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = F.sum(v).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(v).over(wg)
+    keep = (cum - v) * F.lit(threshold_den) < total * F.lit(threshold_num)
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(key_col),
+            v.alias("value"),
+            F.row_number().over(w).alias("rank"),
+            F.round(
+                v.cast("double") / total.cast("double"), 6
+            ).alias("share"),
+            F.round(
+                cum.cast("double") / total.cast("double"), 6
+            ).alias("cum_share"),
+            keep.alias("__keep"),
+        )
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )
+
+
 def ohlc_downsample(
     df: DataFrame,
     key_col: str,

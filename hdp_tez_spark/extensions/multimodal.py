@@ -209,6 +209,50 @@ def parse_media_headers(
     return df.select(id_col, payload_col).mapInPandas(header_batches, HEADER_SCHEMA)
 
 
+def synthesize_png_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: tuple[int, int] = (4, 4),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic REAL PNG payloads from an id column: each row gets
+    an 8-bit RGB PNG of `size` whose pixels are seeded by the id
+    (extensions/pngcodec.py encode — stdlib only, identical bytes for
+    identical ids on every executor/retry). This is the test-data twin
+    of a binary ingest: everything downstream (schema, Arrow batches,
+    decode/resize) handles genuine image bytes, not placeholder text.
+
+    Scale shape: map-side only (mapInPandas, no shuffle); payload size
+    is O(w*h*3) per row.
+    """
+    w, h = size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from hdp_tez_spark.extensions import pngcodec
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                rng = np.random.default_rng(int(doc_id))
+                arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payloads.append(pngcodec.encode(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), payload_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField(payload_col, BinaryType()),
+            ]
+        ),
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

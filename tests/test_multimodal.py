@@ -126,6 +126,28 @@ def test_resize_png_pixel_path_end_to_end(spark):
         assert out[0, 0, 0] > 200 and out[7, 0, 1] > 200
 
 
+def test_synthesize_png_payloads_deterministic_and_real(spark):
+    """Id-seeded payload synthesis (the q_image_resize input): identical
+    bytes across runs (retry/executor stability) and genuinely decodable
+    PNGs of the requested size."""
+    from hdp_tez_spark.extensions import pngcodec
+    from hdp_tez_spark.extensions.multimodal import synthesize_png_payloads
+
+    ids = spark.createDataFrame([(1,), (2,), (7,)], "doc_id long")
+    a = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_png_payloads(ids, size=(4, 4)).collect()
+    }
+    b = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_png_payloads(ids, size=(4, 4)).collect()
+    }
+    assert a == b
+    assert len({v for v in a.values()}) == 3  # distinct ids -> distinct pixels
+    for payload in a.values():
+        assert pngcodec.decode(payload).shape == (4, 4, 3)
+
+
 def test_resize_null_payload_guard_needs_no_codec(spark):
     """The NULL-payload guard fires BEFORE the codec gate (r08: the
     validation needs no imaging library), so the actionable

@@ -56,6 +56,10 @@ LINT_SUBSET = [
     "mmr_select",
     "assoc_rules",
     "peak_concurrency",
+    "rolling_median",
+    "seasonal_decompose",
+    "pareto_contributors",
+    "image_resize",
     "triangle_count",
     "pagerank",
     "dedup_clusters",

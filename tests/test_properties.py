@@ -1312,6 +1312,194 @@ def test_association_rules_matches_python_reference(spark, rows, min_n):
     assert got == want
 
 
+series_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 40),       # order position
+        st.integers(-50, 50),     # value
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=series_rows, k=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_rolling_median_matches_reference(spark, rows, k):
+    """rolling_median == plain-Python sorted-window median with
+    percentile_cont interpolation (even counts average the two middle
+    order statistics), per key, trailing k rows incl. current."""
+    from hdp_tez_spark.extensions.analytics import rolling_median
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for key, t, v in rows:
+        by_key.setdefault(key, []).append((t, v))
+    want = {}
+    for key, series in by_key.items():
+        series.sort()
+        for i, (t, _v) in enumerate(series):
+            frame = sorted(v for _, v in series[max(0, i - k + 1) : i + 1])
+            n = len(frame)
+            if n % 2:
+                med = float(frame[n // 2])
+            else:
+                med = (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            want[(key, t)] = round(med, 6)
+    got = {
+        (r["key"], r["t"]): r["rolling_median"]
+        for r in rolling_median(
+            spark.createDataFrame(
+                [(key, t, float(v)) for key, t, v in rows],
+                "key INT, t INT, v DOUBLE",
+            ),
+            "key",
+            ["t"],
+            "v",
+            k=k,
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    seed=st.integers(0, 99),
+)
+@settings(**SETTINGS)
+def test_seasonal_decompose_matches_reference(spark, values, seed):
+    """seasonal_decompose == plain-Python classical additive
+    decomposition: centered 7-point trend (NULL-edged), re-centered
+    per-weekday seasonal means, residual closure o = t + s + r."""
+    import datetime as dt
+
+    from hdp_tez_spark.extensions.analytics import seasonal_decompose
+
+    start = dt.date(2024, 1, 1) + dt.timedelta(days=seed)
+    days = [start + dt.timedelta(days=i) for i in range(len(values))]
+    o = [float(v) for v in values]
+    n = len(o)
+    trend = [
+        sum(o[i - 3 : i + 4]) / 7.0 if 3 <= i < n - 3 else None
+        for i in range(n)
+    ]
+    detr: dict[int, list[float]] = {}
+    for i in range(n):
+        if trend[i] is not None:
+            pos = (days[i].isoweekday()) % 7  # 0 = Sunday
+            detr.setdefault(pos, []).append(o[i] - trend[i])
+    raw = {p: sum(v) / len(v) for p, v in detr.items()}
+    mean_raw = sum(raw.values()) / len(raw) if raw else 0.0
+    seas = {p: v - mean_raw for p, v in raw.items()}
+    want = {}
+    for i in range(n):
+        pos = (days[i].isoweekday()) % 7
+        s = seas.get(pos)
+        t = trend[i]
+        want[days[i]] = (
+            pos,
+            round(o[i], 6),
+            None if t is None else round(t, 6),
+            None if s is None else round(s, 6),
+            None if (t is None or s is None) else round(o[i] - t - s, 6),
+        )
+    df = spark.createDataFrame(list(zip(days, o)), "d DATE, v DOUBLE")
+    got = {
+        r["ts"]: (
+            r["pos"],
+            r["observed"],
+            r["trend"],
+            r["seasonal"],
+            r["residual"],
+        )
+        for r in seasonal_decompose(df, "d", "v").collect()
+    }
+    assert got.keys() == want.keys()
+    for day in want:
+        gp, go, gt, gs, gr = got[day]
+        wp, wo, wt, ws, wr = want[day]
+        assert (gp, go) == (wp, wo), day
+        for g, w in ((gt, wt), (gs, ws), (gr, wr)):
+            if w is None:
+                assert g is None, day
+            else:
+                # 2e-6: reference sums chronologically, Spark sums in
+                # partition order — a last-ulp difference can flip the
+                # 6-dp rounding by one step at an exact boundary
+                assert g is not None and abs(g - w) < 2e-6, (day, g, w)
+
+
+pareto_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),  # group
+        st.integers(0, 30),           # key
+        st.integers(1, 1000),         # positive exact value
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=pareto_rows)
+@settings(**SETTINGS)
+def test_pareto_contributors_matches_reference(spark, rows):
+    """pareto_contributors == plain-Python 80% cumulative-share prefix
+    with the exact integer comparison (cum - v) * 5 < total * 4 —
+    includes the crossing row, excludes everything after."""
+    from hdp_tez_spark.extensions.analytics import pareto_contributors
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:  # Spark round() is HALF_UP on the
+        # shortest decimal repr; Python round() is banker's — they split
+        # on exact half-millionth ratios like 1/640
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for g, key, v in rows:
+        groups.setdefault(g, []).append((key, v))
+    want = set()
+    for g, members in groups.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        total = sum(v for _, v in members)
+        cum = 0
+        for rank, (key, v) in enumerate(members, start=1):
+            if cum * 5 < total * 4:  # (cum_before) / total < 0.8 exactly
+                want.add(
+                    (
+                        g,
+                        key,
+                        v,
+                        rank,
+                        r6(v / total),
+                        r6((cum + v) / total),
+                    )
+                )
+            cum += v
+    got = set(
+        (
+            r["g"],
+            r["key"],
+            r["value"],
+            r["rank"],
+            r["share"],
+            r["cum_share"],
+        )
+        for r in pareto_contributors(
+            spark.createDataFrame(rows, "g STRING, key INT, value LONG"),
+            "g",
+            "key",
+            "value",
+        ).collect()
+    )
+    assert got == want
+
+
 interval_rows = st.lists(
     st.tuples(
         st.integers(0, 9),            # id

@@ -1474,6 +1474,42 @@ def test_peak_concurrency_carries_across_buckets(spark):
     }
 
 
+def test_new_round9_ops_handle_degenerate_input(spark):
+    """rolling_median / seasonal_decompose / pareto_contributors on
+    empty and too-short inputs: empty results or NULL-only derived
+    columns, never errors."""
+    import datetime as dt
+
+    from hdp_tez_spark.extensions.analytics import (
+        pareto_contributors,
+        rolling_median,
+        seasonal_decompose,
+    )
+
+    empty_series = spark.createDataFrame([], "k INT, t INT, v DOUBLE")
+    assert rolling_median(empty_series, "k", ["t"], "v").count() == 0
+
+    empty_days = spark.createDataFrame([], "d DATE, v DOUBLE")
+    assert seasonal_decompose(empty_days, "d", "v").count() == 0
+
+    # shorter than one period: trend (and so seasonal/residual) all NULL
+    short = spark.createDataFrame(
+        [(dt.date(2024, 1, 1) + dt.timedelta(days=i), float(i)) for i in range(4)],
+        "d DATE, v DOUBLE",
+    )
+    rows = seasonal_decompose(short, "d", "v").collect()
+    assert len(rows) == 4
+    assert all(r["trend"] is None and r["residual"] is None for r in rows)
+
+    empty_pc = spark.createDataFrame([], "g STRING, k INT, v LONG")
+    assert pareto_contributors(empty_pc, "g", "k", "v").count() == 0
+
+    # a single contributor IS 100% of its group — kept, share 1.0
+    one = spark.createDataFrame([("a", 1, 42)], "g STRING, k INT, v LONG")
+    row = pareto_contributors(one, "g", "k", "v").collect()[0]
+    assert (row["rank"], row["share"], row["cum_share"]) == (1, 1.0, 1.0)
+
+
 def test_mmr_select_inherits_corpus_id_type(spark):
     """ADVICE r08: mmr_select is id-type-agnostic — a string/UUID id
     corpus must come back with selected_id typed STRING, not coerced to

@@ -80,6 +80,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "cohens_kappa": "1-row agreement totals crossJoined",
     "mann_whitney": "1-row per-arm counts crossJoined",
     "assoc_rules": "1-row basket-total agg crossJoined for support/lift",
+    "seasonal_decompose": "1-row mean-of-seasonal agg crossJoined onto "
+    "the <= period-row seasonal table (re-centering)",
     "fk_integrity": "per-edge 1-row orphan/total-count aggs crossJoined",
     "ntile_buckets": "1-row total-count agg crossJoined for the bucket formula",
     "range_join": "the operator IS a banded theta join (demo surface; the "
@@ -119,6 +121,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "spearman_corr": _OFFSETS,
     "period_over_period": "lag over the per-day totals table — "
     "calendar-bounded (<= #days)",
+    "seasonal_decompose": "centered moving average over the per-day "
+    "series — calendar-bounded (<= #days) by construction",
     "rrf_fusion": "row_number over the fused candidate set — inputs "
     "are LIMITed top-k lists",
 }

@@ -50,6 +50,11 @@ STANDING_EXTRAS = [
     "dup_spans",
     "semantic_dedup",
     "minhash_recall",
+    # r09 additions
+    "rolling_median",
+    "seasonal_decompose",
+    "pareto_contributors",
+    "image_resize",
 ]
 
 
