@@ -8602,19 +8602,441 @@ FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day sample-ratio-mismatch gate (extensions/experiments.py
+    srm_check) on a 50/50 user-parity split of the event stream: the
+    chi-square goodness-of-fit of observed arm counts against the
+    configured allocation — the first check every experiment platform
+    runs before reading any metric. ONE conditional-count aggregation;
+    the shuffle carries |days| rows. The oracle mirrors the closed-form
+    chi2 arithmetic term-for-term in the engine's arm order."""
+    from hdp_tez_spark.extensions.experiments import srm_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    return srm_check(ev, ["day"], "arm", {"control": 1.0, "treatment": 1.0})
+
+
+_SQL_SRM_CHECK = """
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(CASE WHEN arm = 'control' THEN 1 END) AS n_control,
+         count(CASE WHEN arm = 'treatment' THEN 1 END) AS n_treatment
+  FROM (SELECT ts,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm
+        FROM events)
+  GROUP BY 1
+)
+SELECT day, n_control + n_treatment AS n, n_control, n_treatment,
+       round(CASE WHEN n_control + n_treatment > 0 THEN
+           power(n_control - CAST(n_control + n_treatment AS DOUBLE) * 0.5, 2)
+             / (CAST(n_control + n_treatment AS DOUBLE) * 0.5)
+         + power(n_treatment - CAST(n_control + n_treatment AS DOUBLE) * 0.5, 2)
+             / (CAST(n_control + n_treatment AS DOUBLE) * 0.5)
+       END, 6) AS chi2_stat,
+       1 AS dof
+FROM s ORDER BY day
+"""
+
+
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the per-arm value-per-event RATIO metric
+    (extensions/experiments.py ratio_metric_delta): one row per USER
+    (the randomization unit) carrying that user's event count x and
+    value total y; the arm metric is Sy/Sx whose variance needs the
+    delta method because numerator and denominator are both random.
+    Every number stays EXACT until the closed form: the per-user value
+    total sums in DECIMAL(18,6) (the r07 money-sum rule), the unit
+    columns enter as DECIMAL/BIGINT, and ratio_metric_delta sums its
+    six sufficient statistics in the input types before its one
+    decimal->double cast — so the statistics are bit-identical across
+    engines and layouts by construction, and the oracle mirrors only
+    the closed-form double arithmetic expression-for-expression."""
+    from hdp_tez_spark.extensions.experiments import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+        F.col("user_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        # re-cast after the sum so y*y keeps full precision inside
+        # decimal(38,12) on both engines (sum widens to (28,6) which
+        # would force Spark's product back to scale 6)
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    return ratio_metric_delta(units, ["arm"], "y", "x")
+
+
+def _ratio_metric_delta_oracle_sql() -> str:
+    # mirror ratio_metric_delta's expression tree operation-for-
+    # operation so the float arithmetic is identical
+    n = "CAST(n AS DOUBLE)"
+    mx = f"(sx / {n})"
+    ratio = "(sy / sx)"
+    vx = f"((sxx - {n} * {mx} * {mx}) / ({n} - 1))"
+    vy = f"((syy - sy * sy / {n}) / ({n} - 1))"
+    cxy = f"((sxy - sx * sy / {n}) / ({n} - 1))"
+    var_r = (
+        f"(({vy} + {ratio} * {ratio} * {vx} - 2.0 * {ratio} * {cxy})"
+        f" / ({n} * {mx} * {mx}))"
+    )
+    ok = f"(n >= 2 AND sx <> 0 AND {var_r} >= 0)"
+    se = f"CASE WHEN {ok} THEN sqrt({var_r}) END"
+    # ci bounds add the UNROUNDED ratio/se before their round(6), so
+    # the rounded ratio column must not feed them
+    r_raw = f"CASE WHEN sx <> 0 THEN {ratio} END"
+    z = "1.959963984540054"
+    return f"""
+WITH u AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         user_id,
+         count(*) AS x,
+         -- DECIMAL(19,6), not (18,6): same values, but the width-19
+         -- declaration moves DuckDB's y*y onto the int128 path (a
+         -- (18,6) square overflows its int64 representation); Spark
+         -- keeps (18,6), where (37,12) products are exact
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  -- sums stay in the exact input types (BIGINT / DECIMAL products);
+  -- ONE cast to double afterward, mirroring ratio_metric_delta
+  SELECT arm,
+         count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                       THEN x END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                       THEN y END) AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                       THEN x * x END) AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                       THEN y * y END) AS DOUBLE) AS syy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                       THEN x * y END) AS DOUBLE) AS sxy
+  FROM u GROUP BY arm
+)
+SELECT arm, n,
+       round({r_raw}, 6) AS ratio,
+       round({se}, 6) AS se,
+       round(({r_raw}) - {z} * ({se}), 6) AS ci_lo,
+       round(({r_raw}) + {z} * ({se}), 6) AS ci_hi
+FROM s ORDER BY arm
+"""
+
+
+_SQL_RATIO_METRIC_DELTA = _ratio_metric_delta_oracle_sql()
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (extensions/experiments.py
+    fdr_bh) over the per-day Welch t-tests, family = calendar month:
+    the multiple-comparisons step a metrics platform runs once a
+    readout carries tens of tests. p-values come from the ROUNDED
+    t_stat through the in-plan Zelen-Severo normal tail (experiments.py
+    normal_sf) and are themselves rounded to 6 dp before ranking, so
+    the BH rank order — float p ascending, ties by day — is
+    engine-reproducible by construction. Windows partition by month
+    (never global); m_tests rides a broadcast |families|-row join."""
+    from hdp_tez_spark.extensions.experiments import ab_ttest, fdr_bh, normal_sf
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    tt = ab_ttest(ev, ["day"], "event_type", "value", "click", "purchase")
+    tests = tt.where(F.col("t_stat").isNotNull()).select(
+        F.substring("day", 1, 7).alias("month"),
+        "day",
+        F.round(2.0 * normal_sf(F.abs(F.col("t_stat"))), 6).alias("p"),
+    )
+    return fdr_bh(tests, ["month"], "day", "p", alpha=0.1)
+
+
+def _fdr_bh_oracle_sql() -> str:
+    import math as _math
+
+    # Welch t (identical to _ab_ttest_oracle_sql's expression tree —
+    # the engine consumes ab_ttest's ROUNDED t_stat, so the oracle
+    # rounds at the same point before the normal tail)
+    ma, mb = "(s_a / n_a)", "(s_b / n_b)"
+    va = f"((ss_a - n_a * {ma} * {ma}) / (n_a - 1))"
+    vb = f"((ss_b - n_b * {mb} * {mb}) / (n_b - 1))"
+    sea, seb = f"({va} / n_a)", f"({vb} / n_b)"
+    se2 = f"({sea} + {seb})"
+    ok = f"(n_a >= 2 AND n_b >= 2 AND {se2} > 0)"
+    t = f"CASE WHEN {ok} THEN round(({ma} - {mb}) / sqrt({se2}), 6) END"
+    # Zelen-Severo polynomial tail, mirroring normal_sf term order
+    sqrt_2pi = repr(_math.sqrt(2.0 * _math.pi))
+    poly = (
+        "(0.319381530 * u - 0.356563782 * power(u, 2)"
+        " + 1.781477937 * power(u, 3) - 1.821255978 * power(u, 4)"
+        " + 1.330274429 * power(u, 5))"
+    )
+    return f"""
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS s_a,
+         sum(CASE WHEN event_type = 'click' THEN value * value END) AS ss_a,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS s_b,
+         sum(CASE WHEN event_type = 'purchase' THEN value * value END) AS ss_b
+  FROM events GROUP BY 1
+),
+tstat AS (SELECT day, {t} AS t FROM s),
+pv AS (
+  SELECT substr(day, 1, 7) AS month, day,
+         round(2.0 * ((exp(-abs(t) * abs(t) / 2.0) / {sqrt_2pi})
+                      * {poly}), 6) AS p
+  FROM (SELECT day, t, 1.0 / (1.0 + 0.2316419 * abs(t)) AS u
+        FROM tstat WHERE t IS NOT NULL)
+),
+ranked AS (
+  SELECT month, day AS test, p,
+         row_number() OVER (PARTITION BY month ORDER BY p, day) AS p_rank,
+         count(*) OVER (PARTITION BY month) AS m_tests
+  FROM pv
+),
+adj AS (
+  SELECT month, test, p, p_rank, m_tests,
+         least(min(p * m_tests / p_rank) OVER (
+                 PARTITION BY month ORDER BY p_rank DESC
+                 ROWS UNBOUNDED PRECEDING), 1.0) AS a
+  FROM ranked
+)
+SELECT month, test, round(p, 6) AS p_value, p_rank::INT AS p_rank, m_tests,
+       round(a, 6) AS adj_p, a <= 0.1 AS reject
+FROM adj ORDER BY month, p_rank
+"""
+
+
+_SQL_FDR_BH = _fdr_bh_oracle_sql()
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction (extensions/
+    graph.py link_prediction) on the triangle_count co-purchase stripe
+    graph: the top-50 NON-adjacent part pairs ranked by shared-neighbor
+    count — "parts that should be bought together but never were", the
+    recommendation readout over the same wedge machinery the triangle
+    census uses. max_degree=40 exercises the super-hub sparsifier (the
+    wedge join is Sum deg(z)^2; a hub midpoint carries the least signal
+    and the most cost). Ranking and the LIMIT boundary ride the INTEGER
+    count with id tie-breaks, so selection never races a float;
+    adamic_adar is reported, rounded 6 dp."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, link_prediction
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return link_prediction(
+        edges, "a", "b", min_common=2, top_n=50, max_degree=40
+    )
+
+
+_SQL_LINK_PREDICTION = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+nb AS (SELECT u AS z, v AS x FROM e
+       UNION ALL SELECT v AS z, u AS x FROM e),
+deg AS (SELECT z, count(*) AS d FROM nb GROUP BY z
+        HAVING count(*) <= 40),
+mid AS (SELECT nb.z, nb.x, deg.d FROM nb JOIN deg USING (z)),
+cand AS (
+  SELECT m1.x AS a, m2.x AS b, count(*) AS common_neighbors,
+         sum(1.0 / ln(CAST(m1.d AS DOUBLE))) AS aa
+  FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x
+  GROUP BY m1.x, m2.x
+  HAVING count(*) >= 2
+)
+SELECT c.a, c.b, c.common_neighbors, round(c.aa, 6) AS adamic_adar
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+ORDER BY c.common_neighbors DESC, c.a, c.b
+LIMIT 50
+"""
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation (extensions/ranking.py
+    ndcg_eval) of the exact cosine retriever: queries = vec_id < 3,
+    candidates ranked by cosine_topk_bruteforce's own deterministic
+    rn (rounded-6 cosine, id tie-break — the registry's ANN
+    determinism contract), graded judgments from embedding labels
+    (same label rel=2, same label mod 3 rel=1, else unjudged). Both
+    positions and relevances are integers, so every DCG term is a
+    deterministic rational; the judged-but-unranked rows shape IDCG
+    only, exactly the Jarvelin-Kekalainen contract."""
+    from hdp_tez_spark.extensions.ranking import ndcg_eval
+    from hdp_tez_spark.extensions.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    ranked = cosine_topk_bruteforce(q, emb, k=20)
+    labels = (
+        emb.select("vec_id", "label")
+        .crossJoin(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            )
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("qlabel"), 2)
+            .when(F.col("label") % 3 == F.col("qlabel") % 3, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    return ndcg_eval(
+        ranked,
+        labels,
+        query_col="query_id",
+        id_col="neighbor_id",
+        rel_col="rel",
+        score_col="cosine",
+        rank_col="rn",
+        k=10,
+    )
+
+
+_SQL_NDCG_EVAL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl
+      FROM embeddings),
+ranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS pos
+  FROM (SELECT q.qid, c.cid,
+               round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+        FROM q JOIN c ON c.cid <> q.qid)
+),
+labels AS (
+  SELECT qid, cid, rel FROM (
+    SELECT q.qid, c.cid,
+           CASE WHEN c.cl = q.ql THEN 2
+                WHEN c.cl % 3 = q.ql % 3 THEN 1 ELSE 0 END AS rel
+    FROM q JOIN c ON c.cid <> q.qid)
+  WHERE rel > 0
+),
+dcg AS (
+  SELECT r.qid,
+         sum(CAST(coalesce(l.rel, 0) AS DOUBLE) / log2(r.pos + 1)) AS dcg
+  FROM ranked r LEFT JOIN labels l ON l.qid = r.qid AND l.cid = r.cid
+  WHERE r.pos <= 10 GROUP BY r.qid
+),
+idcg AS (
+  SELECT qid, sum(CAST(rel AS DOUBLE) / log2(ipos + 1)) AS idcg
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS ipos
+        FROM labels)
+  WHERE ipos <= 10 GROUP BY qid
+)
+SELECT d.qid AS query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       round(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d LEFT JOIN idcg i USING (qid)
+ORDER BY query_id
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency power-law fit (extensions/ranking.py
+    zipf_fit) over the documents vocabulary, hapaxes dropped
+    (min_count=2): OLS of ln(count) on ln(rank), the one-row corpus
+    health audit (natural text slopes near -1; template floods bend
+    the curve). The corpus collapses once to the vocab-sized count
+    table; the global rank rides the distributed range-partition +
+    broadcast-offset machinery (operators/sort.global_sort_ranked),
+    never a single-task window; (cnt DESC, term ASC) is a total order
+    so ranks are engine-exact."""
+    from hdp_tez_spark.extensions.ranking import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", min_count=2)
+
+
+def _zipf_fit_oracle_sql() -> str:
+    # mirror zipf_fit's OLS expression tree operation-for-operation
+    n = "CAST(n AS DOUBLE)"
+    cov_n = f"({n} * sxy - sx * sy)"
+    varx_n = f"({n} * sxx - sx * sx)"
+    vary_n = f"({n} * syy - sy * sy)"
+    ok = f"(n >= 2 AND {varx_n} > 0)"
+    slope = f"CASE WHEN {ok} THEN {cov_n} / {varx_n} END"
+    return f"""
+WITH {_SQL_TOK_CTE},
+cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        HAVING count(*) >= 2),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM cnt
+),
+s AS (
+  SELECT count(*) AS n, sum(cnt)::BIGINT AS n_tokens,
+         sum(ln(CAST(rank AS DOUBLE))) AS sx,
+         sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx,
+         sum(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS syy,
+         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy
+  FROM ranked
+)
+SELECT n AS n_types, n_tokens,
+       round({slope}, 6) AS slope,
+       round((sy - ({slope}) * sx) / {n}, 6) AS intercept,
+       round(CASE WHEN {ok} AND {vary_n} > 0
+             THEN {cov_n} * {cov_n} / ({varx_n} * {vary_n}) END, 6) AS r2
+FROM s
+"""
+
+
+_SQL_ZIPF_FIT = _zipf_fit_oracle_sql()
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
-# r09 rotation (VERDICT r08 'Next round' #2): the 4 never-checked r09
-# queries lead, then ALL 36 queries whose newest driver evidence is
-# CORRECTNESS_r04 (the oldest tail in the freshness histogram:
-# 36 r04 / 38 r05 / 48 r06 / 50 r07 / 50 r08 before this rotation),
-# then the alphabetically-first 10 r05-evidence queries. After r09 the
-# oldest driver evidence anywhere becomes r05. All 50 pass the local
-# sf0.01 --exact gate (driver-faithful string compare) before this
-# rotation lands. The r08-checked prefix (skyline/mmr_select/... )
+# r09 rotation (VERDICT r08 'Next round' #2): the 10 never-checked r09
+# queries lead (two batches: image_resize/seasonal_decompose/
+# pareto_contributors/rolling_median, then srm_check/
+# ratio_metric_delta/fdr_bh/link_prediction/ndcg_eval/zipf_fit), then
+# ALL 36 queries whose newest driver evidence is CORRECTNESS_r04 (the
+# oldest tail in the freshness histogram: 36 r04 / 38 r05 / 48 r06 /
+# 50 r07 / 50 r08 before this rotation), then the alphabetically-first
+# 4 r05-evidence queries. After r09 the oldest driver evidence
+# anywhere becomes r05. All 50 pass the local sf0.01 --exact gate
+# (driver-faithful string compare) before this rotation lands. The r08-checked prefix (skyline/mmr_select/... )
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
     # never-checked (new this round)
+    "srm_check",
+    "ratio_metric_delta",
+    "fdr_bh",
+    "link_prediction",
+    "ndcg_eval",
+    "zipf_fit",
     "image_resize",
     "seasonal_decompose",
     "pareto_contributors",
@@ -8656,21 +9078,24 @@ _PREFIX_R09 = [
     "winsorize",
     "woe_iv",
     "zorder_stats",
-    # r05-evidence refresh (alphabetically first 10 of 38)
+    # r05-evidence refresh (alphabetically first 4 of 38; the next 6
+    # demoted to the body when the second r09 batch — srm_check,
+    # ratio_metric_delta, fdr_bh, link_prediction, ndcg_eval, zipf_fit
+    # — took the never-checked head slots)
     "acf",
     "ann_recall",
     "apply_mixture",
     "approx_distinct",
-    "approx_percentile_bound",
-    "attribution",
-    "bootstrap_ci",
-    "calibration_bins",
-    "cms_frequency",
-    "cohort_retention",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r09 additions
+    "srm_check": (q_srm_check, _SQL_SRM_CHECK),
+    "ratio_metric_delta": (q_ratio_metric_delta, _SQL_RATIO_METRIC_DELTA),
+    "fdr_bh": (q_fdr_bh, _SQL_FDR_BH),
+    "link_prediction": (q_link_prediction, _SQL_LINK_PREDICTION),
+    "ndcg_eval": (q_ndcg_eval, _SQL_NDCG_EVAL),
+    "zipf_fit": (q_zipf_fit, _SQL_ZIPF_FIT),
     "image_resize": (q_image_resize, _SQL_IMAGE_RESIZE),
     "seasonal_decompose": (q_seasonal_decompose, _SQL_SEASONAL_DECOMPOSE),
     "pareto_contributors": (

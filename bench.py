@@ -217,6 +217,14 @@ HEADLINE = [
     "seasonal_decompose",
     "pareto_contributors",
     "image_resize",
+    # round-9 second batch: experimentation stats, link prediction,
+    # ranking eval, corpus audit
+    "srm_check",
+    "ratio_metric_delta",
+    "fdr_bh",
+    "link_prediction",
+    "ndcg_eval",
+    "zipf_fit",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

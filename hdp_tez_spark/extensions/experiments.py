@@ -16,9 +16,10 @@ oracle-checkable in SQL.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp_tez_spark.plans.checkpoints import truncate_lineage
@@ -994,3 +995,214 @@ def windowed_js_drift(
         )
         .orderBy(*window_cols)
     )
+
+
+def srm_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square goodness-of-fit of the
+    observed per-arm unit counts against the configured allocation
+    (`expected` = {arm: weight}; weights are normalized, so {a: 1, b: 1}
+    means 50/50). The first gate every experimentation platform runs —
+    a biased assignment invalidates all downstream readouts, and the
+    mismatch is invisible to per-arm metrics. Output per group:
+    (group..., n, then one n_<arm> count per configured arm in the
+    given order, chi2_stat, dof) with chi2 rounded to 6 dp; chi2 NULL
+    when the group has no rows in the configured arms. Rows whose arm
+    is not in `expected` are ignored (they are not part of the
+    allocation being tested); dof = |arms| - 1.
+
+    Scale shape: the ab_ttest shape — ONE grouped aggregation where
+    each configured arm's count rides a conditional partial sum, so the
+    shuffle carries |groups| rows regardless of event volume. The
+    statistic is closed-form column arithmetic on that bounded result.
+    """
+    if len(expected) < 2:
+        raise ValueError("expected needs at least two arms")
+    total_w = float(sum(expected.values()))
+    arms = list(expected)
+    counts = df.groupBy(*group_cols).agg(
+        *[
+            F.count(F.when(F.col(arm_col) == a, F.lit(1))).alias(f"n_{a}")
+            for a in arms
+        ]
+    )
+    n = sum((F.col(f"n_{a}") for a in arms[1:]), F.col(f"n_{arms[0]}"))
+    chi2 = None
+    for a in arms:
+        exp_a = n.cast("double") * F.lit(expected[a] / total_w)
+        term = (F.col(f"n_{a}") - exp_a) ** 2 / exp_a
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        *group_cols,
+        n.alias("n"),
+        *[F.col(f"n_{a}") for a in arms],
+        F.round(F.when(n > 0, chi2), 6).alias("chi2_stat"),
+        F.lit(len(arms) - 1).alias("dof"),
+    ).orderBy(*group_cols)
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    num_col: str,
+    den_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for a per-group RATIO metric
+    over randomization units (Deng et al., KDD'18 "Applying the Delta
+    Method in Metric Analytics"): each input row is one unit (e.g. one
+    user) carrying that unit's numerator y and denominator x totals;
+    the group metric is R = Σy/Σx, whose variance is NOT the naive
+    mean-variance because both sums are random. First-order expansion:
+
+        Var(R) ~= (s_y² + R²·s_x² − 2·R·s_xy) / (n · x̄²)
+
+    with per-unit sample (co)variances. Output per group:
+    (group..., n, ratio, se, ci_lo, ci_hi) rounded to 6 dp; se/ci NULL
+    for degenerate groups (n < 2 or Σx == 0). Units with a NULL
+    numerator or denominator are excluded — they are not observations.
+
+    Scale shape: ONE grouped aggregation collects the six sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) as partial sums, so the
+    shuffle carries |groups| rows; the interval is closed-form
+    arithmetic on that bounded result. The standard sessions-per-user /
+    revenue-per-click readout in a single pass.
+
+    Determinism: the sums ride the INPUT numeric type and are cast to
+    double only after aggregation — feed DECIMAL / integer unit
+    columns (as the registry query does) and the statistics are
+    bit-identical regardless of partitioning or engine; double inputs
+    sum in float order and can wobble in the last ulp.
+    """
+    x = F.col(den_col)
+    y = F.col(num_col)
+    both = x.isNotNull() & y.isNotNull()
+    stats = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.when(both, F.lit(1))).alias("n"),
+            F.sum(F.when(both, x)).alias("sx_t"),
+            F.sum(F.when(both, y)).alias("sy_t"),
+            F.sum(F.when(both, x * x)).alias("sxx_t"),
+            F.sum(F.when(both, y * y)).alias("syy_t"),
+            F.sum(F.when(both, x * y)).alias("sxy_t"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            F.col("sx_t").cast("double").alias("sx"),
+            F.col("sy_t").cast("double").alias("sy"),
+            F.col("sxx_t").cast("double").alias("sxx"),
+            F.col("syy_t").cast("double").alias("syy"),
+            F.col("sxy_t").cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx") / n
+    ratio = F.when(F.col("sx") != 0, F.col("sy") / F.col("sx"))
+    # unbiased sample (co)variances from sums: (Σab − n·ā·b̄) / (n−1)
+    vx = (F.col("sxx") - n * mx * mx) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    # ANSI mode throws on ANY division by zero, so the (n-1)/sx/n·x̄²
+    # divisions must never EVALUATE for degenerate groups — the guards
+    # below rely on when()'s branch pruning, not null-tolerant division
+    var_r = F.when(
+        (F.col("n") >= 2) & (F.col("sx") != 0),
+        (vy + ratio * ratio * vx - 2.0 * ratio * cxy) / (n * mx * mx),
+    )
+    se = F.when(var_r >= 0, F.sqrt(var_r))
+    return stats.select(
+        *group_cols,
+        "n",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(ratio - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(ratio + F.lit(z) * se, 6).alias("ci_hi"),
+    ).orderBy(*group_cols)
+
+
+def normal_sf(z: Column) -> Column:
+    """Standard-normal survival function P(Z > z) as a pure column
+    expression — the Zelen & Severo polynomial (Abramowitz & Stegun
+    26.2.17, |error| < 7.5e-8), the standard closed form when no erf
+    builtin exists. Exp/pow only, so the identical arithmetic runs in
+    any SQL engine — this is what keeps z-derived p-values
+    oracle-checkable (experiments.py's module contract: statistics and
+    p-values both stay in-plan, scipy never enters the engine).
+    """
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * t**2
+        + 1.781477937 * t**3
+        - 1.821255978 * t**4
+        + 1.330274429 * t**5
+    )
+    phi = F.exp(-az * az / 2.0) / math.sqrt(2.0 * math.pi)
+    upper_abs = phi * poly  # P(Z > |z|)
+    return F.when(z >= 0, upper_abs).otherwise(1.0 - upper_abs)
+
+
+def fdr_bh(
+    df: DataFrame,
+    family_cols: Sequence[str],
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction within each
+    test family: the multiple-comparisons step every metrics platform
+    needs once an experiment reads out tens of metrics (at alpha=0.05,
+    20 independent true-null metrics produce ~1 false "win" per
+    experiment uncorrected). Step-up procedure: sort the family's m
+    p-values ascending, adj_p(i) = min_{j>=i}(p(j)·m/j) capped at 1,
+    reject when adj_p <= alpha. Output per test:
+    (family..., test, p_value, p_rank, m_tests, adj_p, reject) ordered
+    by (family..., p_rank); adj_p rounded to 6 dp. Ties rank
+    deterministically by (p, test). NULL p-values are excluded.
+
+    Scale shape: two window passes over the SAME (family, p, test)
+    sort — ascending row_number for ranks, then the step-up suffix-min
+    as a running min over the descending frame — plus a |families|-row
+    count join. One shuffle of |tests| rows total; with empty
+    family_cols the window is global, which is bounded by design: one
+    row per TEST (a human-curated metric list), never per observation.
+    """
+    fam = [F.col(c) for c in family_cols]
+    rows = df.where(F.col(p_col).isNotNull()).select(
+        *family_cols,
+        F.col(test_col).alias("test"),
+        F.col(p_col).cast("double").alias("p_value"),
+    )
+    m = rows.groupBy(*family_cols).agg(F.count(F.lit(1)).alias("m_tests"))
+    if family_cols:
+        rows = rows.join(F.broadcast(m), list(family_cols))
+        asc = Window.partitionBy(*fam).orderBy("p_value", "test")
+    else:
+        rows = rows.crossJoin(F.broadcast(m))
+        asc = Window.orderBy("p_value", "test")
+    ranked = rows.withColumn("p_rank", F.row_number().over(asc))
+    desc = (
+        (Window.partitionBy(*fam) if family_cols else Window)
+        .orderBy(F.col("p_rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(
+        F.min(F.col("p_value") * F.col("m_tests") / F.col("p_rank")).over(desc),
+        F.lit(1.0),
+    )
+    return ranked.select(
+        *family_cols,
+        "test",
+        F.round("p_value", 6).alias("p_value"),
+        "p_rank",
+        "m_tests",
+        F.round(adj, 6).alias("adj_p"),
+        (adj <= alpha).alias("reject"),
+    ).orderBy(*family_cols, "p_rank")

@@ -286,3 +286,81 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    min_common: int = 2,
+    top_n: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction: scores NON-adjacent node
+    pairs by common-neighbor count and Adamic-Adar (Σ 1/ln(deg z) over
+    shared neighbors z — LibenNowell & Kleinberg '03), the standard
+    "who should be connected" readout for recommendation and
+    entity-graph completion. Input: one row per undirected edge (either
+    orientation, duplicates tolerated). Output: the `top_n` candidate
+    pairs (a, b, common_neighbors, adamic_adar) with a < b, at least
+    `min_common` shared neighbors, and NO existing edge; ranked by
+    (common_neighbors DESC, a, b) — an integer ordering, so the
+    selection boundary is bit-stable across engines (adamic_adar is
+    reported, not raced against float ties). adamic_adar rounded 6 dp.
+
+    Scale shape — the triangle_count wedge machinery pointed at open
+    wedges instead of closed ones: candidates come from self-joining
+    the directed adjacency list on its MIDPOINT (co-neighbors only,
+    never an all-pairs stage), scores aggregate with map-side partial
+    sums, existing edges leave via one anti-join, and selection is
+    TakeOrderedAndProject (per-task top-n heaps, no global sort). Work
+    is Σ_z deg(z)² — hub midpoints dominate, and a hub's wedges carry
+    the least signal (that is WHY Adamic-Adar down-weights by 1/ln deg),
+    so `max_degree` drops super-hub midpoints BEFORE the join: the
+    standard sparsifier at web scale, biasing only against pairs whose
+    sole evidence is a mega-hub.
+    """
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"), F.greatest("__u", "__v").alias("__v")
+        )
+        .distinct()
+        .transform(truncate_lineage)  # feeds adjacency, degrees, anti-join: scan once
+    )
+    nb = e.select(F.col("__u").alias("__z"), F.col("__v").alias("__x")).union(
+        e.select(F.col("__v").alias("__z"), F.col("__u").alias("__x"))
+    )
+    deg = nb.groupBy("__z").agg(F.count(F.lit(1)).alias("__d"))
+    if max_degree is not None:
+        deg = deg.where(F.col("__d") <= max_degree)
+    # wedge midpoints need deg >= 2, so ln(__d) > 0 — join also applies the cap
+    mid = nb.join(deg, "__z")
+    w1 = mid.select("__z", F.col("__x").alias("__a"), "__d")
+    w2 = mid.select("__z", F.col("__x").alias("__b"))
+    cand = (
+        w1.join(w2, "__z")
+        .where(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("__d").cast("double"))).alias("__aa"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    non_adjacent = cand.join(
+        e,
+        (cand["__a"] == e["__u"]) & (cand["__b"] == e["__v"]),
+        "left_anti",
+    )
+    return (
+        non_adjacent.select(
+            F.col("__a").alias(a),
+            F.col("__b").alias(b),
+            "common_neighbors",
+            F.round("__aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), a, b)
+        .limit(top_n)
+    )

@@ -316,3 +316,145 @@ def rrf_fuse(
         .where(F.col("__rn") <= limit)
         .drop("__rn")
     )
+
+
+def ndcg_eval(
+    ranked: DataFrame,
+    labels: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str = "score",
+    rank_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k ranking-quality evaluation — the standard graded-relevance
+    acceptance metric for any retriever this module builds (BM25, TF-IDF,
+    the ANN family): per query,
+
+        DCG@k  = Σ_{pos<=k} rel(doc at pos) / log2(pos + 1)
+        IDCG@k = the same sum over the query's OWN labels sorted rel
+                 DESC (the best achievable ordering)
+        NDCG   = DCG / IDCG            (Järvelin & Kekäläinen '02)
+
+    `ranked` is a retriever's candidate output (query, id, score[, rank]);
+    `labels` is the judgment set (query, id, rel >= 0). Positions come
+    from `rank_col` when the retriever already emits deterministic ranks
+    (use it — re-ranking a ROUNDED score here could disagree with the
+    retriever's own unrounded tie-breaks), else row_number over
+    (score DESC, id ASC). Unjudged ranked docs count rel=0; judged but
+    unranked docs only shape IDCG. Output per query:
+    (query, dcg, idcg, ndcg) rounded to 6 dp, NDCG NULL when the query
+    has no positive labels, ordered by query.
+
+    Scale shape: both windows partition by query over CANDIDATE-sized
+    input (retriever top-k and the judgment set — never the corpus);
+    the rest is two |queries|-row grouped aggregations and one join.
+    """
+    if rank_col is None:
+        w = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+        pos = ranked.withColumn("__pos", F.row_number().over(w))
+    else:
+        pos = ranked.withColumn("__pos", F.col(rank_col).cast("long"))
+    rel = F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0))
+    dcg = (
+        pos.where(F.col("__pos") <= k)
+        .join(labels, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(F.sum(rel / F.log2(F.col("__pos") + 1)).alias("__dcg"))
+    )
+    wi = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    idcg = (
+        labels.where(F.col(rel_col) > 0)
+        .withColumn("__ipos", F.row_number().over(wi))
+        .where(F.col("__ipos") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                F.col(rel_col).cast("double") / F.log2(F.col("__ipos") + 1)
+            ).alias("__idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, query_col, "left")
+        .select(
+            query_col,
+            F.round("__dcg", 6).alias("dcg"),
+            F.round("__idcg", 6).alias("idcg"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+        )
+        .orderBy(query_col)
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency curve: OLS of
+    ln(count) on ln(rank) over the vocabulary (natural text slopes near
+    -1; Zipf '49, Piantadosi '14 review). The single-number corpus
+    health audit next to lm_score/quality_score: a synthetic or
+    template-heavy corpus bends the curve (|slope| falls, r2 drops), a
+    boilerplate-flooded one steepens the head — both invisible to
+    per-document stats. Output: ONE row (n_types, n_tokens, slope,
+    intercept, r2) rounded to 6 dp; slope/intercept/r2 NULL for
+    degenerate vocabularies (< 2 types, or all counts equal so the fit
+    is vertical-free but varianceless). `min_count` drops the hapax
+    tail (standard before fitting — the tail is measurement noise and
+    at 100 TB it is also most of the vocabulary).
+
+    Scale shape: the corpus collapses once to the |vocab|-row count
+    table (map-side combine); the global rank uses the engine's
+    distributed range-partition + per-partition rank + broadcast-offset
+    machinery (`operators/sort.global_sort_ranked`) — NEVER a
+    single-task global window; the fit itself is one aggregation of six
+    OLS sufficient statistics over ln-transformed columns. (cnt DESC,
+    term ASC) is a total order, so ranks are deterministic everywhere.
+    """
+    from hdp_tez_spark.operators.sort import global_sort_ranked
+
+    counts = (
+        _spread(df.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    ranked = global_sort_ranked(
+        counts, [F.desc("cnt"), F.asc("term")], "rank"
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt")).alias("n_tokens"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    ok = (F.col("n") >= 2) & (varx_n > 0)
+    # when()-guarded so no division EVALUATES on a degenerate
+    # vocabulary (ANSI mode throws on division by zero; an empty
+    # count table yields the n=0 aggregate row)
+    slope = F.when(ok, cov_n / varx_n)
+    return s.select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(ok, (F.col("sy") - slope * F.col("sx")) / n), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(ok & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)), 6
+        ).alias("r2"),
+    )

@@ -43,4 +43,5 @@ def test_discovery_finds_the_money_set():
 
 @pytest.mark.parametrize("name", CORE)
 def test_money_sums_layout_stable(spark, name):
-    assert audit(spark, [name], SF) == []
+    res = audit(spark, [name], SF)[name]
+    assert res["stable"], res["problems"]

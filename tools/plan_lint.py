@@ -93,6 +93,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
     "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
     "triangle_count": "1-row census totals (wedges/triangles) crossJoined",
+    "ndcg_eval": "3-row query-vector relation crossJoined onto the "
+    "corpus (bruteforce retriever + label judgments) — |queries| "
+    "bounded by contract, corpus side streams",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -119,6 +122,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "peak_concurrency": _OFFSETS,
     "skyline": _OFFSETS,
     "spearman_corr": _OFFSETS,
+    "zipf_fit": _OFFSETS,
     "period_over_period": "lag over the per-day totals table — "
     "calendar-bounded (<= #days)",
     "seasonal_decompose": "centered moving average over the per-day "
