@@ -55,6 +55,13 @@ STANDING_EXTRAS = [
     "seasonal_decompose",
     "pareto_contributors",
     "image_resize",
+    # r09 second batch
+    "srm_check",
+    "ratio_metric_delta",
+    "fdr_bh",
+    "link_prediction",
+    "ndcg_eval",
+    "zipf_fit",
 ]
 
 
