@@ -9016,21 +9016,289 @@ FROM s
 _SQL_ZIPF_FIT = _zipf_fit_oracle_sql()
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (extensions/analytics.py
+    kaplan_meier): per user, days from first activity to first
+    purchase, administratively censored at day 5 (a purchase after day
+    5 counts as "still unconverted when observation stopped" — the
+    shape that makes naive drop-the-censored averages biased and KM
+    the right answer); cohorts = user parity. The survival product
+    rides exp(sum(ln(1 - d/n))) over the deterministic unique-t frame
+    order, so the curve is engine-exact; risk sets and event counts
+    are integers."""
+    from hdp_tez_spark.extensions.analytics import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p"),
+    )
+    tp = F.datediff(F.col("p"), F.col("f"))
+    tl = F.datediff(F.col("l"), F.col("f"))
+    converted = F.col("p").isNotNull() & (tp <= 5)
+    subjects = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(converted, tp).otherwise(F.least(tl, F.lit(5))).alias("t"),
+        converted.cast("int").alias("ev"),
+    )
+    return kaplan_meier(subjects, ["cohort"], "t", "ev")
+
+
+_SQL_KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS f,
+         max(CAST(ts AS DATE)) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS p
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+subjects AS (
+  SELECT user_id % 2 AS cohort,
+         CASE WHEN p IS NOT NULL AND datediff('day', f, p) <= 5
+              THEN datediff('day', f, p)
+              ELSE least(datediff('day', f, l), 5) END AS t,
+         CASE WHEN p IS NOT NULL AND datediff('day', f, p) <= 5
+              THEN 1 ELSE 0 END AS ev
+  FROM per_user
+),
+cells AS (
+  SELECT cohort, t, sum(ev)::BIGINT AS n_event,
+         sum(1 - ev)::BIGINT AS n_censored
+  FROM subjects GROUP BY cohort, t
+),
+curve AS (
+  SELECT cohort, t, n_event, n_censored,
+         CAST(sum(n_event + n_censored) OVER (PARTITION BY cohort)
+           - coalesce(sum(n_event + n_censored) OVER (
+               PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM cells
+),
+surv AS (
+  SELECT cohort, t, n_risk, n_event, n_censored,
+         1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM curve
+),
+acc AS (
+  SELECT cohort, t, n_risk, n_event, n_censored,
+         max(CASE WHEN factor = 0.0 THEN 1 ELSE 0 END) OVER w AS dead,
+         exp(sum(CASE WHEN factor > 0 THEN ln(factor) END) OVER w) AS s
+  FROM surv
+  WINDOW w AS (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t, n_risk, n_event, n_censored,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE s END, 6) AS survival
+FROM acc WHERE n_event > 0
+ORDER BY cohort, t
+"""
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (extensions/experiments.py
+    diff_in_diff) per event type: treatment = even user ids, post =
+    second half of the month — the causal estimate when the control's
+    pre->post drift must be netted out. One conditional 12-sum
+    aggregation (4 cells x n/sum/sumsq); the oracle mirrors the pooled
+    SE arithmetic cell-for-cell in the same order."""
+    from hdp_tez_spark.extensions.experiments import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.dayofmonth("ts") >= 16).alias("post"),
+        "value",
+    )
+    return diff_in_diff(ev, ["event_type"], "treat", "post", "value")
+
+
+def _diff_in_diff_oracle_sql() -> str:
+    # mirror diff_in_diff's expression tree operation-for-operation
+    def mean(k: str) -> str:
+        return f"(s_{k} / n_{k})"
+
+    def von(k: str) -> str:
+        n = f"CAST(n_{k} AS DOUBLE)"
+        m = mean(k)
+        return f"(((ss_{k} - {n} * {m} * {m}) / ({n} - 1)) / {n})"
+
+    did = f"(({mean('tp')} - {mean('tq')}) - ({mean('cp')} - {mean('cq')}))"
+    nonempty = "(n_tp >= 1 AND n_tq >= 1 AND n_cp >= 1 AND n_cq >= 1)"
+    ok = "(n_tp >= 2 AND n_tq >= 2 AND n_cp >= 2 AND n_cq >= 2)"
+    did_ok = f"CASE WHEN {nonempty} THEN {did} END"
+    se = (
+        f"CASE WHEN {ok} THEN sqrt({von('tp')} + {von('tq')}"
+        f" + {von('cp')} + {von('cq')}) END"
+    )
+    z = "1.959963984540054"
+    cells = {
+        "tp": "user_id % 2 = 0 AND datepart('day', ts) >= 16",
+        "tq": "user_id % 2 = 0 AND NOT datepart('day', ts) >= 16",
+        "cp": "NOT user_id % 2 = 0 AND datepart('day', ts) >= 16",
+        "cq": "NOT user_id % 2 = 0 AND NOT datepart('day', ts) >= 16",
+    }
+    sums = ",\n         ".join(
+        f"count(CASE WHEN value IS NOT NULL AND user_id % 2 IS NOT NULL"
+        f" AND ts IS NOT NULL AND {c} THEN 1 END) AS n_{k},\n         "
+        f"sum(CASE WHEN value IS NOT NULL AND user_id % 2 IS NOT NULL"
+        f" AND ts IS NOT NULL AND {c} THEN value END) AS s_{k},\n         "
+        f"sum(CASE WHEN value IS NOT NULL AND user_id % 2 IS NOT NULL"
+        f" AND ts IS NOT NULL AND {c} THEN value * value END) AS ss_{k}"
+        for k, c in cells.items()
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         {sums}
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_tp, n_tq, n_cp, n_cq,
+       round({did_ok}, 6) + CAST(0 AS DOUBLE) AS did,
+       round({se}, 6) AS se,
+       round(({did_ok}) - {z} * ({se}), 6) + CAST(0 AS DOUBLE) AS ci_lo,
+       round(({did_ok}) + {z} * ({se}), 6) + CAST(0 AS DOUBLE) AS ci_hi
+FROM s ORDER BY event_type
+"""
+
+
+_SQL_DIFF_IN_DIFF = _diff_in_diff_oracle_sql()
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label-propagation communities (extensions/
+    graph.py label_propagation) on the triangle_count co-purchase
+    stripe graph — the density-based community readout next to
+    connected_components' pure reachability (CC merges everything
+    touching; LPA splits a connected graph along dense cores). Fully
+    deterministic variant: most-frequent neighbor label, ties to the
+    smallest label, fixed round count — so the oracle is the 3x
+    unrolled SQL with identical integer tie-breaks."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return label_propagation(edges, "a", "b", iters=3)
+
+
+def _label_propagation_oracle_sql() -> str:
+    def lp_round(prev: str, cur: str) -> str:
+        return f"""{cur} AS (
+  SELECT n AS node, label FROM (
+    SELECT nb.z AS n, p.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY nb.z
+                              ORDER BY count(*) DESC, p.label) AS rn
+    FROM nb JOIN {prev} p ON nb.x = p.node
+    GROUP BY nb.z, p.label)
+  WHERE rn = 1
+)"""
+
+    rounds = ",\n".join(
+        lp_round(prev, cur) for prev, cur in [("l0", "l1"), ("l1", "l2"), ("l2", "l3")]
+    )
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+nb AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v AS z, u AS x FROM e),
+l0 AS (SELECT DISTINCT z AS node, z AS label FROM nb),
+{rounds}
+SELECT node, label FROM l3 ORDER BY node
+"""
+
+
+_SQL_LABEL_PROPAGATION = _label_propagation_oracle_sql()
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (extensions/ranking.py rake_keywords)
+    over the documents corpus: maximal non-stopword token runs scored
+    by summed word degree/frequency — the corpus-level keyword audit
+    next to tfidf_top_terms' per-doc view and collocations' bigram
+    PMI. Integer deg/freq make per-word scores exact rationals;
+    selection orders by the ROUNDED score with a phrase tie-break.
+    Spark islands use 0-based posexplode and the oracle 1-based
+    unnest ordinals — the gaps-islands anchor is translation-
+    invariant, so the phrases agree."""
+    from hdp_tez_spark.extensions.ranking import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", top_n=20, max_phrase_len=4)
+
+
+_SQL_RAKE_KEYWORDS = """
+WITH tok0 AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc, unnest(t) AS term, unnest(range(1, len(t) + 1)) AS pos
+  FROM tok0
+),
+ns AS (
+  SELECT doc, term, pos,
+         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS isl
+  FROM pos
+  WHERE term NOT IN ('a','an','and','as','at','be','by','for','in','is',
+                     'it','of','on','or','the','to','with')
+),
+ph AS (
+  SELECT doc, isl, string_agg(term, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM ns GROUP BY doc, isl HAVING count(*) <= 4
+),
+occ AS (
+  SELECT ns.doc, ns.isl, ns.term, ph.phrase, ph.plen
+  FROM ns JOIN ph USING (doc, isl)
+),
+ws AS (
+  SELECT term, count(*) AS freq, sum(plen)::BIGINT AS deg
+  FROM occ GROUP BY term
+),
+sc AS (
+  SELECT occ.doc, occ.isl, occ.phrase,
+         sum(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) AS score
+  FROM occ JOIN ws USING (term)
+  GROUP BY occ.doc, occ.isl, occ.phrase
+)
+SELECT phrase, count(*) AS n, round(max(score), 6) AS score
+FROM sc GROUP BY phrase
+ORDER BY score DESC, phrase
+LIMIT 20
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
-# r09 rotation (VERDICT r08 'Next round' #2): the 10 never-checked r09
-# queries lead (two batches: image_resize/seasonal_decompose/
-# pareto_contributors/rolling_median, then srm_check/
-# ratio_metric_delta/fdr_bh/link_prediction/ndcg_eval/zipf_fit), then
-# ALL 36 queries whose newest driver evidence is CORRECTNESS_r04 (the
-# oldest tail in the freshness histogram: 36 r04 / 38 r05 / 48 r06 /
-# 50 r07 / 50 r08 before this rotation), then the alphabetically-first
-# 4 r05-evidence queries. After r09 the oldest driver evidence
-# anywhere becomes r05. All 50 pass the local sf0.01 --exact gate
-# (driver-faithful string compare) before this rotation lands. The r08-checked prefix (skyline/mmr_select/... )
+# r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
+# queries lead (three batches: image_resize/seasonal_decompose/
+# pareto_contributors/rolling_median; srm_check/ratio_metric_delta/
+# fdr_bh/link_prediction/ndcg_eval/zipf_fit; kaplan_meier/diff_in_diff/
+# label_propagation/rake_keywords), then ALL 36 queries whose newest
+# driver evidence is CORRECTNESS_r04 (the oldest tail in the freshness
+# histogram: 36 r04 / 38 r05 / 48 r06 / 50 r07 / 50 r08 before this
+# rotation). After r09 the oldest driver evidence anywhere becomes
+# r05. All 50 pass the local sf0.01 --exact gate (driver-faithful
+# string compare) before this rotation lands. The r08-checked prefix (skyline/mmr_select/... )
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
     # never-checked (new this round)
+    "kaplan_meier",
+    "diff_in_diff",
+    "label_propagation",
+    "rake_keywords",
     "srm_check",
     "ratio_metric_delta",
     "fdr_bh",
@@ -9078,18 +9346,14 @@ _PREFIX_R09 = [
     "winsorize",
     "woe_iv",
     "zorder_stats",
-    # r05-evidence refresh (alphabetically first 4 of 38; the next 6
-    # demoted to the body when the second r09 batch — srm_check,
-    # ratio_metric_delta, fdr_bh, link_prediction, ndcg_eval, zipf_fit
-    # — took the never-checked head slots)
-    "acf",
-    "ann_recall",
-    "apply_mixture",
-    "approx_distinct",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r09 additions
+    "kaplan_meier": (q_kaplan_meier, _SQL_KAPLAN_MEIER),
+    "diff_in_diff": (q_diff_in_diff, _SQL_DIFF_IN_DIFF),
+    "label_propagation": (q_label_propagation, _SQL_LABEL_PROPAGATION),
+    "rake_keywords": (q_rake_keywords, _SQL_RAKE_KEYWORDS),
     "srm_check": (q_srm_check, _SQL_SRM_CHECK),
     "ratio_metric_delta": (q_ratio_metric_delta, _SQL_RATIO_METRIC_DELTA),
     "fdr_bh": (q_fdr_bh, _SQL_FDR_BH),

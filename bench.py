@@ -225,6 +225,10 @@ HEADLINE = [
     "link_prediction",
     "ndcg_eval",
     "zipf_fit",
+    "kaplan_meier",
+    "diff_in_diff",
+    "label_propagation",
+    "rake_keywords",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -1707,3 +1707,94 @@ def peak_concurrency(
         .agg(F.min("__ts").alias("peak_ts"))
         .select(F.col("__b").alias("bucket_start"), "peak", "peak_ts")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator per group: one row
+    per subject carrying its observed duration t and an event flag
+    (1 = the event occurred at t, 0 = censored at t — still alive when
+    observation stopped). For each distinct EVENT time t_i,
+
+        S(t_i) = prod_{j <= i} (1 - d_j / n_j)
+
+    with d_j = events at t_j and n_j = subjects still at risk
+    (duration >= t_j). Censored subjects shrink the risk set without
+    contributing an event — the whole point of the estimator (dropping
+    them instead biases survival downward; Kaplan & Meier '58). The
+    time-to-conversion / retention readout next to cohort_retention's
+    fixed calendar buckets. Output per group, one row per event time:
+    (group..., t, n_risk, n_event, n_censored, survival) with survival
+    rounded to 6 dp, ordered by (group..., t).
+
+    Scale shape: subjects collapse ONCE to the per-(group, t) count
+    table (map-side combine) — windows and arithmetic all run on that
+    |distinct durations|-row table, which is calendar-bounded (day
+    granularity: a decade is ~3.7k rows/group), never subject-sized.
+    The product rides exp(sum(ln ...)) over a running window in
+    deterministic (unique-t) frame order, with an any-zero-factor flag
+    so S(t) = 0 is exact, not exp(-inf); both engines evaluate the
+    identical expression tree, so the curve is oracle-checkable.
+    """
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    cells = (
+        df.where(t.isNotNull() & ev.isNotNull())
+        .groupBy(*group_cols, t.alias("t"))
+        .agg(
+            F.sum(ev).alias("n_event"),
+            F.sum(1 - ev).alias("n_censored"),
+        )
+    )
+    w_all = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    )
+    w_run = w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # risk set: everyone minus those who left strictly before t
+    out = (
+        cells.withColumn("__total", F.sum(F.col("n_event") + F.col("n_censored")).over(w_all))
+        .withColumn(
+            "n_risk",
+            F.col("__total")
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__factor",
+            1.0 - F.col("n_event").cast("double") / F.col("n_risk").cast("double"),
+        )
+        .withColumn("__dead", F.max((F.col("__factor") == 0.0).cast("int")).over(w_run))
+        .withColumn(
+            "survival",
+            F.round(
+                F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                    # ln only over positive factors (explicitly, so the
+                    # oracle's CASE-guarded ln sums the same terms —
+                    # DuckDB errors on ln(0), Spark nulls it); the zero
+                    # row itself is already forced to 0 by __dead
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("__factor") > 0, F.log(F.col("__factor"))
+                            )
+                        ).over(w_run)
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        out.where(F.col("n_event") > 0)
+        .select(*group_cols, "t", "n_risk", "n_event", "n_censored", "survival")
+        .orderBy(*group_cols, "t")
+    )

@@ -1206,3 +1206,95 @@ def fdr_bh(
         F.round(adj, 6).alias("adj_p"),
         (adj <= alpha).alias("reject"),
     ).orderBy(*family_cols, "p_rank")
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Difference-in-differences estimator per group: with boolean
+    treatment and period indicators,
+
+        DiD = (ybar_t,post - ybar_t,pre) - (ybar_c,post - ybar_c,pre)
+
+    the canonical causal readout when treatment was NOT randomized but
+    a parallel-trends control exists (Card & Krueger '94 shape): the
+    control's pre->post drift nets out seasonality and shocks that a
+    naive post-only comparison absorbs into the effect. SE is the
+    four-cell pooled form sqrt(sum s_i^2 / n_i) (cells independent);
+    CI at the given z. Output per group: (group..., n_tp, n_tq, n_cp,
+    n_cq, did, se, ci_lo, ci_hi) where p/q = post/pre, rounded to 6 dp;
+    did NULL when any cell is empty (a missing cell means there IS no
+    difference to difference), se/ci NULL when any cell has n < 2.
+    Rows with NULL value/flags are excluded.
+
+    Scale shape: the ab_ttest shape widened to four arms — each cell's
+    (n, sum, sumsq) rides a conditional partial sum in ONE grouped
+    aggregation, so the shuffle carries |groups| rows regardless of
+    event volume; the estimator is closed-form arithmetic on that
+    bounded result.
+    """
+    v = F.col(value_col).cast("double")
+    tr = F.col(treat_col).cast("boolean")
+    po = F.col(post_col).cast("boolean")
+    ok_row = v.isNotNull() & tr.isNotNull() & po.isNotNull()
+    cells = {
+        "tp": tr & po,
+        "tq": tr & ~po,
+        "cp": ~tr & po,
+        "cq": ~tr & ~po,
+    }
+    aggs = []
+    for k, cond in cells.items():
+        c = ok_row & cond
+        aggs += [
+            F.count(F.when(c, F.lit(1))).alias(f"n_{k}"),
+            F.sum(F.when(c, v)).alias(f"s_{k}"),
+            F.sum(F.when(c, v * v)).alias(f"ss_{k}"),
+        ]
+    stats = df.groupBy(*group_cols).agg(*aggs)
+
+    def mean(k: str) -> Column:
+        return F.col(f"s_{k}") / F.col(f"n_{k}")
+
+    def var_over_n(k: str) -> Column:
+        n = F.col(f"n_{k}").cast("double")
+        m = mean(k)
+        return ((F.col(f"ss_{k}") - n * m * m) / (n - 1)) / n
+
+    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+    nonempty, ok = None, None
+    for k in cells:
+        c1 = F.col(f"n_{k}") >= 1
+        c2 = F.col(f"n_{k}") >= 2
+        nonempty = c1 if nonempty is None else nonempty & c1
+        ok = c2 if ok is None else ok & c2
+    # guards rely on when() branch pruning: ANSI throws on /0, so the
+    # per-cell divisions must never evaluate for degenerate groups —
+    # the estimate needs every cell occupied, the SE needs n >= 2
+    did_ok = F.when(nonempty, did)
+    se = F.when(
+        ok,
+        F.sqrt(
+            var_over_n("tp") + var_over_n("tq")
+            + var_over_n("cp") + var_over_n("cq")
+        ),
+    )
+    # + 0.0 normalizes IEEE -0.0 on the subtraction-derived columns
+    # (a tiny negative DiD rounds to -0.0 and breaks the canonical
+    # string compare), mirroring the oracle's + CAST(0 AS DOUBLE)
+    return stats.select(
+        *group_cols,
+        "n_tp",
+        "n_tq",
+        "n_cp",
+        "n_cq",
+        (F.round(did_ok, 6) + 0.0).alias("did"),
+        F.round(se, 6).alias("se"),
+        (F.round(did_ok - F.lit(z) * se, 6) + 0.0).alias("ci_lo"),
+        (F.round(did_ok + F.lit(z) * se, 6) + 0.0).alias("ci_hi"),
+    ).orderBy(*group_cols)

@@ -26,7 +26,7 @@ Scale shape per iteration:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp_tez_spark.plans.checkpoints import LoopCheckpointer, truncate_lineage
@@ -364,3 +364,68 @@ def link_prediction(
         .orderBy(F.col("common_neighbors").desc(), a, b)
         .limit(top_n)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. '07) over an undirected edge list: every node starts with its
+    own id as label; each round, every node adopts the most frequent
+    label among its NEIGHBORS' previous-round labels, ties broken by
+    the smallest label — both choices make the update deterministic
+    (the original's random tie-breaks and asynchronous order are
+    deliberately dropped: engine-reproducible > convergence speed,
+    and a fixed `iters` keeps the oracle expressible as unrolled SQL).
+    Isolated self-loops are dropped; duplicate/reversed edges count
+    once. Output: (node, label) ordered by node.
+
+    Scale shape: one symmetrized adjacency build, then per round ONE
+    edge-sized equi-join + a partial-aggregated (node, label) count +
+    a per-node argmax window over the count table (partitioned by
+    node — count-table-sized, never a global sort). Per-round lineage
+    cuts via LoopCheckpointer, same contract as pagerank; community
+    convergence on diameter-d graphs needs O(d) rounds — this is the
+    fixed-budget readout, not a fixpoint iterator (use
+    connected_components for exact reachability classes).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"),
+            F.greatest("__u", "__v").alias("__v"),
+        )
+        .distinct()
+    )
+    nb = e.select(F.col("__u").alias("__n"), F.col("__v").alias("__m")).union(
+        e.select(F.col("__v").alias("__n"), F.col("__u").alias("__m"))
+    )
+    nb = truncate_lineage(nb, checkpoint_dir)
+    labels = nb.select(F.col("__n").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("__n").orderBy(
+        F.col("__cnt").desc(), F.col("label").asc()
+    )
+    lc = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "labelprop")
+    for _ in range(iters):
+        counts = (
+            nb.join(labels, nb["__m"] == labels["node"])
+            .groupBy("__n", "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__n").alias("node"), "label")
+        )
+        labels = lc.cut(labels)
+    labels = lc.finish(labels)
+    return labels.select("node", "label").orderBy("node")

@@ -23,7 +23,7 @@ Shared design rules (same as dedup.py / curation.py):
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -457,4 +457,93 @@ def zipf_fit(
         F.round(
             F.when(ok & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)), 6
         ).alias("r2"),
+    )
+
+
+#: default stopword list for rake_keywords — deliberately tiny and
+#: embedded (not a language pack): RAKE's quality depends on the list
+#: matching the corpus register, so real deployments pass their own.
+RAKE_STOPWORDS = (
+    "a", "an", "and", "as", "at", "be", "by", "for", "in", "is", "it",
+    "of", "on", "or", "the", "to", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str] | None = None,
+    top_n: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. '10): candidate phrases are
+    maximal runs of consecutive NON-stopword tokens within a document;
+    each word scores deg(w)/freq(w) over the whole corpus (freq = how
+    often w appears in candidates, deg = the summed length of every
+    candidate containing it — words that travel in long phrases score
+    high), and a phrase scores the sum of its words' scores. The
+    corpus-level keyword audit next to tfidf_top_terms' per-doc view.
+    Output: the global top_n distinct phrases (phrase, n, score) —
+    n = occurrence count, score rounded to 6 dp, ranked by
+    (rounded score DESC, phrase) so the selection boundary never races
+    an unrounded float. Runs longer than `max_phrase_len` are dropped
+    (RAKE convention — they are boilerplate, and their length would
+    dominate deg).
+
+    Scale shape: phrase building is the gaps-islands anchor (pos minus
+    a per-doc row_number — one window partitioned BY DOC, never
+    global); word stats are a vocabulary-sized partial-aggregated
+    table; scoring is one equi-join back; selection is
+    TakeOrderedAndProject. Nothing is ever all-pairs or corpus-sorted.
+    """
+    stop = list(stopwords) if stopwords is not None else list(RAKE_STOPWORDS)
+    toks = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__term"),
+        )
+        .where(~F.col("__term").isin(stop))
+    )
+    island = F.col("__pos") - F.row_number().over(
+        Window.partitionBy("__doc").orderBy("__pos")
+    )
+    words = toks.withColumn("__isl", island)
+    phrases = (
+        words.groupBy("__doc", "__isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__term"))),
+                    lambda s: s["__term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("__plen"),
+        )
+        .where(F.col("__plen") <= max_phrase_len)
+    )
+    occ = words.join(phrases, ["__doc", "__isl"])
+    wstats = occ.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    scored = (
+        occ.join(wstats, "__term")
+        .groupBy("__doc", "__isl", "phrase")
+        .agg(
+            F.sum(
+                F.col("__deg").cast("double") / F.col("__freq").cast("double")
+            ).alias("__score")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("__score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_n)
     )

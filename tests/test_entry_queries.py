@@ -65,11 +65,14 @@ def test_registry_driver_contract_invariants():
     correctness evidence."""
     names = list(QUERIES)
     assert len(names) >= 50
-    # duplicate keys in the _REGISTRY literal collapse silently at dict
-    # construction (shifting every later entry's prefix slot), so the
-    # check must read the SOURCE, not the built dict
+    # duplicate keys in the _REGISTRY_BODY literal collapse silently at
+    # dict construction (shifting every later entry's prefix slot), so
+    # the check must read the SOURCE, not the built dict. The operative
+    # order since r09 is the newest _PREFIX_RNN rotation list first,
+    # then the body in literal order.
     import ast
     import inspect
+    import re
 
     src = inspect.getsource(entry_mod)
     tree = ast.parse(src)
@@ -78,16 +81,24 @@ def test_registry_driver_contract_invariants():
         if (
             isinstance(node, ast.AnnAssign)
             and isinstance(node.target, ast.Name)
-            and node.target.id == "_REGISTRY"
+            and node.target.id == "_REGISTRY_BODY"
             and isinstance(node.value, ast.Dict)
         ):
             literal_keys = [
                 k.value for k in node.value.keys if isinstance(k, ast.Constant)
             ]
-    assert literal_keys is not None, "_REGISTRY dict literal not found"
+    assert literal_keys is not None, "_REGISTRY_BODY dict literal not found"
     dupes = {k for k in literal_keys if literal_keys.count(k) > 1}
-    assert not dupes, f"duplicate _REGISTRY keys collapse silently: {dupes}"
-    assert literal_keys == names
+    assert not dupes, f"duplicate _REGISTRY_BODY keys collapse silently: {dupes}"
+    prefixes = sorted(
+        n for n in vars(entry_mod) if re.fullmatch(r"_PREFIX_R\d+", n)
+    )
+    assert prefixes, "no _PREFIX_RNN rotation list found"
+    prefix = getattr(entry_mod, prefixes[-1])
+    assert len(prefix) == 50, "driver prefix must stay exactly 50"
+    assert len(set(prefix)) == 50, "duplicate names in the rotation prefix"
+    expected = list(prefix) + [k for k in literal_keys if k not in set(prefix)]
+    assert names == expected
     for name in names[:50]:
         assert callable(QUERIES[name]), name
         sql = ORACLES.get(name)

@@ -74,6 +74,15 @@ LINT_SUBSET = [
     "rrf_fusion",
     "fk_integrity",
     "ntile_buckets",
+    # r09 second/third batch: the new allowlisted shapes (ndcg_eval's
+    # bounded query-vector BNLJ, zipf_fit's offsets window) plus the
+    # wedge-join and iterative additions
+    "ndcg_eval",
+    "zipf_fit",
+    "link_prediction",
+    "label_propagation",
+    "kaplan_meier",
+    "rake_keywords",
 ]
 
 

@@ -62,6 +62,11 @@ STANDING_EXTRAS = [
     "link_prediction",
     "ndcg_eval",
     "zipf_fit",
+    # r09 third batch
+    "kaplan_meier",
+    "diff_in_diff",
+    "label_propagation",
+    "rake_keywords",
 ]
 
 
