@@ -382,8 +382,18 @@ def bloom_decontaminate(
         .select(F.col(id_col), "__h")
     )
     e_hash = e_sh.select(_md5_long(F.col("__sh")).alias("__h")).distinct()
+    # merge-pinned: e_hash grows with the EVAL corpus (the one input
+    # the operator does not bound — m_bits caps the bitmap, not this),
+    # and AQE's broadcast of it is the only unbounded build in the
+    # plan. Measured: the r09 sf1.0 full-registry sweep OOMed exactly
+    # here ("not enough memory to build and broadcast") once ~200
+    # prior queries had fragmented the shared driver heap; solo runs
+    # passed, which is the signature of a build that only fits when
+    # the heap is fresh. SMJ costs little — `maybe` is already pruned
+    # to flagged docs' shingles — and can never OOM (the
+    # prefix_filter_join precedent: hint honored through AQE replans).
     hits = (
-        maybe.join(e_hash, "__h")
+        maybe.join(e_hash.hint("merge"), "__h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -775,3 +775,15 @@ def test_rank_tests_scan_raw_input_once(spark):
         plan = _plan(out)
         assert plan.count("FileScan parquet") == 0, plan
         assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bloom_decontaminate_verification_join_stays_sort_merge(spark):
+    """The exact-verification join against the eval hash set is
+    merge-pinned: e_hash grows with the eval corpus (the one input the
+    bitmap's m_bits cap does not bound), and its broadcast build is
+    what OOMed the r09 sf1.0 full-registry sweep once the shared
+    driver heap was ~200 queries deep. The hint must survive into the
+    plan at every scale (it is honored through AQE replans)."""
+    df = E.queries()["bloom_decontaminate"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
