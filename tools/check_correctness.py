@@ -20,6 +20,7 @@ gate passed it (r05 verdict: 64/2080 cells differed only in zero sign).
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -229,6 +230,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -254,6 +256,17 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
         else:
             print(f"ok   {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+        # Same JVM hygiene as bench.py's loop: drop the Python-side
+        # DataFrame refs and nudge the JVM GC so ContextCleaner releases
+        # broadcast + localCheckpoint blocks between queries. Without
+        # this a 200+-query sweep starves the shared driver heap until
+        # ANY later broadcast build fails ("not enough memory to build
+        # and broadcast" — bloom_decontaminate in the r09 sf1.0 sweep
+        # died this way while passing solo).
+        gc.collect()
+        n_run += 1
+        if n_run % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
