@@ -9280,6 +9280,367 @@ LIMIT 20
 """
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve (extensions/analytics.py
+    nelson_aalen) over the same subjects as q_kaplan_meier — per user,
+    days from first activity to first purchase, administratively
+    censored at day 5, cohorts = user parity. Where the KM query reads
+    "what fraction is still unconverted at t", this reads "how much
+    conversion hazard has accumulated by t" plus its Aalen variance —
+    both running sums of integer ratios over the same per-(cohort, t)
+    count table, so the curve is oracle-exact at 6 dp."""
+    from hdp_tez_spark.extensions.analytics import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p"),
+    )
+    tp = F.datediff(F.col("p"), F.col("f"))
+    tl = F.datediff(F.col("l"), F.col("f"))
+    converted = F.col("p").isNotNull() & (tp <= 5)
+    subjects = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(converted, tp).otherwise(F.least(tl, F.lit(5))).alias("t"),
+        converted.cast("int").alias("ev"),
+    )
+    return nelson_aalen(subjects, ["cohort"], "t", "ev")
+
+
+_SQL_NELSON_AALEN = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS f,
+         max(CAST(ts AS DATE)) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS p
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+subjects AS (
+  SELECT user_id % 2 AS cohort,
+         CASE WHEN p IS NOT NULL AND datediff('day', f, p) <= 5
+              THEN datediff('day', f, p)
+              ELSE least(datediff('day', f, l), 5) END AS t,
+         CASE WHEN p IS NOT NULL AND datediff('day', f, p) <= 5
+              THEN 1 ELSE 0 END AS ev
+  FROM per_user
+),
+cells AS (
+  SELECT cohort, t, sum(ev)::BIGINT AS n_event,
+         sum(1 - ev)::BIGINT AS n_censored
+  FROM subjects GROUP BY cohort, t
+),
+curve AS (
+  SELECT cohort, t, n_event, n_censored,
+         CAST(sum(n_event + n_censored) OVER (PARTITION BY cohort)
+           - coalesce(sum(n_event + n_censored) OVER (
+               PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM cells
+),
+acc AS (
+  SELECT cohort, t, n_risk, n_event, n_censored,
+         sum(CAST(n_event AS DOUBLE) / n_risk) OVER w AS h,
+         sum(CAST(n_event AS DOUBLE)
+             / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w AS v
+  FROM curve
+  WINDOW w AS (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t, n_risk, n_event, n_censored,
+       round(h, 6) AS cum_hazard, round(v, 6) AS var_hazard
+FROM acc WHERE n_event > 0
+ORDER BY cohort, t
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (extensions/analytics.py theil_sen_trend)
+    of the daily event-value totals per event type: x = epoch day, y =
+    sum(value) per day. The robust twin of the grouped_ols fit — a
+    few outlier days bend the OLS slope but not the pairwise-slope
+    median. The raw stream collapses once to the calendar-bounded
+    per-(type, day) table; the pairwise join runs on that bounded
+    table, never on events."""
+    from hdp_tez_spark.extensions.analytics import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.sum("value").alias("total"))
+    return theil_sen_trend(daily, ["event_type"], "day", "total")
+
+
+_SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         sum(value) AS total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+cells AS (
+  SELECT event_type, CAST(day AS DOUBLE) AS x, avg(CAST(total AS DOUBLE)) AS y
+  FROM daily GROUP BY event_type, CAST(day AS DOUBLE)
+),
+pairs AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS pair_slope
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.x < b.x
+),
+slopes AS (
+  SELECT event_type, count(*) AS n_pairs,
+         median(pair_slope) AS slope
+  FROM pairs GROUP BY event_type
+),
+fit AS (
+  SELECT c.event_type, count(*) AS n_points,
+         any_value(s.n_pairs) AS n_pairs,
+         any_value(s.slope) AS slope,
+         median(c.y - s.slope * c.x) AS intercept
+  FROM cells c JOIN slopes s USING (event_type)
+  GROUP BY c.event_type
+)
+SELECT event_type, n_points, n_pairs,
+       round(slope, 6) AS slope, round(intercept, 6) AS intercept
+FROM fit ORDER BY event_type
+"""
+
+
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary P@k / R@k / AP@k / RR@k retrieval evaluation
+    (extensions/ranking.py ranking_eval) of the exact cosine
+    retriever — the set-based companion readout to q_ndcg_eval over
+    the SAME run and judgment set (queries = vec_id < 3, candidates
+    ranked by cosine_topk_bruteforce's deterministic rn, positives =
+    label-family judgments). Every metric is a ratio of small
+    integers at k=10, so the readout is engine-exact."""
+    from hdp_tez_spark.extensions.ranking import ranking_eval
+    from hdp_tez_spark.extensions.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    ranked = cosine_topk_bruteforce(q, emb, k=20)
+    labels = (
+        emb.select("vec_id", "label")
+        .crossJoin(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            )
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("qlabel"), 2)
+            .when(F.col("label") % 3 == F.col("qlabel") % 3, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    return ranking_eval(
+        ranked,
+        labels,
+        query_col="query_id",
+        id_col="neighbor_id",
+        rel_col="rel",
+        score_col="cosine",
+        rank_col="rn",
+        k=10,
+    )
+
+
+_SQL_RANKING_EVAL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl
+      FROM embeddings),
+ranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS pos
+  FROM (SELECT q.qid, c.cid,
+               round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+        FROM q JOIN c ON c.cid <> q.qid)
+),
+labels AS (
+  SELECT qid, cid, rel FROM (
+    SELECT q.qid, c.cid,
+           CASE WHEN c.cl = q.ql THEN 2
+                WHEN c.cl % 3 = q.ql % 3 THEN 1 ELSE 0 END AS rel
+    FROM q JOIN c ON c.cid <> q.qid)
+  WHERE rel > 0
+),
+topk AS (
+  SELECT r.qid, r.pos,
+         CASE WHEN l.rel IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN labels l ON l.qid = r.qid AND l.cid = r.cid
+  WHERE r.pos <= 10
+),
+run AS (
+  SELECT qid, pos, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM topk
+),
+perq AS (
+  SELECT qid, sum(rel)::BIGINT AS hits,
+         sum(CASE WHEN rel = 1 THEN CAST(cum AS DOUBLE) / pos
+                  ELSE CAST(0.0 AS DOUBLE) END) AS apnum,
+         min(CASE WHEN rel = 1 THEN pos END) AS first
+  FROM run GROUP BY qid
+),
+nrel AS (SELECT qid, count(*) AS n_rel FROM labels GROUP BY qid)
+SELECT p.qid AS query_id,
+       coalesce(n.n_rel, 0) AS n_rel,
+       p.hits AS hits_at_k,
+       round(p.hits / CAST(10.0 AS DOUBLE), 6) AS p_at_k,
+       round(CAST(p.hits AS DOUBLE) / n.n_rel, 6) AS r_at_k,
+       round(p.apnum / CAST(least(n.n_rel, 10) AS DOUBLE), 6) AS ap_at_k,
+       round(coalesce(CAST(1.0 AS DOUBLE) / p.first,
+                      CAST(0.0 AS DOUBLE)), 6) AS rr_at_k
+FROM perq p LEFT JOIN nrel n USING (qid)
+ORDER BY query_id
+"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (extensions/dedup.py
+    containment_pairs) over documents at k=3, threshold 0.4 — the
+    quote/subset-duplication detector Jaccard misses (a short document
+    pasted inside a long one has tiny Jaccard but containment ~1).
+    Directed output: (src_id, dst_id, n_inter, src_size, containment);
+    candidates meet through the shingle-hash equi-join, never
+    all-pairs."""
+    from hdp_tez_spark.extensions import dedup as D
+
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.4
+    )
+
+
+_SQL_CONTAINMENT = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS shl
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc, unnest(list_distinct(shl)) AS shingle FROM sh0),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS src_id, b.doc AS dst_id, count(*) AS n_inter,
+         any_value(sa.n) AS src_size
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+  JOIN sizes sa ON a.doc = sa.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT src_id, dst_id, n_inter, src_size,
+       round(CAST(n_inter AS DOUBLE) / src_size, 6) AS containment
+FROM pairs
+WHERE round(CAST(n_inter AS DOUBLE) / src_size, 6) >= 0.4
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen (extensions/similarity.py
+    embedding_outliers): top-20 vectors by RMS per-dimension z-score
+    against the corpus per-dimension mean/population-stddev — the
+    mis-embedded-row audit run before semantic dedup or ANN indexing.
+    One posexplode collapse to the d-row stats table, broadcast back,
+    one partial-agg score collapse; TakeOrdered(20) on the rounded
+    score with id tie-break keeps the cut deterministic."""
+    from hdp_tez_spark.extensions.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_n=20
+    )
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH cells AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, avg(val) AS mu, stddev_pop(val) AS sigma
+  FROM cells GROUP BY pos
+),
+z AS (
+  SELECT c.vec_id,
+         CASE WHEN s.sigma > 0 THEN (c.val - s.mu) / s.sigma
+              ELSE CAST(0.0 AS DOUBLE) END AS zval
+  FROM cells c JOIN stats s USING (pos)
+)
+SELECT vec_id, round(sqrt(avg(zval * zval)), 6) AS score
+FROM z GROUP BY vec_id
+ORDER BY score DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition audit (extensions/textstats.py
+    charclass_mix) per document: letter / digit / whitespace / symbol /
+    non-ASCII fractions — the C4/Gopher-style quality strata a
+    curation pipeline thresholds on. Five regexp-strip length
+    expressions per row, pure whole-stage-codegen column arithmetic,
+    zero shuffle."""
+    from hdp_tez_spark.extensions.textstats import charclass_mix
+
+    return charclass_mix(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SQL_CHARCLASS_MIX = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, n,
+         n - length(regexp_replace(txt, '[A-Za-z]', '', 'g')) AS letters,
+         n - length(regexp_replace(txt, '[0-9]', '', 'g')) AS digits,
+         n - length(regexp_replace(txt, '[ \\t\\n\\r]', '', 'g')) AS spaces,
+         n - length(regexp_replace(txt, '[^\\x00-\\x7F]', '', 'g')) AS non_ascii
+  FROM base
+)
+SELECT doc_id, n AS n_chars,
+       round(CASE WHEN n > 0 THEN CAST(letters AS DOUBLE) / n
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS letter_ratio,
+       round(CASE WHEN n > 0 THEN CAST(digits AS DOUBLE) / n
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS digit_ratio,
+       round(CASE WHEN n > 0 THEN CAST(spaces AS DOUBLE) / n
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS space_ratio,
+       round(CASE WHEN n > 0
+                  THEN CAST(n - letters - digits - spaces - non_ascii
+                            AS DOUBLE) / n
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS symbol_ratio,
+       round(CASE WHEN n > 0 THEN CAST(non_ascii AS DOUBLE) / n
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS non_ascii_ratio
+FROM cnt
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -9294,6 +9655,18 @@ LIMIT 20
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
+    # never-checked (new this round, fourth batch) — never-checked
+    # queries outrank evidence refresh, so the alphabetical tail of the
+    # r04-refresh block (transition_counts/triangle_count/
+    # weighted_sample/winsorize/woe_iv/zorder_stats — all judge-green
+    # at r08, code unchanged) demotes below the 50-row boundary to
+    # make room; their evidence stays r04.
+    "nelson_aalen",
+    "theil_sen",
+    "ranking_eval",
+    "containment",
+    "embedding_outliers",
+    "charclass_mix",
     # never-checked (new this round)
     "kaplan_meier",
     "diff_in_diff",
@@ -9340,15 +9713,16 @@ _PREFIX_R09 = [
     "stream_cdc_upsert",
     "stream_left_join",
     "stream_tumbling",
-    "transition_counts",
-    "triangle_count",
-    "weighted_sample",
-    "winsorize",
-    "woe_iv",
-    "zorder_stats",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r09 additions (fourth batch)
+    "nelson_aalen": (q_nelson_aalen, _SQL_NELSON_AALEN),
+    "theil_sen": (q_theil_sen, _SQL_THEIL_SEN),
+    "ranking_eval": (q_ranking_eval, _SQL_RANKING_EVAL),
+    "containment": (q_containment, _SQL_CONTAINMENT),
+    "embedding_outliers": (q_embedding_outliers, _SQL_EMBEDDING_OUTLIERS),
+    "charclass_mix": (q_charclass_mix, _SQL_CHARCLASS_MIX),
     # r09 additions
     "kaplan_meier": (q_kaplan_meier, _SQL_KAPLAN_MEIER),
     "diff_in_diff": (q_diff_in_diff, _SQL_DIFF_IN_DIFF),

@@ -1798,3 +1798,143 @@ def kaplan_meier(
         .select(*group_cols, "t", "n_risk", "n_event", "n_censored", "survival")
         .orderBy(*group_cols, "t")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group — the
+    integral twin of `kaplan_meier` (same subject rows: observed
+    duration t + event flag, 0 = censored). For each distinct EVENT
+    time t_i,
+
+        H(t_i)   = sum_{j <= i} d_j / n_j
+        Var(t_i) = sum_{j <= i} d_j / n_j^2          (Aalen '78)
+
+    with d_j = events at t_j and n_j = subjects still at risk. Where KM
+    answers "what fraction survives past t", NA answers "how much
+    hazard has accumulated by t" — additive, so it stays finite and
+    informative when S(t) hits 0, and its per-interval increments read
+    directly as instantaneous event rates. Output per group, one row
+    per event time: (group..., t, n_risk, n_event, n_censored,
+    cum_hazard, var_hazard), 6 dp, ordered by (group..., t).
+
+    Scale shape: identical to kaplan_meier — subjects collapse ONCE to
+    the per-(group, t) count table (map-side combine); the running sums
+    ride windows over that calendar-bounded |distinct t|-row table in
+    deterministic unique-t frame order. Rational sums of integer
+    ratios, so the curve is oracle-exact at 6 dp.
+    """
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    cells = (
+        df.where(t.isNotNull() & ev.isNotNull())
+        .groupBy(*group_cols, t.alias("t"))
+        .agg(
+            F.sum(ev).alias("n_event"),
+            F.sum(1 - ev).alias("n_censored"),
+        )
+    )
+    w_all = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    )
+    w_run = w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    d = F.col("n_event").cast("double")
+    n = F.col("n_risk").cast("double")
+    out = (
+        cells.withColumn(
+            "__total", F.sum(F.col("n_event") + F.col("n_censored")).over(w_all)
+        )
+        .withColumn(
+            "n_risk",
+            F.col("__total")
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .withColumn("cum_hazard", F.round(F.sum(d / n).over(w_run), 6))
+        .withColumn("var_hazard", F.round(F.sum(d / (n * n)).over(w_run), 6))
+    )
+    return (
+        out.where(F.col("n_event") > 0)
+        .select(
+            *group_cols,
+            "t",
+            "n_risk",
+            "n_event",
+            "n_censored",
+            "cum_hazard",
+            "var_hazard",
+        )
+        .orderBy(*group_cols, "t")
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i) over the group's series, with the
+    matching median-residual intercept (Theil '50, Sen '68). Breakdown
+    point ~29% — a handful of wild outlier days bends an OLS fit
+    (`grouped_ols`) but leaves the Theil-Sen slope untouched, which is
+    why it's the standard robust twin for monitoring-style "is this
+    metric drifting" readouts. Output per group: (group..., n_points,
+    n_pairs, slope, intercept), 6 dp.
+
+    Scale shape: the raw stream collapses ONCE (map-side combine) to a
+    per-(group, x) mean-y cell table — calendar-bounded when x is a day
+    or bucket index (a decade of daily points is ~3.7k rows/group), so
+    the pairwise self-join is |series|^2 per group over that bounded
+    table, NEVER corpus-quadratic, and the join key is the group (plain
+    hash equi-join). Medians are Spark's exact percentile over the
+    bounded pair set; the |groups|-row slope table broadcasts back for
+    the intercept pass. Both medians interpolate even counts the same
+    way DuckDB's median() does, so the fit is oracle-checkable.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    cells = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols, x.alias("x"))
+        .agg(F.avg(y).alias("y"))
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    pairs = a.join(b, on + [F.col("a.x") < F.col("b.x")]).select(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols],
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("pair_slope"),
+    )
+    slopes = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("pair_slope"), F.lit(0.5)).alias("__slope"),
+    )
+    with_slope = cells.join(F.broadcast(slopes), list(group_cols))
+    fit = with_slope.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.any_value(F.col("n_pairs")).alias("n_pairs"),
+        F.any_value(F.col("__slope")).alias("__slope"),
+        F.percentile(
+            F.col("y") - F.col("__slope") * F.col("x"), F.lit(0.5)
+        ).alias("__intercept"),
+    )
+    return fit.select(
+        *group_cols,
+        "n_points",
+        "n_pairs",
+        F.round(F.col("__slope"), 6).alias("slope"),
+        F.round(F.col("__intercept"), 6).alias("intercept"),
+    ).orderBy(*group_cols)

@@ -1056,3 +1056,68 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: directed (src, dst) where
+
+        containment(src -> dst) = |shingles(src) ∩ shingles(dst)|
+                                  / |shingles(src)|  >= threshold
+
+    Jaccard (symmetric, `ngram_jaccard_pairs`) misses the
+    quote/subset class of duplication entirely: a 50-token document
+    pasted inside a 5000-token one has Jaccard ~0.01 but containment
+    ~1.0. Containment (Broder '97's other resemblance measure) is the
+    standard detector for verbatim inclusions — boilerplate headers,
+    quoted posts, documents that are concatenations of others — which
+    a dedup pass scores differently from mutual near-duplicates (drop
+    the contained side, keep the container). Output: (src_id, dst_id,
+    n_inter, src_size, containment) with src != dst, containment
+    rounded to 6; DIRECTED, so a mutual near-dup pair appears twice
+    with its two (generally different) scores.
+
+    Scale shape: same as ngram_jaccard_pairs — candidates meet through
+    the 60-bit shingle-hash equi-join (pairs must share a shingle;
+    NEVER all-pairs), the self-join shuffles (doc, 8-byte hash) rows
+    only, per-doc sizes are a map-side array-length projection, and the
+    size join back is id-keyed. The only delta is the join predicate
+    (!= instead of <, doubling candidate rows) and the denominator.
+    """
+    sh = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
+        ).alias("sh_h"),
+    )
+    sizes = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.size(_shingles(F.col(text_col), k)).alias("n_shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("src_id"), F.col("b.doc").alias("dst_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ssrc = sizes.select(
+        F.col("doc").alias("src_id"), F.col("n_shingles").alias("src_size")
+    )
+    return (
+        inter.join(ssrc, "src_id")
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("src_size"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "n_inter", "src_size", "containment")
+    )

@@ -547,3 +547,104 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_n)
     )
+
+
+def ranking_eval(
+    ranked: DataFrame,
+    labels: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str = "score",
+    rank_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance ranking evaluation — the set-based companion to
+    `ndcg_eval`, covering the other four standard IR acceptance
+    metrics in one pass. Per query over the top-k ranked candidates:
+
+        P@k  = |relevant in top k| / k
+        R@k  = |relevant in top k| / |relevant judged|
+        AP@k = (Σ_{rel pos p <= k} P@p) / min(|relevant|, k)
+        RR@k = 1 / rank of the FIRST relevant result  (0 if none)
+
+    MAP / MRR are the means of ap_at_k / rr_at_k across queries — left
+    per-query here (like ndcg_eval) so segmented eval and per-query
+    regressions stay visible; a trailing avg() is one bounded agg away.
+    `labels` rows with rel > 0 are the positives; unjudged ranked docs
+    count as non-relevant. Positions come from `rank_col` when the
+    retriever emits deterministic ranks (preferred — re-ranking a
+    rounded score here could disagree with the retriever's own
+    unrounded tie-breaks), else row_number over (score DESC, id ASC).
+    Output per query: (query, n_rel, hits_at_k, p_at_k, r_at_k,
+    ap_at_k, rr_at_k) rounded to 6 dp, ordered by query; queries with
+    zero judged positives report NULL r_at_k / ap_at_k (undefined, not
+    silently 0 — an eval harness should see the hole).
+
+    Scale shape: identical to ndcg_eval — one window partitioned by
+    query over CANDIDATE-sized input (retriever top-k, never the
+    corpus), one left join against the judgment set, a |queries|-row
+    grouped aggregation, and a |queries|-row broadcast join for n_rel.
+    All counts are integers; the ratios are exact at 6 dp, so every
+    metric is oracle-checkable.
+    """
+    if rank_col is None:
+        w = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+        pos = ranked.withColumn("__pos", F.row_number().over(w))
+    else:
+        pos = ranked.withColumn("__pos", F.col(rank_col).cast("long"))
+    is_rel = (F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0)) > 0).cast(
+        "int"
+    )
+    topk = (
+        pos.where(F.col("__pos") <= k)
+        .join(labels, [query_col, id_col], "left")
+        .select(query_col, F.col("__pos"), is_rel.alias("__rel"))
+    )
+    # running precision at each relevant position, in rank order — one
+    # window over the k-bounded candidate rows
+    w_run = (
+        Window.partitionBy(query_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = topk.withColumn(
+        "__cum_rel", F.sum("__rel").over(w_run)
+    ).withColumn(
+        "__p_at_pos",
+        F.col("__cum_rel").cast("double") / F.col("__pos").cast("double"),
+    )
+    per_q = scored.groupBy(query_col).agg(
+        F.sum("__rel").alias("hits_at_k"),
+        F.sum(
+            F.when(F.col("__rel") == 1, F.col("__p_at_pos")).otherwise(0.0)
+        ).alias("__ap_num"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__pos"))).alias("__first"),
+    )
+    n_rel = (
+        labels.where(F.col(rel_col) > 0)
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    out = per_q.join(F.broadcast(n_rel), query_col, "left").select(
+        query_col,
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        F.col("hits_at_k").cast("long").alias("hits_at_k"),
+        F.round(F.col("hits_at_k") / F.lit(float(k)), 6).alias("p_at_k"),
+        F.round(F.col("hits_at_k") / F.col("n_rel"), 6).alias("r_at_k"),
+        F.round(
+            # least() skips NULLs in both engines, which would turn the
+            # no-judged-positives case into a silent 0.0 — keep AP
+            # undefined (NULL) there, matching r_at_k
+            F.when(
+                F.col("n_rel").isNotNull(),
+                F.col("__ap_num")
+                / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+            ),
+            6,
+        ).alias("ap_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+        ).alias("rr_at_k"),
+    )
+    return out.orderBy(query_col)

@@ -955,3 +955,60 @@ def mmr_select(
         return spark.createDataFrame(picked, schema=schema).orderBy("step")
     finally:
         cand.unpersist()
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-dimension standardized embedding outlier score — the
+    curation audit that flags vectors far from the corpus distribution
+    (mis-embedded rows, wrong-modality payloads, collapsed/all-zero
+    vectors) before they poison semantic dedup or ANN recall. Score is
+    the RMS per-dimension z-score (diagonal-covariance Mahalanobis
+    distance / sqrt(d)):
+
+        score(v) = sqrt( mean_j ((v_j - mu_j) / sigma_j)^2 )
+
+    with mu/sigma the corpus per-dimension mean and POPULATION stddev;
+    dimensions with sigma = 0 contribute 0 (constant dims carry no
+    outlier signal). The full-covariance version needs a d x d inverse
+    (see `embedding_covariance` for the stats); the diagonal form is
+    the standard first-pass screen and keeps every step oracle-
+    checkable. Output: the top_n (id, score) rows by (score DESC, id),
+    score rounded to 6 dp.
+
+    Scale shape: ONE posexplode pass collapses the corpus to a
+    d-row (pos, mu, sigma) stats table (map-side partial agg over
+    scalar cells); the table broadcasts back onto a second posexplode
+    and the per-id score is another partial-agg collapse keyed by id —
+    shuffle rows are (id, double) cells, never vectors. Selection is
+    TakeOrderedAndProject(top_n), no global sort.
+    """
+    cells = _spread(df.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = cells.groupBy("pos").agg(
+        F.avg("val").alias("mu"),
+        F.stddev_pop("val").alias("sigma"),
+    )
+    z = (
+        cells.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "__z",
+            F.when(
+                F.col("sigma") > 0,
+                (F.col("val") - F.col("mu")) / F.col("sigma"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy("vid")
+        .agg(F.round(F.sqrt(F.avg(F.col("__z") * F.col("__z"))), 6).alias("score"))
+    )
+    return (
+        z.select(F.col("vid").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )

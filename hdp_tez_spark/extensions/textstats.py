@@ -501,3 +501,52 @@ def bpe_encode(
         F.size(toks).alias("n_tokens"),
         toks.alias("tokens"),
     )
+
+
+def charclass_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-class composition audit per document: the fraction of
+    characters that are ASCII letters, digits, whitespace, other
+    printable ASCII (punctuation/symbols), and non-ASCII. The
+    class-mix fingerprint separates prose from tables/code/markup/
+    base64 blobs and catches mixed-script spam long before a language
+    model sees it — digit-heavy and symbol-heavy documents are the
+    classic low-quality strata a curation pipeline down-weights
+    (C4/Gopher-style rules threshold exactly these ratios), and a
+    non-ASCII spike inside a claimed-English shard is a routing bug.
+    Output: (id, n_chars, letter_ratio, digit_ratio, space_ratio,
+    symbol_ratio, non_ascii_ratio), ratios rounded to 6 dp; empty
+    documents report 0 everywhere rather than NULL so downstream
+    threshold filters don't silently drop them.
+
+    Scale shape: five fixed regexp-strip length expressions per row —
+    pure JVM column arithmetic inside whole-stage codegen, zero
+    shuffle, zero Python. Classes use explicit ASCII ranges (not \\s /
+    POSIX classes) so Java-regex and RE2 engines count identically.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+
+    def cnt(cls: str) -> Column:
+        # count = chars removed when stripping everything IN the class
+        return n - F.length(F.regexp_replace(txt, cls, ""))
+
+    letters = cnt("[A-Za-z]")
+    digits = cnt("[0-9]")
+    spaces = cnt("[ \\t\\n\\r]")
+    non_ascii = cnt("[^\\x00-\\x7F]")
+    symbols = n - letters - digits - spaces - non_ascii
+
+    def ratio(c: Column) -> Column:
+        return F.round(
+            F.when(n > 0, c.cast("double") / n.cast("double")).otherwise(0.0), 6
+        )
+
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        ratio(letters).alias("letter_ratio"),
+        ratio(digits).alias("digit_ratio"),
+        ratio(spaces).alias("space_ratio"),
+        ratio(symbols).alias("symbol_ratio"),
+        ratio(non_ascii).alias("non_ascii_ratio"),
+    )

@@ -96,6 +96,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ndcg_eval": "3-row query-vector relation crossJoined onto the "
     "corpus (bruteforce retriever + label judgments) — |queries| "
     "bounded by contract, corpus side streams",
+    "ranking_eval": "same run/judgment build as ndcg_eval: 3-row "
+    "query-vector relation crossJoined onto the corpus — |queries| "
+    "bounded by contract, corpus side streams",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
