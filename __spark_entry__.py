@@ -9641,6 +9641,319 @@ FROM cnt
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18-core of the co-purchase stripe graph (extensions/graph.py
+    k_core) — the density screen next to label_propagation (same
+    graph): iteratively peel every part with fewer than 18 co-purchase
+    neighbors until the unique maximal min-degree-18 subgraph remains.
+    Synchronized peeling is order-independent (the k-core is unique),
+    so the oracle's recursive-CTE peel reaches the identical fixpoint;
+    degrees are integers. Also exercises the all-peeled path at higher
+    k (edge tests)."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return k_core(edges, k=18, a="a", b="b")
+
+
+_SQL_K_CORE = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+peel(round, u, v) AS (
+  SELECT 0, u, v FROM e
+  UNION ALL
+  SELECT * FROM (
+    WITH deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT round, u AS n FROM peel UNION ALL SELECT round, v FROM peel
+      ) GROUP BY n
+    ),
+    dropped AS (SELECT n FROM deg WHERE d < 18)
+    SELECT p.round + 1, p.u, p.v
+    FROM peel p
+    WHERE p.u NOT IN (SELECT n FROM dropped)
+      AND p.v NOT IN (SELECT n FROM dropped)
+      AND EXISTS (SELECT 1 FROM dropped)
+  )
+),
+last AS (SELECT max(round) AS r FROM peel),
+fin AS (SELECT u, v FROM peel, last WHERE round = last.r),
+fdeg AS (SELECT n, count(*) AS d
+         FROM (SELECT u AS n FROM fin UNION ALL SELECT v FROM fin)
+         GROUP BY n),
+fdrop AS (SELECT n FROM fdeg WHERE d < 18),
+core AS (SELECT u, v FROM fin
+         WHERE u NOT IN (SELECT n FROM fdrop)
+           AND v NOT IN (SELECT n FROM fdrop))
+SELECT n AS node, count(*) AS degree
+FROM (SELECT u AS n FROM core UNION ALL SELECT v FROM core)
+GROUP BY n ORDER BY node
+"""
+
+
+def q_sprt_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitor (extensions/experiments.py sprt_check) per
+    event type: H1 "more than 31% of events exceed value 60" vs H0
+    "29%" at alpha 0.05 / beta 0.2 — the always-valid interim gate a
+    ship/abort monitor recomputes per batch where the fixed-horizon
+    t-test would inflate alpha under peeking. LLR terms are integer
+    counts times Python-double log constants embedded verbatim in the
+    oracle, so the readout is engine-exact."""
+    from hdp_tez_spark.extensions.experiments import sprt_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 60).alias("succ")
+    ).where(F.col("value").isNotNull())
+    return sprt_check(ev, ["event_type"], "succ", p0=0.29, p1=0.31)
+
+
+def _sprt_oracle_sql() -> str:
+    import math as _m
+
+    win = _m.log(0.31 / 0.29)
+    lose = _m.log((1.0 - 0.31) / (1.0 - 0.29))
+    lower = round(_m.log(0.2 / (1.0 - 0.05)), 6)
+    upper = round(_m.log((1.0 - 0.2) / 0.05), 6)
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN value > 60 THEN 1 ELSE 0 END)::BIGINT AS successes
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+t AS (
+  SELECT event_type, n, successes,
+         round(CAST(successes AS DOUBLE) * CAST({win!r} AS DOUBLE)
+               + CAST(n - successes AS DOUBLE) * CAST({lose!r} AS DOUBLE),
+               6) AS llr
+  FROM agg
+)
+SELECT event_type, n, successes, llr,
+       CAST({lower!r} AS DOUBLE) AS lower,
+       CAST({upper!r} AS DOUBLE) AS upper,
+       CASE WHEN llr >= CAST({upper!r} AS DOUBLE) THEN 'accept_h1'
+            WHEN llr <= CAST({lower!r} AS DOUBLE) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM t ORDER BY event_type
+"""
+
+
+_SQL_SPRT_CHECK = _sprt_oracle_sql()
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point localization (extensions/
+    analytics.py best_split) of the daily event-value totals per event
+    type — WHERE the level shifted (cusum_shift's threshold gate says
+    whether). One keyed window sort over the calendar-bounded daily
+    table; the standardized mean-shift score is identical expression
+    trees both engines."""
+    from hdp_tez_spark.extensions.analytics import best_split
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.sum("value").alias("total"))
+    return best_split(daily, ["event_type"], "day", "total")
+
+
+_SQL_BEST_SPLIT = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         sum(value) AS total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+cells AS (
+  SELECT event_type, day AS t, avg(CAST(total AS DOUBLE)) AS y
+  FROM daily GROUP BY event_type, day
+),
+scored AS (
+  SELECT event_type, t,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS i,
+         sum(y) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(y) OVER (PARTITION BY event_type) AS tot
+  FROM cells
+),
+cand AS (
+  SELECT event_type, t, i, n,
+         cum / i AS ml,
+         (tot - cum) / (n - i) AS mr,
+         sqrt(CAST(i AS DOUBLE) * (n - i) / n) * abs(cum / i - (tot - cum) / (n - i)) AS score
+  FROM scored WHERE i < n
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, t ASC) AS rn
+  FROM cand
+)
+SELECT event_type, t AS split_after, i AS n_left, n - i AS n_right,
+       round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+       round(score, 6) AS score
+FROM pick WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation (extensions/
+    analytics.py rolling_corr) between daily event value totals and
+    daily event counts per event type — the co-movement monitor next
+    to rolling_zscore's level monitor. Six frame sums on ONE keyed
+    window sort; full frames only; identical closed form in the
+    oracle."""
+    from hdp_tez_spark.extensions.analytics import rolling_corr
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(
+        F.sum("value").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    return rolling_corr(daily, ["event_type"], "day", "x", "y", window=7)
+
+
+_SQL_ROLLING_CORR = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         sum(value) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+framed AS (
+  SELECT event_type, day,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       round(CASE WHEN n = 7 AND n * sxx - sx * sx > 0
+                   AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS r_xy
+FROM framed ORDER BY event_type, day
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate audit (extensions/textstats.py oov_rate):
+    vocabulary = distinct tokens of the even-id documents, evaluated
+    over the odd-id documents — the tokenizer/shard coverage readout a
+    pipeline runs before committing a tokenizer. Per-occurrence
+    counting; integer counts make every rate exact at 6 dp."""
+    from hdp_tez_spark.extensions.textstats import _tokens, oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    return oov_rate(
+        docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", vocab
+    )
+
+
+_SQL_OOV_RATE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+         AS term
+  FROM documents
+),
+vocab AS (SELECT DISTINCT term FROM tok WHERE doc_id % 2 = 0),
+cells AS (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM tok WHERE doc_id % 2 = 1 GROUP BY doc_id, term
+),
+per_doc AS (
+  SELECT c.doc_id,
+         sum(c.cnt)::BIGINT AS n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN c.cnt ELSE 0 END)::BIGINT AS n_oov
+  FROM cells c LEFT JOIN vocab v USING (term)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       round(CASE WHEN coalesce(p.n_tokens, 0) > 0
+             THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS oov_rate
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (extensions/analytics.py
+    weighted_quantiles) of lineitem discount weighted by quantity per
+    return flag — the weighted generalization of exact_quantiles
+    (count-table / importance-weight data). Lower weighted quantile
+    definition: smallest value whose cumulative weight reaches q*W —
+    a value present in the data, exact under any arithmetic; both
+    engines run the identical q*W threshold compares on
+    integer-valued double weights."""
+    from hdp_tez_spark.extensions.analytics import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "l_discount", "l_quantity",
+        qs=(0.25, 0.5, 0.75, 0.9),
+    )
+
+
+_SQL_WEIGHTED_QUANTILES = """
+WITH cells AS (
+  SELECT l_returnflag, l_discount AS v,
+         sum(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    AND CAST(l_quantity AS DOUBLE) > 0
+  GROUP BY l_returnflag, l_discount
+),
+cum AS (
+  SELECT l_returnflag, v, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM cells
+)
+SELECT l_returnflag, q, v AS value
+FROM cum, unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS spine(q)
+WHERE cumw - w < q * tot AND q * tot <= cumw
+ORDER BY l_returnflag, q
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -9655,6 +9968,17 @@ FROM cnt
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
+    # never-checked (new this round, fifth batch) — six more r04-refresh
+    # entries (schema_evolution/sorted_group_apply/stream_cdc_upsert/
+    # stream_left_join/stream_tumbling/scalar_functions — judge-green at
+    # r08, code unchanged) demote below the boundary to keep the
+    # operative prefix at 50; their evidence stays r04.
+    "k_core",
+    "sprt_check",
+    "best_split",
+    "rolling_corr",
+    "oov_rate",
+    "weighted_quantiles",
     # never-checked (new this round, fourth batch) — never-checked
     # queries outrank evidence refresh, so the alphabetical tail of the
     # r04-refresh block (transition_counts/triangle_count/
@@ -9707,15 +10031,16 @@ _PREFIX_R09 = [
     "rolling_zscore",
     "rollup_maintain",
     "rrf_fusion",
-    "scalar_functions",
-    "schema_evolution",
-    "sorted_group_apply",
-    "stream_cdc_upsert",
-    "stream_left_join",
-    "stream_tumbling",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r09 additions (fifth batch)
+    "k_core": (q_k_core, _SQL_K_CORE),
+    "sprt_check": (q_sprt_check, _SQL_SPRT_CHECK),
+    "best_split": (q_best_split, _SQL_BEST_SPLIT),
+    "rolling_corr": (q_rolling_corr, _SQL_ROLLING_CORR),
+    "oov_rate": (q_oov_rate, _SQL_OOV_RATE),
+    "weighted_quantiles": (q_weighted_quantiles, _SQL_WEIGHTED_QUANTILES),
     # r09 additions (fourth batch)
     "nelson_aalen": (q_nelson_aalen, _SQL_NELSON_AALEN),
     "theil_sen": (q_theil_sen, _SQL_THEIL_SEN),

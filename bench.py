@@ -229,6 +229,18 @@ HEADLINE = [
     "diff_in_diff",
     "label_propagation",
     "rake_keywords",
+    "nelson_aalen",
+    "theil_sen",
+    "ranking_eval",
+    "containment",
+    "embedding_outliers",
+    "charclass_mix",
+    "k_core",
+    "sprt_check",
+    "best_split",
+    "rolling_corr",
+    "oov_rate",
+    "weighted_quantiles",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -1938,3 +1938,203 @@ def theil_sen_trend(
         F.round(F.col("__slope"), 6).alias("slope"),
         F.round(F.col("__intercept"), 6).alias("intercept"),
     ).orderBy(*group_cols)
+
+
+def best_split(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point localization by binary segmentation (one
+    level): per group, the split position that maximizes the
+    standardized mean-shift statistic
+
+        score(i) = sqrt(i·(n−i)/n) · |mean(y_1..i) − mean(y_i+1..n)|
+
+    over the group's series in `order_col` order — the CUSUM-equivalent
+    scan statistic (Scott & Knott '74 / standard binary segmentation),
+    answering WHERE the level shifted, where `cusum_shift` answers
+    WHETHER a shift crossed a threshold. Duplicate order keys collapse
+    to their mean first (same contract as theil_sen_trend). Output per
+    group: (group..., split_after, n_left, n_right, mean_left,
+    mean_right, score) — the split is AFTER the reported order value —
+    rounded to 6 dp, ties broken toward the earliest split; groups
+    with fewer than 2 distinct order values emit nothing.
+
+    Scale shape: the raw stream collapses ONCE (map-side combine) to
+    the per-(group, order) cell table — calendar-bounded for time
+    series; every candidate split is one row of a single keyed window
+    sort over that bounded table (running sum/count + group totals on
+    the SAME sort), and the argmax is a row_number over the same
+    partitioning. Nothing is quadratic, nothing global-sorts.
+    """
+    o = F.col(order_col)
+    y = F.col(value_col).cast("double")
+    cells = (
+        df.where(o.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols, o.alias("__t"))
+        .agg(F.avg(y).alias("__y"))
+    )
+    w_all = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    )
+    w_run = w_all.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        cells.withColumn("__i", F.row_number().over(w_all.orderBy("__t")))
+        .withColumn("__cum", F.sum("__y").over(w_run))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__tot", F.sum("__y").over(w_all))
+        .where(F.col("__i") < F.col("__n"))  # split strictly inside
+        .withColumn("__ml", F.col("__cum") / F.col("__i"))
+        .withColumn(
+            "__mr",
+            (F.col("__tot") - F.col("__cum")) / (F.col("__n") - F.col("__i")),
+        )
+        .withColumn(
+            "__score",
+            F.sqrt(
+                F.col("__i").cast("double")
+                * (F.col("__n") - F.col("__i"))
+                / F.col("__n")
+            )
+            * F.abs(F.col("__ml") - F.col("__mr")),
+        )
+    )
+    pick = F.row_number().over(
+        w_all.orderBy(F.col("__score").desc(), F.col("__t").asc())
+    )
+    return (
+        scored.withColumn("__rn", pick)
+        .where(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col("__t").alias("split_after"),
+            F.col("__i").alias("n_left"),
+            (F.col("__n") - F.col("__i")).alias("n_right"),
+            F.round("__ml", 6).alias("mean_left"),
+            F.round("__mr", 6).alias("mean_right"),
+            F.round("__score", 6).alias("score"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-k rolling Pearson correlation between two metrics per
+    key — the co-movement monitor next to rolling_zscore's level
+    monitor (a metric pair that historically moves together and
+    suddenly decouples is the classic silent-breakage signal). For
+    each row, corr over the trailing `window` rows (current included):
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))
+
+    emitted only when the frame is FULL (n = window) and both variance
+    terms are positive — partial frames and constant series report
+    NULL rather than a noisy or undefined coefficient. Output: (group
+    ..., order, r_xy) rounded to 6 dp, ordered by (group..., order).
+
+    Scale shape: ONE keyed window sort drives all six frame sums (the
+    closed form avoids two passes or a self-join); fixed-size JVM
+    expressions, no Python, no shuffle beyond the single keyed sort.
+    The six-sum expansion is evaluated identically in the oracle, so
+    the coefficient is cross-engine stable at 6 dp.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = (
+        (
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+            if group_cols
+            else Window.partitionBy()
+        )
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = F.when(
+        (n == window) & (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / F.sqrt(varx * vary),
+    )
+    return df.select(
+        *group_cols, F.col(order_col), F.round(r, 6).alias("r_xy")
+    ).orderBy(*group_cols, order_col)
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact weighted quantiles per group — the weighted generalization
+    of `exact_quantiles` for frequency/importance-weighted data (count
+    tables, importance-sampled corpora, survey weights): for each q,
+    the SMALLEST value v whose cumulative weight reaches q·W (the
+    lower weighted quantile / weighted type-1 definition — a value
+    actually present in the data, no interpolation, so the answer is
+    exact under any arithmetic). Zero/negative weights are rejected
+    rows. Output: (group..., q, value) ordered by (group..., q).
+
+    Scale shape: raw rows collapse ONCE (map-side combine) to the
+    per-(group, value) weight-cell table; the cumulative weight rides
+    one keyed window sort over that |distinct values|-row table; the
+    |qs|-entry quantile spine joins in as an exploded literal array
+    (broadcast-sized), and exactly one cell row survives per (group,
+    q) via the prev < q·W <= cum band — shuffle is O(distinct values),
+    NEVER a global sort of the raw data. With integer weights every
+    threshold compare is exact in IEEE double below 2^52, so the
+    result is bit-identical across engines.
+    """
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError("each q must be in (0, 1]")
+    v = F.col(value_col)
+    wt = F.col(weight_col).cast("double")
+    cells = (
+        df.where(v.isNotNull() & wt.isNotNull() & (wt > 0))
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.sum(wt).alias("__w"))
+    )
+    w_all = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    )
+    w_run = w_all.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        cells.withColumn("__cum", F.sum("__w").over(w_run))
+        .withColumn("__tot", F.sum("__w").over(w_all))
+        .withColumn("__prev", F.col("__cum") - F.col("__w"))
+    )
+    spine = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    return (
+        cum.select(*group_cols, "__v", "__cum", "__prev", "__tot", spine)
+        .where(
+            (F.col("__prev") < F.col("q") * F.col("__tot"))
+            & (F.col("q") * F.col("__tot") <= F.col("__cum"))
+        )
+        .select(*group_cols, "q", F.col("__v").alias("value"))
+        .orderBy(*group_cols, "q")
+    )

@@ -1298,3 +1298,68 @@ def diff_in_diff(
         (F.round(did_ok - F.lit(z) * se, 6) + 0.0).alias("ci_lo"),
         (F.round(did_ok + F.lit(z) * se, 6) + 0.0).alias("ci_hi"),
     ).orderBy(*group_cols)
+
+
+def sprt_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Sequential probability ratio test (Wald '45) readout for binary
+    metrics — the always-valid companion to the fixed-horizon gates
+    (ab_ttest / proportion_ci / srm_check): per group, the binomial
+    log-likelihood ratio of H1: p = p1 against H0: p = p0,
+
+        LLR = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))
+
+    compared against Wald's decision boundaries ln(β/(1−α)) and
+    ln((1−β)/α). Peeking at a fixed-horizon test inflates α; the SPRT's
+    boundaries are valid at EVERY interim look, which is why
+    ship/abort monitors re-compute exactly this readout per batch.
+    Output per group: (group..., n, successes, llr, lower, upper,
+    decision) with decision ∈ {accept_h0, continue, accept_h1}, llr and
+    bounds rounded to 6 dp, ordered by group.
+
+    Scale shape: ONE conditional-sum aggregation (n, s) with map-side
+    combine — |groups| rows shuffled; the LLR/boundary arithmetic is
+    closed-form column math on that bounded table, and every term is a
+    deterministic function of two integers, so the readout is
+    oracle-exact.
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0) or p0 == p1:
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("need 0 < alpha, beta < 1")
+    s = F.col(success_col).cast("int")
+    agg = (
+        df.where(s.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("successes"),
+        )
+    )
+    win = math.log(p1 / p0)
+    lose = math.log((1.0 - p1) / (1.0 - p0))
+    lower = math.log(beta / (1.0 - alpha))
+    upper = math.log((1.0 - beta) / alpha)
+    llr = (
+        F.col("successes").cast("double") * F.lit(win)
+        + (F.col("n") - F.col("successes")).cast("double") * F.lit(lose)
+    )
+    return (
+        agg.withColumn("llr", F.round(llr, 6))
+        .withColumn("lower", F.round(F.lit(lower), 6))
+        .withColumn("upper", F.round(F.lit(upper), 6))
+        .withColumn(
+            "decision",
+            F.when(F.col("llr") >= F.round(F.lit(upper), 6), "accept_h1")
+            .when(F.col("llr") <= F.round(F.lit(lower), 6), "accept_h0")
+            .otherwise("continue"),
+        )
+        .orderBy(*group_cols)
+    )

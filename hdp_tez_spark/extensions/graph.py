@@ -429,3 +429,77 @@ def label_propagation(
         labels = lc.cut(labels)
     labels = lc.finish(labels)
     return labels.select("node", "label").orderBy("node")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition (membership for a fixed k): iteratively
+    peel every node of degree < k until the remaining subgraph — the
+    unique maximal subgraph with minimum degree >= k (Seidman '83) —
+    is stable. The density screen next to label_propagation's
+    communities and connected_components' reachability: spam/bot rings
+    and dense duplicate clusters survive high-k cores while organic
+    long-tail structure peels away. Self-loops dropped; duplicate /
+    reversed edges count once. Output: (node, degree) of the surviving
+    core, degree measured INSIDE the core, ordered by node; empty when
+    the whole graph peels.
+
+    Scale shape: synchronized peeling — each round removes ALL sub-k
+    nodes at once: one map-side-combined degree count over the edge
+    list + two anti-joins against the dropped-node set, lineage cut
+    through LoopCheckpointer. Round count is the graph's "peeling
+    depth", NOT O(log n): real co-occurrence graphs stabilize in a few
+    rounds (each pass strips a full onion layer), but adversarial
+    chains peel two endpoints per round — hence the explicit
+    max_rounds guard (raises rather than silently returning a
+    non-core) and the per-round emptiness probe, a 1-bit driver
+    decision per round. The unique-fixpoint property makes the result
+    order-independent, so the synchronized schedule is oracle-exact
+    against any sequential peeling.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"),
+            F.greatest("__u", "__v").alias("__v"),
+        )
+        .distinct()
+    )
+    e = truncate_lineage(e, checkpoint_dir)
+    lc = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "kcore")
+
+    def degrees(es: DataFrame) -> DataFrame:
+        nb = es.select(F.col("__u").alias("__n")).union(
+            es.select(F.col("__v").alias("__n"))
+        )
+        return nb.groupBy("__n").agg(F.count(F.lit(1)).alias("__d"))
+
+    for _ in range(max_rounds):
+        dropped = degrees(e).where(F.col("__d") < k).select("__n")
+        # bounded driver state: one emptiness bit per round (an empty
+        # edge set yields an empty dropped set, so the all-peeled case
+        # exits here too, with a schema-correct empty result)
+        if dropped.isEmpty():
+            e = lc.finish(e)
+            return (
+                degrees(e)
+                .select(F.col("__n").alias("node"), F.col("__d").alias("degree"))
+                .orderBy("node")
+            )
+        e = e.join(
+            dropped.withColumnRenamed("__n", "__u"), "__u", "left_anti"
+        ).join(dropped.withColumnRenamed("__n", "__v"), "__v", "left_anti")
+        e = lc.cut(e)
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_rounds} rounds (peeling depth "
+        "exceeds the budget — raise max_rounds)"
+    )

@@ -550,3 +550,65 @@ def charclass_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ratio(symbols).alias("symbol_ratio"),
         ratio(non_ascii).alias("non_ascii_ratio"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary table —
+    the tokenizer/corpus coverage audit run before committing a
+    tokenizer or routing a shard (a corpus whose OOV rate spikes
+    against the training vocabulary is a domain-shift or encoding
+    problem the loss will pay for). Tokens are counted per OCCURRENCE
+    (a repeated unknown word hurts every time), lowercased on both
+    sides. Output: (id, n_tokens, n_oov, oov_rate) with oov_rate
+    rounded to 6 dp; documents with zero tokens report rate 0 (not
+    NULL) so threshold filters see them.
+
+    Scale shape: documents collapse map-side to (id, token, count)
+    cells before anything shuffles — the join key is the token, the
+    vocabulary side is |vocab| rows (broadcast under AQE), and the
+    final per-document rollup is a partial-aggregated groupBy on the
+    id. Document bodies never shuffle; nothing is corpus-quadratic.
+    """
+    cells = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(_tokens(F.col(text_col))).alias("__tok"),
+        )
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    vt = vocab.select(
+        F.lower(F.col(term_col).cast("string")).alias("__tok")
+    ).distinct()
+    joined = cells.join(vt.withColumn("__in", F.lit(1)), "__tok", "left")
+    per_doc = joined.groupBy("__id").agg(
+        F.sum("__cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("__cnt")).otherwise(0)).alias(
+            "n_oov"
+        ),
+    )
+    # zero-token documents fall out of the explode; re-attach with 0/0
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                    F.col("n_oov") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy(id_col)
+    )

@@ -67,6 +67,19 @@ STANDING_EXTRAS = [
     "diff_in_diff",
     "label_propagation",
     "rake_keywords",
+    # r09 fourth batch
+    "nelson_aalen",
+    "theil_sen",
+    "ranking_eval",
+    "containment",
+    "embedding_outliers",
+    "charclass_mix",
+    "k_core",
+    "sprt_check",
+    "best_split",
+    "rolling_corr",
+    "oov_rate",
+    "weighted_quantiles",
 ]
 
 
