@@ -9954,6 +9954,334 @@ ORDER BY l_returnflag, q
 """
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction audit (extensions/experiments.py
+    conformal_intervals) per event type: "model" = per-type mean value
+    fit on the event_id%3==0 third, calibrated on the ==1 third
+    (finite-sample 90% radius), coverage audited on the ==2 third —
+    the distribution-free uncertainty wrapper for any regressor. The
+    k-th order statistic rides one keyed window sort; residual
+    compares share the same yhat subtraction on both sides, so
+    boundary ties agree cross-engine."""
+    from hdp_tez_spark.extensions.experiments import conformal_intervals
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    means = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("yhat"))
+    )
+    cal = ev.where(F.col("event_id") % 3 == 1).join(
+        F.broadcast(means), "event_type"
+    )
+    test = ev.where(F.col("event_id") % 3 == 2).join(
+        F.broadcast(means), "event_type"
+    )
+    return conformal_intervals(
+        cal, test, ["event_type"], "value", "yhat", alpha=0.1
+    )
+
+
+_SQL_CONFORMAL = """
+WITH means AS (
+  SELECT event_type, avg(value) AS yhat
+  FROM events WHERE event_id % 3 = 0 AND value IS NOT NULL
+  GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, abs(e.value - m.yhat) AS r
+  FROM events e JOIN means m USING (event_type)
+  WHERE e.event_id % 3 = 1 AND e.value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cal
+),
+stats AS (
+  SELECT event_type, any_value(n) AS n_cal,
+         max(CASE WHEN rk = CAST(ceil((n + 1) * CAST(0.9 AS DOUBLE))
+                                 AS BIGINT)
+                  THEN r END) AS qhat,
+         CASE WHEN any_value(CAST(ceil((n + 1) * CAST(0.9 AS DOUBLE))
+                                  AS BIGINT)) > any_value(n)
+              THEN 1 ELSE 0 END AS inf_iv
+  FROM ranked GROUP BY event_type
+),
+test AS (
+  SELECT e.event_type, abs(e.value - m.yhat) AS rt
+  FROM events e JOIN means m USING (event_type)
+  WHERE e.event_id % 3 = 2 AND e.value IS NOT NULL
+)
+SELECT s.event_type, s.n_cal, round(s.qhat, 6) AS qhat,
+       count(*) AS n_test,
+       sum(CASE WHEN s.inf_iv = 1 THEN 1
+                WHEN t.rt <= s.qhat THEN 1 ELSE 0 END)::BIGINT AS covered,
+       round(sum(CASE WHEN s.inf_iv = 1 THEN 1
+                      WHEN t.rt <= s.qhat THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM test t JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.n_cal, s.qhat
+ORDER BY s.event_type
+"""
+
+
+def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Wald SPRT ship/abort monitor (streaming/monitors.py
+    sprt_monitor): cumulative (n, successes) per event type as an
+    unwindowed streaming aggregate with the decision columns projected
+    per update — the always-valid interim gate running ON the stream.
+    Drained with availableNow over a single-file copy, so the one
+    update per key carries the final state; the oracle is the batch
+    SPRT over the same rows (streaming/batch parity contract)."""
+    import uuid
+
+    from hdp_tez_spark.streaming.monitors import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    src = _scratch_dir("hdp_tez_stream_sprt_")
+    ev.select("event_type", (F.col("value") > 60).alias("succ")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(
+        "event_type string, succ boolean"
+    ).parquet(src)
+    res = sprt_monitor(sdf, ["event_type"], "succ", p0=0.29, p1=0.31)
+    qname = f"stream_sprt_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            res.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).select(
+        "event_type", "n", "successes", "llr", "lower", "upper", "decision"
+    )
+
+
+_SQL_STREAM_SPRT = _sprt_oracle_sql()
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sample quantile normalization (extensions/analytics.py
+    quantile_normalize) of the per-type daily value totals: every
+    event type's daily distribution is forced onto the shared mean
+    order-statistic reference — the batch-effect corrector for
+    comparing shards whose scales drifted. One keyed rank window + a
+    rank-keyed reference join."""
+    from hdp_tez_spark.extensions.analytics import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.sum("value").alias("total"))
+    return quantile_normalize(daily, ["event_type"], "day", "total")
+
+
+_SQL_QUANTILE_NORMALIZE = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         sum(value) AS total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+ranked AS (
+  SELECT event_type, day, CAST(total AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(total AS DOUBLE), day) AS rk
+  FROM daily WHERE total IS NOT NULL
+),
+ref AS (SELECT rk, avg(v) AS refv FROM ranked GROUP BY rk)
+SELECT r.event_type, r.day, round(r.v, 6) AS value, round(f.refv, 6) AS qnorm
+FROM ranked r JOIN ref f USING (rk)
+ORDER BY r.event_type, r.day
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-per-side trimmed mean (extensions/analytics.py
+    trimmed_mean) of order totals per order status — the robust center
+    for fat-tailed spend metrics next to median_udaf (all magnitude
+    kept inside the trim band). One keyed window sort; boundary
+    duplicates are interchangeable so the trimmed multiset is
+    deterministic."""
+    from hdp_tez_spark.extensions.analytics import trimmed_mean
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    return trimmed_mean(orders, ["o_orderstatus"], "o_totalprice", trim=0.1)
+
+
+_SQL_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) AS rk,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+kept AS (
+  SELECT g, v, n, CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT) AS cut
+  FROM ranked
+  WHERE rk > CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+    AND rk <= n - CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+)
+SELECT g AS o_orderstatus, any_value(n) AS n,
+       any_value(cut) AS n_trimmed_each_side,
+       round(avg(v), 6) AS trimmed_mean
+FROM kept GROUP BY g ORDER BY g
+"""
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality readout (extensions/dedup.py blocking_eval):
+    candidates = same-(lang, 100-char length bucket) document pairs
+    (the classic cheap blocking key), truth = exact n-gram Jaccard
+    pairs at 0.4 — pair completeness (blocking recall) vs reduction
+    ratio (fraction of the quadratic pair space avoided), the two
+    numbers that justify every banding knob in the dedup module."""
+    from hdp_tez_spark.extensions import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.col("lang").alias("k1"),
+        F.floor(F.col("n_chars") / 100).alias("k2"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.k1") == F.col("b.k1"))
+        & (F.col("a.k2") == F.col("b.k2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4
+    ).select("id_a", "id_b")
+    n_entities = docs.count()  # one bounded scalar job
+    return D.blocking_eval(cand, truth, n_entities)
+
+
+_SQL_BLOCKING_EVAL = f"""
+WITH {_SQL_TOKS_CTE},
+truth AS (
+  SELECT id_a AS u, id_b AS v FROM jaccard_pairs WHERE jaccard >= 0.4
+),
+keyed AS (
+  SELECT doc_id, lang AS k1, CAST(floor(n_chars / 100) AS BIGINT) AS k2
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM keyed a JOIN keyed b
+    ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+),
+tr AS (SELECT DISTINCT u, v FROM truth),
+m AS (SELECT count(*) AS n_matched FROM cand JOIN tr USING (u, v)),
+c AS (SELECT count(*) AS n_candidates FROM cand),
+t AS (SELECT count(*) AS n_truth FROM tr),
+ents AS (SELECT count(*) AS ne FROM documents)
+SELECT c.n_candidates, t.n_truth, m.n_matched,
+       round(CASE WHEN t.n_truth > 0
+             THEN CAST(m.n_matched AS DOUBLE) / t.n_truth END, 6)
+         AS pair_completeness,
+       round(CAST(1.0 AS DOUBLE)
+             - c.n_candidates
+               / CAST(ents.ne * (ents.ne - 1) // 2 AS DOUBLE), 6)
+         AS reduction_ratio
+FROM c, t, m, ents
+"""
+
+
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (extensions/analytics.py
+    lift_curve): decile targeting of purchase events by event value —
+    how many positives the top score bands capture vs random, next to
+    binary_auc (rank quality) and calibration_bins (probability
+    honesty). Scores collapse to the bounded 6-dp value grid; tied
+    cells straddling bucket boundaries attribute positives
+    proportionally with the identical rational arithmetic in the
+    oracle."""
+    from hdp_tez_spark.extensions.analytics import lift_curve
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return lift_curve(ev, "score", "label", n_buckets=10)
+
+
+_SQL_LIFT_CURVE = """
+WITH cells AS (
+  SELECT round(CAST(value AS DOUBLE), 6) AS s, count(*) AS c,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS p
+  FROM events WHERE value IS NOT NULL
+  GROUP BY round(CAST(value AS DOUBLE), 6)
+),
+pos AS (
+  SELECT s, c, p,
+         sum(c) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hi,
+         sum(c) OVER () AS n,
+         sum(p) OVER () AS ptot
+  FROM cells
+),
+exploded AS (
+  SELECT *, unnest(range(bfirst, blast + 1)) AS bucket
+  FROM (
+    SELECT s, c, p, hi, n, ptot, hi - c AS lo,
+           CAST(floor((hi - c) * 10 / n) AS BIGINT) + 1 AS bfirst,
+           CAST(floor((hi - 1) * 10 / n) AS BIGINT) + 1 AS blast
+    FROM pos
+  )
+),
+sliced AS (
+  SELECT bucket, c, p, n, ptot,
+         CAST(least(hi, CAST(ceil(bucket * n / 10) AS BIGINT))
+              - greatest(lo, CAST(ceil((bucket - 1) * n / 10) AS BIGINT))
+              AS DOUBLE) AS rows_in
+  FROM exploded
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(sum(rows_in) AS BIGINT) AS n_rows,
+         sum(p * rows_in / CAST(c AS DOUBLE)) AS pos_f,
+         any_value(n) AS tot, any_value(ptot) AS ptot
+  FROM sliced WHERE rows_in > 0 GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, n_rows, pos_f, tot, ptot,
+         CAST(sum(n_rows) OVER (
+                ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n,
+         sum(pos_f) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos
+  FROM per_bucket
+)
+SELECT bucket, n_rows AS n, round(pos_f, 6) AS n_pos, cum_n,
+       round(cum_pos, 6) AS cum_pos,
+       round(cum_pos / ptot, 6) AS capture_rate,
+       round((cum_pos / cum_n) / (CAST(ptot AS DOUBLE) / tot), 6) AS lift
+FROM cum ORDER BY bucket
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -9968,6 +10296,17 @@ ORDER BY l_returnflag, q
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
+    # never-checked (new this round, sixth batch) — six more r04-refresh
+    # entries (python_udtf/range_frame_window/rolling_zscore/
+    # rollup_maintain/rrf_fusion/proportion_ci — judge-green at r08,
+    # code unchanged) demote below the boundary; their evidence stays
+    # r04. Never-checked queries always outrank evidence refresh.
+    "conformal",
+    "stream_sprt",
+    "quantile_normalize",
+    "trimmed_mean",
+    "blocking_eval",
+    "lift_curve",
     # never-checked (new this round, fifth batch) — six more r04-refresh
     # entries (schema_evolution/sorted_group_apply/stream_cdc_upsert/
     # stream_left_join/stream_tumbling/scalar_functions — judge-green at
@@ -10025,15 +10364,16 @@ _PREFIX_R09 = [
     "point_in_time_join",
     "prefix_filter_join",
     "profile_table",
-    "proportion_ci",
-    "python_udtf",
-    "range_frame_window",
-    "rolling_zscore",
-    "rollup_maintain",
-    "rrf_fusion",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r09 additions (sixth batch)
+    "conformal": (q_conformal, _SQL_CONFORMAL),
+    "stream_sprt": (q_stream_sprt, _SQL_STREAM_SPRT),
+    "quantile_normalize": (q_quantile_normalize, _SQL_QUANTILE_NORMALIZE),
+    "trimmed_mean": (q_trimmed_mean, _SQL_TRIMMED_MEAN),
+    "blocking_eval": (q_blocking_eval, _SQL_BLOCKING_EVAL),
+    "lift_curve": (q_lift_curve, _SQL_LIFT_CURVE),
     # r09 additions (fifth batch)
     "k_core": (q_k_core, _SQL_K_CORE),
     "sprt_check": (q_sprt_check, _SQL_SPRT_CHECK),

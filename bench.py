@@ -241,6 +241,12 @@ HEADLINE = [
     "rolling_corr",
     "oov_rate",
     "weighted_quantiles",
+    "conformal",
+    "stream_sprt",
+    "quantile_normalize",
+    "trimmed_mean",
+    "blocking_eval",
+    "lift_curve",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

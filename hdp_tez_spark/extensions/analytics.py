@@ -2138,3 +2138,220 @@ def weighted_quantiles(
         .select(*group_cols, "q", F.col("__v").alias("value"))
         .orderBy(*group_cols, "q")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cross-sample quantile normalization (Bolstad et al. '03): force
+    every group's value distribution onto the shared reference
+    distribution "mean of the groups' order statistics" — rank each
+    value within its group, average the values holding the same rank
+    ACROSS groups, and hand every row the average at its rank. The
+    batch-effect corrector for comparing metric distributions across
+    shards/sources whose scales drifted; ranks (not values) survive,
+    so the transform is monotone within each group. Groups of unequal
+    size average over the groups PRESENT at that rank (the standard
+    ragged-panel convention). Ties order by (value, id) so ranks are
+    total and the map is deterministic. Output: (group..., id, value,
+    qnorm) with qnorm rounded to 6 dp, ordered by (group..., id).
+
+    Scale shape: one keyed window sort per group for ranks, one
+    |ranks|-row partial-agg reference table (rank-keyed, bounded by
+    max group size), one equi-join back on the rank. Never quadratic,
+    never a global sort.
+    """
+    v = F.col(value_col).cast("double")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    ).orderBy(v.asc(), F.col(id_col).asc())
+    ranked = df.where(v.isNotNull()).select(
+        *group_cols,
+        F.col(id_col),
+        v.alias("__v"),
+        F.row_number().over(w).alias("__rk"),
+    )
+    ref = ranked.groupBy("__rk").agg(F.avg("__v").alias("__ref"))
+    return (
+        ranked.join(ref, "__rk")
+        .select(
+            *group_cols,
+            id_col,
+            # the echo column is rounded like every float output here:
+            # an unrounded SUM passthrough leaks summation-order noise
+            # (found by the sf1.0 exact sweep — '332997.8' vs
+            # '...79999999993'); ranks use the UNROUNDED value, so a
+            # boundary tie at the 6th dp cannot reorder the map
+            F.round(F.col("__v"), 6).alias("value"),
+            F.round(F.col("__ref"), 6).alias("qnorm"),
+        )
+        .orderBy(*group_cols, id_col)
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Exact per-group trimmed mean: drop the floor(n·trim) smallest and
+    largest values, average the rest — the robust center that tolerates
+    a bounded fraction of wild rows where a plain mean follows them and
+    a median throws all magnitude information away (the standard
+    aggregate for latency / spend metrics with fat tails). trim is per
+    side, 0 <= trim < 0.5. Duplicates at the cut boundary are
+    interchangeable (equal values), so the trimmed multiset — and the
+    mean — is deterministic even though their rank order is not.
+    Output per group: (group..., n, n_trimmed_each_side, trimmed_mean)
+    rounded to 6 dp, ordered by group; 2·floor(n·trim) < n for every
+    trim < 0.5, so at least one row always survives the trim.
+
+    Scale shape: one keyed window sort gives rank and count together;
+    the kept band is a row filter and the mean a partial agg on the
+    same partitioning — one shuffle total.
+    """
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("need 0 <= trim < 0.5")
+    v = F.col(value_col).cast("double")
+    wp = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    )
+    ranked = df.where(v.isNotNull()).select(
+        *group_cols,
+        v.alias("__v"),
+        F.row_number().over(wp.orderBy(v.asc())).alias("__rk"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    cut = F.floor(F.col("__n") * F.lit(trim)).cast("long")
+    kept = ranked.withColumn("__cut", cut).where(
+        (F.col("__rk") > F.col("__cut"))
+        & (F.col("__rk") <= F.col("__n") - F.col("__cut"))
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.any_value("__n").alias("n"),
+            F.any_value("__cut").alias("n_trimmed_each_side"),
+            F.round(F.avg("__v"), 6).alias("trimmed_mean"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the targeting-eval readout next
+    to binary_auc (rank quality as one number) and calibration_bins
+    (probability honesty): sort by score descending, split into
+    n_buckets equal-count bands, and report per band how many
+    positives the top-k bands capture versus random targeting:
+
+        lift@b = (cum positives through b / cum rows through b)
+                 / overall positive rate
+
+    Bucketing uses the exact integer NTILE formula over a global rank
+    (ties broken by score DESC — band membership for tied scores is
+    value-deterministic at the 6-dp rounded score). Output per bucket:
+    (bucket, n, n_pos, cum_n, cum_pos, capture_rate, lift) rounded to
+    6 dp, ordered by bucket.
+
+    Scale shape: scores collapse ONCE (map-side combine) to the
+    per-(rounded score) count/positive cell table — the ONLY window
+    sorts run over that cell table, whose size is |distinct 6-dp
+    scores| (<= ~2M for probability-range scores), never the row
+    count; the straddle explode emits at most |cells| + |buckets|
+    rows, and the bucket rollup is a |buckets|-row partial agg. The
+    global window is cell-table-bounded by construction (allowlisted
+    in tools/plan_lint.py with this reason).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("int")
+    cells = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(y).alias("__p"))
+    )
+    w_run = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    # cumulative row index of the cell's LAST row in score-desc order;
+    # the |distinct scores| cell table keeps this window bounded
+    pos = (
+        cells.withColumn("__hi", F.sum("__c").over(w_run))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .withColumn("__pos_tot", F.sum("__p").over(w_all))
+    )
+    # exact NTILE band of each row inside the cell: rows (lo, hi] span
+    # buckets; explode cells across the buckets they straddle
+    lo = F.col("__hi") - F.col("__c")
+    b_first = F.floor(lo * n_buckets / F.col("__n")).cast("long") + 1
+    # a row index r (1-based) lands in bucket floor((r-1)*B/n)+1
+    b_last = (
+        F.floor((F.col("__hi") - 1) * n_buckets / F.col("__n")).cast("long")
+        + 1
+    )
+    exploded = pos.withColumn(
+        "bucket", F.explode(F.sequence(b_first, b_last))
+    )
+    # rows of this cell inside this bucket: overlap of (lo, hi] with the
+    # bucket's (start, end] row range — integer arithmetic throughout
+    bstart = F.ceil((F.col("bucket") - 1) * F.col("__n") / n_buckets).cast(
+        "long"
+    )
+    bend = F.ceil(F.col("bucket") * F.col("__n") / n_buckets).cast("long")
+    take_lo = F.greatest(lo, bstart)
+    take_hi = F.least(F.col("__hi"), bend)
+    rows_in = (take_hi - take_lo).cast("double")
+    # positives spread uniformly across a tied cell's rows would be
+    # fractional; instead attribute positives by the SAME integer
+    # split: positives are indistinguishable within a tied score, so
+    # attribute proportionally with exact rational arithmetic and
+    # round once at the end
+    frac = rows_in / F.col("__c").cast("double")
+    per_bucket = (
+        exploded.where(rows_in > 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum(rows_in).cast("long").alias("n"),
+            F.sum(F.col("__p") * frac).alias("__pos_f"),
+            F.any_value("__n").alias("__tot"),
+            F.any_value("__pos_tot").alias("__ptot"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per_bucket.withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("__cum_pos", F.sum("__pos_f").over(w_cum))
+        .select(
+            "bucket",
+            "n",
+            F.round("__pos_f", 6).alias("n_pos"),
+            "cum_n",
+            F.round("__cum_pos", 6).alias("cum_pos"),
+            F.round(F.col("__cum_pos") / F.col("__ptot"), 6).alias(
+                "capture_rate"
+            ),
+            F.round(
+                (F.col("__cum_pos") / F.col("cum_n"))
+                / (F.col("__ptot") / F.col("__tot")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )
+    return out

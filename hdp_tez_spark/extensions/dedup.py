@@ -1121,3 +1121,71 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("src_id", "dst_id", "n_inter", "src_size", "containment")
     )
+
+
+def blocking_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_entities: int,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Blocking-quality evaluation for entity resolution / dedup
+    pipelines (Christen '12's standard pair): given the CANDIDATE pair
+    set a blocking scheme generated and a ground-truth duplicate pair
+    set,
+
+        pair_completeness = |candidates ∩ truth| / |truth|   (recall of
+                             the blocking stage — what the matcher can
+                             still possibly find)
+        reduction_ratio   = 1 − |candidates| / C(n_entities, 2)  (how
+                             much of the quadratic all-pairs space the
+                             blocking avoided)
+
+    — the two numbers that justify every banding/bucketing knob in
+    this module (LSH bands, SimHash bands, prefix filters, block
+    keys): turning a knob trades one against the other, and this
+    readout makes the trade measurable. Pairs are normalized to
+    (min, max) and deduplicated on both sides, so direction and
+    duplicates can't inflate either metric. Output: ONE row
+    (n_candidates, n_truth, n_matched, pair_completeness,
+    reduction_ratio), 6 dp.
+
+    Scale shape: two distinct-collapses on 16-byte id pairs, one pair
+    equi-join (the truth side is match-table-sized and broadcasts
+    under AQE), three scalar counts — nothing touches documents, and
+    the C(n, 2) denominator is a literal, not a cross join.
+    """
+    if n_entities < 2:
+        raise ValueError("n_entities must be >= 2")
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        ).where(F.col("u") != F.col("v")).distinct()
+
+    cand = norm(candidates)
+    tr = norm(truth)
+    matched = cand.join(tr, ["u", "v"])
+    total_pairs = float(n_entities * (n_entities - 1) // 2)
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(tr.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_matched",
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_matched") / F.col("n_truth"),
+            ),
+            6,
+        ).alias("pair_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs), 6
+        ).alias("reduction_ratio"),
+    )

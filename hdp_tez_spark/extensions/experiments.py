@@ -1343,6 +1343,21 @@ def sprt_check(
             F.sum(s).alias("successes"),
         )
     )
+    return sprt_columns(agg, p0, p1, alpha, beta).orderBy(*group_cols)
+
+
+def sprt_columns(
+    agg: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Append the Wald LLR / boundary / decision columns to a DataFrame
+    that already carries (n, successes) — shared by the batch
+    `sprt_check` and the streaming `streaming.monitors.sprt_monitor`
+    (a projection, so it composes with streaming aggregates). Constants
+    are Python doubles, so an oracle embedding their repr is exact."""
     win = math.log(p1 / p0)
     lose = math.log((1.0 - p1) / (1.0 - p0))
     lower = math.log(beta / (1.0 - alpha))
@@ -1361,5 +1376,101 @@ def sprt_check(
             .when(F.col("llr") <= F.round(F.lit(lower), 6), "accept_h0")
             .otherwise("continue"),
         )
-        .orderBy(*group_cols)
     )
+
+
+def conformal_intervals(
+    cal: DataFrame,
+    test: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    yhat_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction readout (Vovk et al. '05; Lei et al.
+    '18) per group: from a held-out CALIBRATION set of (y, yhat) pairs,
+    the finite-sample radius
+
+        qhat = the ceil((n_cal + 1)·(1 − alpha))-th smallest |y − yhat|
+
+    guarantees P(y ∈ yhat ± qhat) >= 1 − alpha for exchangeable test
+    points REGARDLESS of how bad the model is — the distribution-free
+    uncertainty wrapper an eval harness runs around any regressor. The
+    test set is then audited: covered = how many test residuals fall
+    within qhat. When ceil((n+1)(1−alpha)) > n_cal the guarantee needs
+    the infinite interval: qhat is NULL and coverage reports 1.0.
+    Output per group: (group..., n_cal, qhat, n_test, covered,
+    coverage) with coverage rounded to 6 dp, ordered by group.
+
+    Scale shape: the k-th order statistic rides ONE keyed window sort
+    over the calibration residuals (rank selection, not a global
+    sort); the |groups|-row (qhat, n_cal) table broadcasts onto the
+    test set; the audit is a conditional-count partial agg. Residual
+    compares are plain double subtraction both engines, exact at the
+    6-dp readout.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("need 0 < alpha < 1")
+    r_cal = F.abs(
+        F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy()
+    ).orderBy("__r")
+    ranked = (
+        cal.where(r_cal.isNotNull())
+        .select(*group_cols, r_cal.alias("__r"))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*[F.col(c) for c in group_cols])
+                if group_cols
+                else Window.partitionBy()
+            ),
+        )
+    )
+    k = F.ceil((F.col("__n") + 1) * F.lit(1.0 - alpha)).cast("long")
+    stats = (
+        ranked.withColumn("__k", k)
+        .groupBy(*group_cols)
+        .agg(
+            F.any_value(F.col("__n")).alias("n_cal"),
+            F.max(
+                F.when(F.col("__rk") == F.col("__k"), F.col("__r"))
+            ).alias("qhat"),
+            F.any_value(F.col("__k")).alias("__k"),
+        )
+        # k > n_cal: the quantile falls past the sample -> infinite
+        # interval; keep qhat NULL and let coverage report 1.0 below
+        .withColumn("__inf", (F.col("__k") > F.col("n_cal")).cast("int"))
+        .drop("__k")
+    )
+    r_test = F.abs(
+        F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+    )
+    audited = (
+        test.where(r_test.isNotNull())
+        .select(*group_cols, r_test.alias("__rt"))
+        .join(F.broadcast(stats), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.any_value("n_cal").alias("n_cal"),
+            F.round(F.any_value("qhat"), 6).alias("qhat"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("__inf") == 1, 1).otherwise(
+                    (F.col("__rt") <= F.col("qhat")).cast("int")
+                )
+            ).alias("covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("covered") / F.col("n_test"), 6),
+        )
+    )
+    return audited.select(
+        *group_cols, "n_cal", "qhat", "n_test", "covered", "coverage"
+    ).orderBy(*group_cols)

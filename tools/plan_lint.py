@@ -99,6 +99,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ranking_eval": "same run/judgment build as ndcg_eval: 3-row "
     "query-vector relation crossJoined onto the corpus — |queries| "
     "bounded by contract, corpus side streams",
+    "blocking_eval": "three 1-row count aggregates crossJoined into "
+    "the single readout row (triangle_count's census-totals class)",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -132,6 +134,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "series — calendar-bounded (<= #days) by construction",
     "rrf_fusion": "row_number over the fused candidate set — inputs "
     "are LIMITed top-k lists",
+    "lift_curve": "running sums over the distinct-6dp-score CELL table "
+    "(bounded value grid, never row-sized) and the |buckets|-row "
+    "rollup — both windows are cell/bucket-bounded by construction",
 }
 
 # `+- Window [aggs], [order]` = global (2 bracket groups);

@@ -80,6 +80,12 @@ STANDING_EXTRAS = [
     "rolling_corr",
     "oov_rate",
     "weighted_quantiles",
+    "conformal",
+    "stream_sprt",
+    "quantile_normalize",
+    "trimmed_mean",
+    "blocking_eval",
+    "lift_curve",
 ]
 
 
