@@ -1101,9 +1101,17 @@ def containment_pairs(
     )
     a = sh.alias("a")
     b = sh.alias("b")
+    # merge-pin the self-join (prefix_filter_join / bloom_decontaminate
+    # precedent): both sides are post-explode shingle streams whose size
+    # static estimation undercounts, and a shuffle-HASH join builds one
+    # hash map per task — 32 concurrent ~1.5M-row builds OOMed the
+    # default heap at the x100-docs probe. SMJ spills through the
+    # external sorter instead and can never OOM; the hint is honored
+    # through AQE replans, so the plan is stable at every scale.
     inter = (
-        a.join(
-            b,
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
             (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col("a.doc") != F.col("b.doc")),
         )

@@ -72,6 +72,21 @@ def tuned_builder(app_name: str = "hdp-tez-spark") -> SparkSession.Builder:
         # Static fallback; AQE coalesces below this at runtime. On a real
         # cluster this should be ~2-3x total cores (set via spark-submit).
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # AQE can only coalesce DOWN from the initial partition count, so
+        # a heavy shuffle at shuffle.partitions=32 gets ~N/32-row sort
+        # tasks regardless of N — measured failure at the x30-docs
+        # containment probe: 375M join rows / 32 tasks spilled thousands
+        # of files per sort and the merge OOMed opening their 1 MB
+        # readers (UnsafeSorterSpillReader). Starting every shuffle at
+        # 512 and letting AQE coalesce to the 100 MB advisory keeps
+        # small queries at few post-coalesce partitions (no overhead
+        # measured at sf0.1) while bounding per-task sort volume on the
+        # heavy ones — the exact ShuffleVertexManager desired-task-input
+        # behavior this profile exists to mirror.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         # --- python <-> JVM transfer is always Arrow-batched --------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism for oracle comparisons ---------------------------
