@@ -484,7 +484,13 @@ def k_core(
         return nb.groupBy("__n").agg(F.count(F.lit(1)).alias("__d"))
 
     for _ in range(max_rounds):
-        dropped = degrees(e).where(F.col("__d") < k).select("__n")
+        # materialize the (small) dropped set once: the emptiness probe
+        # and the two anti-joins would otherwise each recompute the
+        # degree aggregation (2 jobs/round -> 1). Fresh truncation per
+        # round, never chained — dropped does not feed later lineage.
+        dropped = truncate_lineage(
+            degrees(e).where(F.col("__d") < k).select("__n"), checkpoint_dir
+        )
         # bounded driver state: one emptiness bit per round (an empty
         # edge set yields an empty dropped set, so the all-peeled case
         # exits here too, with a schema-correct empty result)
