@@ -10282,6 +10282,186 @@ FROM cum ORDER BY bucket
 """
 
 
+def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Brier / ECE / MCE readout (extensions/experiments.py
+    calibration_error) over the same pseudo-score as q_calibration_bins
+    (cents fraction of o_totalprice vs the order-fulfilled label) —
+    the scalar gate whose diagnostic is the bins table. Squared-error
+    sums ride the same bins-keyed partial-agg pass; every term is a
+    ratio of sums over the identical binning, engine-exact at 6 dp."""
+    from hdp_tez_spark.extensions.experiments import calibration_error
+
+    orders = _t(spark, sf_dir, "orders")
+    return calibration_error(
+        orders.select(
+            (F.col("o_totalprice") % 1.0).alias("score"),
+            "o_orderstatus",
+        ),
+        "score",
+        F.col("o_orderstatus") == "F",
+        bins=10,
+    )
+
+
+_SQL_CALIBRATION_ERROR = """
+WITH rows_ AS (
+  SELECT least(greatest(o_totalprice % 1.0, 0.0), 1.0) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+cells AS (
+  SELECT least(CAST(floor(s * 10) AS INT), 9) AS b,
+         count(*) AS n, sum(p)::BIGINT AS np,
+         sum(s) AS ss,
+         sum((s - p) * (s - p)) AS sse
+  FROM rows_ GROUP BY least(CAST(floor(s * 10) AS INT), 9)
+),
+g AS (
+  SELECT b, n, np, sse,
+         abs(ss / n - CAST(np AS DOUBLE) / n) AS gap
+  FROM cells
+)
+SELECT sum(n)::BIGINT AS n, sum(np)::BIGINT AS n_pos,
+       round(sum(sse) / sum(n), 6) AS brier,
+       round(sum(gap * n) / sum(n), 6) AS ece,
+       round(max(gap), 6) AS mce
+FROM g
+"""
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distinct-n diversity audit (extensions/textstats.py
+    distinct_ngrams) at n = 1, 2, 3 over documents — the
+    memorization/degeneracy readout (template floods drive
+    distinct-2/3 toward 0). N-grams hash to 60-bit md5 longs map-side;
+    the oracle reproduces the hash recipe so both engines count the
+    identical key space."""
+    from hdp_tez_spark.extensions.textstats import distinct_ngrams
+
+    return distinct_ngrams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ns=(1, 2, 3)
+    )
+
+
+def _distinct_ngrams_oracle_sql() -> str:
+    def order_cte(n: int) -> str:
+        if n == 1:
+            grams = "t"
+        else:
+            grams = (
+                f"CASE WHEN len(t) >= {n} THEN "
+                f"[array_to_string(t[i:i+{n - 1}], ' ') "
+                f"FOR i IN range(1, len(t) - {n - 2})] "
+                "ELSE [] END"
+            )
+        return f"""
+  SELECT {n} AS n, total_ngrams, distinct_ngrams,
+         round(CASE WHEN total_ngrams > 0
+               THEN CAST(distinct_ngrams AS DOUBLE) / total_ngrams END, 6)
+           AS distinct_ratio
+  FROM (
+    SELECT count(*)::BIGINT AS total_ngrams,
+           count(DISTINCT g)::BIGINT AS distinct_ngrams
+    FROM (SELECT unnest({grams}) AS g FROM toks)
+  )"""
+
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+{" UNION ALL ".join(order_cte(n) for n in (1, 2, 3))}
+ORDER BY n
+"""
+
+
+_SQL_DISTINCT_NGRAMS = _distinct_ngrams_oracle_sql()
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment (extensions/splits.py
+    stratified_kfold) of documents by language: every fold carries each
+    language's count to within one row exactly (hash-mod kfold_split is
+    only asymptotically balanced — minority strata skew). md5-ordered
+    round-robin; one keyed window per stratum; the md5 recipe
+    reproduces verbatim in the oracle."""
+    from hdp_tez_spark.extensions.splits import stratified_kfold
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_kfold(docs, "doc_id", ["lang"], k=5)
+
+
+_SQL_STRATIFIED_KFOLD = """
+SELECT doc_id, lang,
+       CAST((row_number() OVER (
+              PARTITION BY lang
+              ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         ::BIGINT ASC,
+                       doc_id ASC) - 1) % 5 AS INT) AS fold
+FROM documents
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling (extensions/graph.py
+    negative_sampling) on the co-purchase stripe graph, k=3 per node —
+    the contrastive-pair generator for link-prediction / embedding
+    training (same graph as link_prediction's positives). Candidate i
+    of node u is the node at global index md5('neg':u:i) mod |V|;
+    the oracle mirrors the md5 recipe, the id-ordered index, and the
+    draw-order keep-3 exactly."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, negative_sampling
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return negative_sampling(edges, k=3, a="a", b="b", oversample=4)
+
+
+_SQL_NEGATIVE_SAMPLING = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+idx AS (SELECT node, row_number() OVER (ORDER BY node) AS i_node,
+               count(*) OVER () AS nn
+        FROM nodes),
+draws AS (
+  SELECT n.node, d.i,
+         ('0x' || substr(md5('neg:' || CAST(n.node AS VARCHAR)
+                          || ':' || CAST(d.i AS VARCHAR)), 1, 15))::BIGINT
+           % any_value(x.nn) OVER () + 1 AS cidx
+  FROM nodes n, unnest(range(0, 12)) AS d(i), (SELECT nn FROM idx LIMIT 1) x
+),
+cand AS (
+  SELECT dr.node AS s, dr.i, ix.node AS c
+  FROM draws dr JOIN idx ix ON dr.cidx = ix.i_node
+  WHERE dr.node <> ix.node
+),
+sym AS (SELECT u AS s, v AS c FROM e UNION ALL SELECT v, u FROM e),
+surv AS (
+  SELECT cand.s, cand.i, cand.c
+  FROM cand LEFT JOIN sym ON cand.s = sym.s AND cand.c = sym.c
+  WHERE sym.s IS NULL
+),
+ranked AS (
+  SELECT s, c, row_number() OVER (PARTITION BY s ORDER BY i) AS rn
+  FROM surv
+)
+SELECT s AS node, c AS neg, CAST(rn - 1 AS INT) AS draw
+FROM ranked WHERE rn <= 3
+ORDER BY node, draw
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -10296,6 +10476,14 @@ FROM cum ORDER BY bucket
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
 _PREFIX_R09 = [
+    # never-checked (new this round, seventh batch) — four more
+    # r04-refresh entries (partition_overwrite/point_in_time_join/
+    # prefix_filter_join/profile_table — judge-green at r08, code
+    # unchanged) demote below the boundary; their evidence stays r04.
+    "calibration_error",
+    "distinct_ngrams",
+    "stratified_kfold",
+    "negative_sampling",
     # never-checked (new this round, sixth batch) — six more r04-refresh
     # entries (python_udtf/range_frame_window/rolling_zscore/
     # rollup_maintain/rrf_fusion/proportion_ci — judge-green at r08,
@@ -10360,13 +10548,14 @@ _PREFIX_R09 = [
     "object_registry",
     "observed_metrics",
     "ohlc_downsample",
-    "partition_overwrite",
-    "point_in_time_join",
-    "prefix_filter_join",
-    "profile_table",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r09 additions (seventh batch)
+    "calibration_error": (q_calibration_error, _SQL_CALIBRATION_ERROR),
+    "distinct_ngrams": (q_distinct_ngrams, _SQL_DISTINCT_NGRAMS),
+    "stratified_kfold": (q_stratified_kfold, _SQL_STRATIFIED_KFOLD),
+    "negative_sampling": (q_negative_sampling, _SQL_NEGATIVE_SAMPLING),
     # r09 additions (sixth batch)
     "conformal": (q_conformal, _SQL_CONFORMAL),
     "stream_sprt": (q_stream_sprt, _SQL_STREAM_SPRT),

@@ -247,6 +247,10 @@ HEADLINE = [
     "trimmed_mean",
     "blocking_eval",
     "lift_curve",
+    "calibration_error",
+    "distinct_ngrams",
+    "stratified_kfold",
+    "negative_sampling",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -1474,3 +1474,71 @@ def conformal_intervals(
     return audited.select(
         *group_cols, "n_cal", "qhat", "n_test", "covered", "coverage"
     ).orderBy(*group_cols)
+
+
+def calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 10,
+) -> DataFrame:
+    """One-row probabilistic-quality readout completing the
+    `calibration_bins` table: Brier score plus Expected / Maximum
+    Calibration Error,
+
+        brier = mean((s − y)²)                 (Brier '50)
+        ece   = Σ_b (n_b/N) · |conf_b − acc_b| (Naeini et al. '15)
+        mce   = max_b |conf_b − acc_b|
+
+    with conf_b/acc_b the bin's mean score and positive rate over
+    fixed-width bins — the scalar gates a model-promotion pipeline
+    thresholds on, where the bins table is the diagnostic to read when
+    a gate trips. Same NULL/clamp/binning contract as
+    calibration_bins. Output: ONE row (n, n_pos, brier, ece, mce),
+    6 dp.
+
+    Scale shape: one partial-aggregated pass keyed by the bin index
+    carries count, positives, score sum AND squared-error sum — the
+    Brier numerator rides the same `bins`-row shuffle, so the whole
+    readout is a single data pass plus a `bins`-row collapse.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lab.cast("boolean").cast("long")
+    s = F.least(
+        F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    err = s - pos.cast("double")
+    cells = (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            b.alias("__b"),
+            s.alias("__s"),
+            pos.alias("__p"),
+            (err * err).alias("__se"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").alias("__np"),
+            F.sum("__s").alias("__ss"),
+            F.sum("__se").alias("__sse"),
+        )
+    )
+    gap = F.abs(
+        F.col("__ss") / F.col("__n")
+        - F.col("__np").cast("double") / F.col("__n")
+    )
+    return cells.select(
+        "__n", "__np", "__sse", gap.alias("__gap")
+    ).agg(
+        F.sum("__n").alias("n"),
+        F.sum("__np").alias("n_pos"),
+        F.round(F.sum("__sse") / F.sum("__n"), 6).alias("brier"),
+        F.round(
+            F.sum(F.col("__gap") * F.col("__n")) / F.sum("__n"), 6
+        ).alias("ece"),
+        F.round(F.max("__gap"), 6).alias("mce"),
+    )

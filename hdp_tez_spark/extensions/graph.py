@@ -509,3 +509,111 @@ def k_core(
         f"k_core did not stabilize in {max_rounds} rounds (peeling depth "
         "exceeds the budget — raise max_rounds)"
     )
+
+
+def negative_sampling(
+    edges: DataFrame,
+    k: int = 5,
+    a: str = "a",
+    b: str = "b",
+    oversample: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative edge sampling: for every node with at
+    least one edge, up to k non-adjacent partner nodes drawn
+    (approximately) uniformly from the node universe — the
+    contrastive-pair generator for link-prediction / retrieval /
+    embedding training, where each positive edge needs reproducible
+    negatives (rand() breaks on task retry; every split operator here
+    is md5-deterministic for exactly that reason). Candidate i for
+    node u is the node at index md5(salt:u:i) mod |V| in the
+    id-ordered node list; self-pairs and true edges (either
+    orientation) are rejected, and the first k survivors IN DRAW ORDER
+    are kept — so the sample is a pure function of (edge set, k, salt)
+    reproducible in any SQL engine from the md5 recipe. Nodes whose
+    k·oversample draws all collide with true neighbors (near-complete
+    rows) may yield fewer than k — the standard truncation, documented
+    over silently re-drawing forever. Output: (node, neg, draw) with
+    draw the 0-based surviving draw index, ordered by (node, draw).
+
+    Scale shape: the node index is the range-partition + broadcast-
+    offset global rank (operators/sort.global_sort_ranked — never a
+    single-task window); draws are a map-side sequence explode
+    (k·oversample rows per node); candidates meet their node ids
+    through one equi-join on the index, the rejection is one
+    (node, cand) anti-join against the symmetrized edge list, and the
+    keep-k is a per-node window over ≤ k·oversample rows. Everything
+    shuffled is (long, long) pairs.
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    from hdp_tez_spark.extensions.dedup import _md5_long
+    from hdp_tez_spark.operators.sort import global_sort_ranked
+
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"),
+            F.greatest("__u", "__v").alias("__v"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__u").alias("node"))
+        .union(e.select(F.col("__v").alias("node")))
+        .distinct()
+    )
+    idx = global_sort_ranked(nodes, [F.col("node").asc()], "idx")
+    n_nodes = idx.agg(F.count(F.lit(1)).alias("__n"))
+    m = k * oversample
+    draws = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("i"),
+            "__n",
+        )
+        .select(
+            "node",
+            "i",
+            (
+                F.pmod(
+                    _md5_long(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.col("node").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    F.col("__n"),
+                )
+                + 1
+            ).alias("__cidx"),
+        )
+    )
+    d = draws.alias("d")
+    ix = idx.alias("ix")
+    cand = (
+        d.join(ix, F.col("d.__cidx") == F.col("ix.idx"))
+        .select(
+            F.col("d.node").alias("__s"),
+            F.col("d.i").alias("i"),
+            F.col("ix.node").alias("__c"),
+        )
+        .where(F.col("__s") != F.col("__c"))
+    )
+    sym = e.select(
+        F.col("__u").alias("__s"), F.col("__v").alias("__c")
+    ).union(e.select(F.col("__v").alias("__s"), F.col("__u").alias("__c")))
+    survivors = cand.join(sym, ["__s", "__c"], "left_anti")
+    w = Window.partitionBy("__s").orderBy("i")
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__s").alias("node"),
+            F.col("__c").alias("neg"),
+            (F.col("__rn") - 1).cast("int").alias("draw"),
+        )
+        .orderBy("node", "draw")
+    )

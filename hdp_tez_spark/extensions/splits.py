@@ -11,6 +11,8 @@ recomputed on task retry); a content hash fails none of it.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -184,3 +186,37 @@ def rendezvous_shard(
     )
     best = F.array_max(candidates)
     return df.withColumn(out, (-best["neg_shard"]).cast("int"))
+
+
+def stratified_kfold(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Stratified k-fold assignment: within every stratum, rows are
+    ordered by their deterministic md5 key and dealt round-robin into
+    k folds — so each fold carries each stratum's row count to within
+    ±1 EXACTLY (plain `kfold_split`'s hash-mod is only asymptotically
+    balanced, which skews minority-strata folds: a 50-row stratum can
+    land 16/4 across folds and poison per-language eval variance).
+    The md5 ordering keeps assignment independent of input order /
+    partitioning / retries, same contract as every split here. Output:
+    input columns + `fold` in [0, k).
+
+    Scale shape: one keyed window sort per stratum (row_number over
+    the md5 key) — the single shuffle; everything else is map-side
+    md5 arithmetic reproducible in any SQL engine as
+    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    key = _md5_long(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

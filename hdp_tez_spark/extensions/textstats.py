@@ -612,3 +612,64 @@ def oov_rate(
         )
         .orderBy(id_col)
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Corpus diversity audit: per n-gram order, total occurrences vs
+    distinct n-grams and their ratio (distinct-n; Li et al. '16) —
+    the standard memorization/degeneracy readout for generated or
+    scraped corpora (a template flood or a decoding collapse drives
+    distinct-2/distinct-3 toward 0 long before eyeballing catches it;
+    the inverse view of `repetition_stats`' per-doc ratios). Output:
+    one row per n — (n, total_ngrams, distinct_ngrams, distinct_ratio)
+    rounded to 6 dp, ordered by n.
+
+    Scale shape: per order, n-grams hash to 60-bit md5 longs map-side
+    (never shuffling n-gram STRINGS), collapse through a
+    partial-aggregated count to the |distinct hashes| cell table, and
+    reduce to one row; the union stacks |ns| such one-row plans.
+    Collision effect at 60 bits is ~1e-18 of the count — the minhash /
+    ngram_jaccard trade, documented there.
+    """
+    from hdp_tez_spark.extensions.dedup import _md5_long
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be non-empty positive orders")
+    toks = _tokens(F.col(text_col))
+    spread = _spread(df.select(id_col, text_col))
+    parts = []
+    for n in ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: _md5_long(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array())
+        cells = (
+            spread.select(F.explode(grams).alias("__g"))
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        total = F.coalesce(F.sum("__c"), F.lit(0))
+        parts.append(
+            cells.agg(
+                F.lit(n).alias("n"),
+                total.alias("total_ngrams"),
+                F.count(F.lit(1)).alias("distinct_ngrams"),
+                # an order no document reaches reports 0 grams and a
+                # NULL ratio (undefined), never a fake 0.0
+                F.round(
+                    F.when(total > 0, F.count(F.lit(1)) / total), 6
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n")

@@ -101,6 +101,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     "bounded by contract, corpus side streams",
     "blocking_eval": "three 1-row count aggregates crossJoined into "
     "the single readout row (triangle_count's census-totals class)",
+    "negative_sampling": "1-row |V| count crossJoined onto the node "
+    "list to modulo the md5 draws (census-totals class); the node "
+    "index itself is the range-partitioned global rank",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -128,6 +131,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "skyline": _OFFSETS,
     "spearman_corr": _OFFSETS,
     "zipf_fit": _OFFSETS,
+    "negative_sampling": _OFFSETS,
     "period_over_period": "lag over the per-day totals table — "
     "calendar-bounded (<= #days)",
     "seasonal_decompose": "centered moving average over the per-day "

@@ -86,6 +86,10 @@ STANDING_EXTRAS = [
     "trimmed_mean",
     "blocking_eval",
     "lift_curve",
+    "calibration_error",
+    "distinct_ngrams",
+    "stratified_kfold",
+    "negative_sampling",
 ]
 
 
