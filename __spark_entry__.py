@@ -9842,7 +9842,7 @@ WITH daily AS (
 ),
 framed AS (
   SELECT event_type, day,
-         CAST(count(*) OVER w AS DOUBLE) AS n,
+         CAST(count(x * y) OVER w AS DOUBLE) AS n,
          sum(x) OVER w AS sx, sum(y) OVER w AS sy,
          sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
          sum(x * y) OVER w AS sxy

@@ -2038,7 +2038,10 @@ def rolling_corr(
 
         r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))
 
-    emitted only when the frame is FULL (n = window) and both variance
+    emitted only when the frame is FULL (n = window, counting only
+    rows where BOTH x and y are non-NULL — n = count(x*y) so n and
+    the six sums always describe the same row set; a frame containing
+    a NULL x or y is not full and reports NULL) and both variance
     terms are positive — partial frames and constant series report
     NULL rather than a noisy or undefined coefficient. Output: (group
     ..., order, r_xy) rounded to 6 dp, ordered by (group..., order).
@@ -2062,7 +2065,11 @@ def rolling_corr(
         .orderBy(order_col)
         .rowsBetween(-(window - 1), 0)
     )
-    n = F.count(F.lit(1)).over(w).cast("double")
+    # count(x*y) skips any row where EITHER side is NULL, so n, the
+    # sums, and the full-frame check all use the same row set — a
+    # count(*) here would silently emit a wrong coefficient whenever
+    # a full frame contains a NULL x or y.
+    n = F.count(x * y).over(w).cast("double")
     sx = F.sum(x).over(w)
     sy = F.sum(y).over(w)
     sxx = F.sum(x * x).over(w)
@@ -2261,9 +2268,15 @@ def lift_curve(
         lift@b = (cum positives through b / cum rows through b)
                  / overall positive rate
 
-    Bucketing uses the exact integer NTILE formula over a global rank
-    (ties broken by score DESC — band membership for tied scores is
-    value-deterministic at the 6-dp rounded score). Output per bucket:
+    Bucketing assigns rank r (1-based, ties broken by score DESC —
+    band membership for tied scores is value-deterministic at the 6-dp
+    rounded score) to bucket floor((r−1)·B/n)+1 — equal-width quantile
+    boundaries at ceil(b·n/B), which spreads remainder rows EVENLY
+    across bands (n=10, B=4 → sizes 3,2,3,2). This is deliberately NOT
+    SQL NTILE, which front-loads the remainder (3,3,2,2): even-spread
+    bands keep every band within one row of n/B of each other, so
+    per-band rates stay comparable; validate against this formula, not
+    ntile(), whenever n % B != 0. Output per bucket:
     (bucket, n, n_pos, cum_n, cum_pos, capture_rate, lift) rounded to
     6 dp, ordered by bucket.
 

@@ -1401,6 +1401,13 @@ def conformal_intervals(
     the infinite interval: qhat is NULL and coverage reports 1.0.
     Output per group: (group..., n_cal, qhat, n_test, covered,
     coverage) with coverage rounded to 6 dp, ordered by group.
+    Group contract: output rows are the INTERSECTION of the two
+    inputs' group sets — a group with calibration rows but no test
+    rows has nothing to audit and is dropped, and a test group absent
+    from the calibration set has no qhat (no finite-sample guarantee
+    exists for it) and is likewise dropped rather than emitted with a
+    fabricated radius. Callers who need cal-only/test-only groups
+    surfaced should anti-join the inputs against this output.
 
     Scale shape: the k-th order statistic rides ONE keyed window sort
     over the calibration residuals (rank selection, not a global

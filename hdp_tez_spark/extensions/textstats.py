@@ -505,8 +505,12 @@ def bpe_encode(
 
 def charclass_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Character-class composition audit per document: the fraction of
-    characters that are ASCII letters, digits, whitespace, other
-    printable ASCII (punctuation/symbols), and non-ASCII. The
+    characters that are ASCII letters, digits, whitespace (space, tab,
+    newline, CR), the ASCII remainder (punctuation/symbols PLUS any
+    other ASCII control characters — a NUL-padded or control-char-laden
+    document deliberately inflates symbol_ratio, since binary garbage
+    inside a text column is exactly the low-quality stratum this audit
+    exists to flag), and non-ASCII. The
     class-mix fingerprint separates prose from tables/code/markup/
     base64 blobs and catches mixed-script spam long before a language
     model sees it — digit-heavy and symbol-heavy documents are the

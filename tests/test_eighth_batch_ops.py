@@ -163,6 +163,23 @@ def test_rolling_corr_constant_series_is_null(spark):
     assert all(r.r_xy is None for r in out)  # zero variance in x
 
 
+def test_rolling_corr_null_in_frame_reports_null(spark):
+    # 10 perfectly-correlated points, but x is NULL at t=5: every
+    # 7-row frame containing t=5 (t=7..11) has only 6 usable pairs,
+    # so it is NOT full and must report NULL — the r09 bug counted
+    # frame rows with count(*) and emitted a wrong coefficient here.
+    rows = [
+        ("g", d, None if d == 5 else float(d), 2.0 * d + 3.0)
+        for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    out = {r.t: r.r_xy for r in rolling_corr(df, ["g"], "t", "x", "y", window=7).collect()}
+    for d in range(1, 12):  # partial or NULL-contaminated frames
+        assert out[d] is None, (d, out[d])
+    for d in range(12, 15):  # frames past the NULL: full again, r=+1
+        assert out[d] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_rolling_corr_rejects_tiny_window(spark):
     df = spark.createDataFrame([("g", 1, 1.0, 1.0)], "g string, t int, x double, y double")
     with pytest.raises(ValueError):
