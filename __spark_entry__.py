@@ -10475,79 +10475,68 @@ ORDER BY node, draw
 # string compare) before this rotation lands. The r08-checked prefix (skyline/mmr_select/... )
 # demotes to body order below — dict-literal order is now HISTORY, the
 # operative prefix is this list (rotations stay one-list edits).
-_PREFIX_R09 = [
-    # never-checked (new this round, seventh batch) — four more
-    # r04-refresh entries (partition_overwrite/point_in_time_join/
-    # prefix_filter_join/profile_table — judge-green at r08, code
-    # unchanged) demote below the boundary; their evidence stays r04.
-    "calibration_error",
-    "distinct_ngrams",
-    "stratified_kfold",
-    "negative_sampling",
-    # never-checked (new this round, sixth batch) — six more r04-refresh
-    # entries (python_udtf/range_frame_window/rolling_zscore/
-    # rollup_maintain/rrf_fusion/proportion_ci — judge-green at r08,
-    # code unchanged) demote below the boundary; their evidence stays
-    # r04. Never-checked queries always outrank evidence refresh.
-    "conformal",
-    "stream_sprt",
-    "quantile_normalize",
-    "trimmed_mean",
-    "blocking_eval",
-    "lift_curve",
-    # never-checked (new this round, fifth batch) — six more r04-refresh
-    # entries (schema_evolution/sorted_group_apply/stream_cdc_upsert/
-    # stream_left_join/stream_tumbling/scalar_functions — judge-green at
-    # r08, code unchanged) demote below the boundary to keep the
-    # operative prefix at 50; their evidence stays r04.
-    "k_core",
-    "sprt_check",
-    "best_split",
-    "rolling_corr",
-    "oov_rate",
-    "weighted_quantiles",
-    # never-checked (new this round, fourth batch) — never-checked
-    # queries outrank evidence refresh, so the alphabetical tail of the
-    # r04-refresh block (transition_counts/triangle_count/
-    # weighted_sample/winsorize/woe_iv/zorder_stats — all judge-green
-    # at r08, code unchanged) demotes below the 50-row boundary to
-    # make room; their evidence stays r04.
-    "nelson_aalen",
-    "theil_sen",
-    "ranking_eval",
-    "containment",
-    "embedding_outliers",
-    "charclass_mix",
-    # never-checked (new this round)
-    "kaplan_meier",
-    "diff_in_diff",
-    "label_propagation",
-    "rake_keywords",
-    "srm_check",
-    "ratio_metric_delta",
-    "fdr_bh",
-    "link_prediction",
-    "ndcg_eval",
-    "zipf_fit",
-    "image_resize",
-    "seasonal_decompose",
-    "pareto_contributors",
-    "rolling_median",
-    # r04-evidence refresh (all 36)
-    "ewma",
-    "exact_quantiles_disc",
-    "funnel",
-    "gaps_islands",
-    "grouped_ols",
-    "hll_overlap",
-    "incident_window_join",
-    "k_anonymity",
-    "kfold_split",
-    "kmeans_cells",
-    "multimodal_meta",
-    "object_registry",
-    "observed_metrics",
-    "ohlc_downsample",
+_PREFIX_R10 = [
+    # r10 rotation (VERDICT r09 "Next round" #2): evidence refresh —
+    # ALL 22 queries whose newest driver evidence is CORRECTNESS_r04
+    # (the oldest tail: 22 r04 / 38 r05 / 48 r06 / 50 r07/r08/r09
+    # before this rotation), then the alphabetically-first 28 of the
+    # 38 r05-evidence rows. After r10 the oldest driver evidence
+    # anywhere becomes r05 (10 rows: stream_dedup..windowed_topk tail).
+    # New never-checked operators added later this round splice at the
+    # HEAD and demote the r05 tail (never-checked outranks refresh).
+    # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- r04-evidence refresh (all 22) ---
+    "partition_overwrite",
+    "point_in_time_join",
+    "prefix_filter_join",
+    "profile_table",
+    "proportion_ci",
+    "python_udtf",
+    "range_frame_window",
+    "rolling_zscore",
+    "rollup_maintain",
+    "rrf_fusion",
+    "scalar_functions",
+    "schema_evolution",
+    "sorted_group_apply",
+    "stream_cdc_upsert",
+    "stream_left_join",
+    "stream_tumbling",
+    "transition_counts",
+    "triangle_count",
+    "weighted_sample",
+    "winsorize",
+    "woe_iv",
+    "zorder_stats",
+    # --- r05-evidence refresh (28 of 38) ---
+    "acf",
+    "ann_recall",
+    "apply_mixture",
+    "approx_distinct",
+    "approx_percentile_bound",
+    "attribution",
+    "bootstrap_ci",
+    "calibration_bins",
+    "cms_frequency",
+    "cohort_retention",
+    "collocations",
+    "cusum_shift",
+    "dataset_diff",
+    "edit_distance_pairs",
+    "fk_integrity",
+    "gap_fill",
+    "golden_record",
+    "importance_sample",
+    "key_skew_stats",
+    "l_diversity",
+    "lm_score",
+    "mixture_weights",
+    "ngram_counts",
+    "pca_component",
+    "period_over_period",
+    "psi_drift",
+    "rendezvous_shard",
+    "rolling_active_users",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -10597,7 +10586,7 @@ _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "rolling_median": (q_rolling_median, _SQL_ROLLING_MEDIAN),
     # ---- r08 rotation history (the dict-literal prefix below was the
     # driver-checked prefix through r08; operative order now comes from
-    # _PREFIX_R09 above) ----
+    # _PREFIX_R10 above) ----
     # r08 rotation (VERDICT r07 'Next round' #2): evidence refresh — the
     # prefix rotates to the 32 queries whose newest driver evidence is
     # CORRECTNESS_r03 (the oldest tail left in the freshness histogram:
@@ -10664,7 +10653,7 @@ _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "dag_edge_routing": (q_dag_edge_routing, _SQL_DAG_EDGE_ROUTING),
     "entity_resolution": (q_entity_resolution, _SQL_ENTITY_RESOLUTION),
     # --------- r08 driver-checked prefix ended here (50) ---------
-    # (historical marker — operative order now comes from _PREFIX_R09)
+    # (historical marker — operative order now comes from _PREFIX_R10)
     # ewma, exact_quantiles_disc, gaps_islands and funnel (r04/r05-
     # green, code unchanged) moved below the boundary to make room for
     # the never-checked skyline / mmr_select / assoc_rules /
@@ -10874,12 +10863,12 @@ _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # driver's correctness gate reads the first 50 entries), then every
 # remaining query in body order. An unknown/missing prefix name is a
 # hard error at import — a typo must not silently shrink the gate.
-assert len(_PREFIX_R09) == 50, len(_PREFIX_R09)
-_missing = [n for n in _PREFIX_R09 if n not in _REGISTRY_BODY]
+assert len(_PREFIX_R10) == 50, len(_PREFIX_R10)
+_missing = [n for n in _PREFIX_R10 if n not in _REGISTRY_BODY]
 assert not _missing, f"prefix names absent from registry body: {_missing}"
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    **{n: _REGISTRY_BODY[n] for n in _PREFIX_R09},
-    **{k: v for k, v in _REGISTRY_BODY.items() if k not in set(_PREFIX_R09)},
+    **{n: _REGISTRY_BODY[n] for n in _PREFIX_R10},
+    **{k: v for k, v in _REGISTRY_BODY.items() if k not in set(_PREFIX_R10)},
 }
 
 

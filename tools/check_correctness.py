@@ -201,12 +201,40 @@ def compare(
     return problems
 
 
+def _git_head() -> str:
+    """Current repo HEAD sha (+ '-dirty' when the worktree differs), so
+    sweep artifacts are self-describing: the #1 drift class in past
+    rounds was a close-the-round sweep that silently predated the final
+    commit (VERDICT r09 task #7). Never raises — stamping must not be
+    able to break a sweep."""
+    import subprocess
+
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=root,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (sha + "-dirty") if dirty else sha
+    except Exception:
+        return "unknown"
+
+
 def main() -> int:
     raw = sys.argv[1:]
     tz = None
     if "--tz" in raw:
         i = raw.index("--tz")
         tz = raw[i + 1]
+        raw = raw[:i] + raw[i + 2 :]
+    json_path = None
+    if "--json" in raw:
+        i = raw.index("--json")
+        json_path = raw[i + 1]
         raw = raw[:i] + raw[i + 2 :]
     args = [a for a in raw if a not in ("--vanilla", "--exact")]
     vanilla = "--vanilla" in raw
@@ -229,6 +257,8 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    head_at_start = _git_head()
+    results: dict[str, str] = {}
     failures = 0
     n_run = 0
     for name, fn in qs.items():
@@ -239,23 +269,28 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            results[name] = f"spark raised {type(e).__name__}: {e}"
             failures += 1
             continue
         if name not in oracles:
             print(f"skip {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            results[name] = f"skip: no oracle (rows={len(sdf)})"
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            results[name] = f"duckdb raised {type(e).__name__}: {e}"
             failures += 1
             continue
         problems = compare(name, sdf, ddf, exact=exact)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+            results[name] = "FAIL: " + "; ".join(problems)
         else:
             print(f"ok   {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            results[name] = "ok"
         # Same JVM hygiene as bench.py's loop: drop the Python-side
         # DataFrame refs and nudge the JVM GC so ContextCleaner releases
         # broadcast + localCheckpoint blocks between queries. Without
@@ -268,6 +303,28 @@ def main() -> int:
         if n_run % 8 == 0:
             spark.sparkContext._jvm.System.gc()
     print(f"\n{failures} failures")
+    if json_path:
+        # Self-describing sweep artifact (--at-head stamp): the HEAD sha
+        # at start AND finish plus the live registry size, so "this
+        # sweep covered the closing commit, whole registry" is a
+        # mechanical check instead of a log-archaeology claim.
+        import json as _json
+
+        payload = {
+            "git_head_at_start": head_at_start,
+            "git_head_at_finish": _git_head(),
+            "registry_count": len(qs),
+            "queries_run": len(results),
+            "failures": failures,
+            "sf_dir": sf_dir,
+            "exact": exact,
+            "vanilla": vanilla,
+            "tz": tz,
+            "results": results,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path} @ {payload['git_head_at_finish'][:12]}")
     return 1 if failures else 0
 
 
