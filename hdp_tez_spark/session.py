@@ -83,9 +83,11 @@ def tuned_builder(app_name: str = "hdp-tez-spark") -> SparkSession.Builder:
         # measured at sf0.1) while bounding per-task sort volume on the
         # heavy ones — the exact ShuffleVertexManager desired-task-input
         # behavior this profile exists to mirror.
+        # Env-overridable for A/B profiling (BENCH_NOTES r10); the
+        # committed default is the measured choice.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            "512",
+            os.environ.get("SPARK_GRAFT_INIT_PARTS", "512"),
         )
         # --- python <-> JVM transfer is always Arrow-batched --------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
