@@ -10462,6 +10462,290 @@ ORDER BY node, draw
 """
 
 
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding (extensions/experiments.py
+    target_encoding, Micci-Barreca m-estimate): per-brand encoded mean
+    of lineitem quantity with prior_weight=25 — the high-cardinality
+    categorical encoder a feature pipeline runs before training.
+    Integer quantity sums make every ratio exact; one cell collapse +
+    a broadcast global mean."""
+    from hdp_tez_spark.extensions.experiments import target_encoding
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"), F.col("l_quantity").alias("qty")
+    )
+    return target_encoding(base, "brand", "qty", prior_weight=25.0)
+
+
+_SQL_TARGET_ENCODING = """
+WITH base AS (
+  SELECT p.p_brand AS category, CAST(l.l_quantity AS DOUBLE) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity IS NOT NULL
+),
+cells AS (
+  SELECT category, count(*) AS n, sum(y) AS s FROM base GROUP BY category
+),
+g AS (SELECT sum(s) / sum(n) AS gmean FROM cells)
+SELECT category, n,
+       round(s / n, 6) AS raw_mean,
+       round((n * (s / n) + 25.0 * gmean) / (n + 25.0), 6) AS encoded
+FROM cells, g
+ORDER BY category
+"""
+
+
+def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 1-NN propensity matching (extensions/
+    experiments.py propensity_match): treated = users with id % 5 = 0,
+    score = event value, strata = (event_type, day) — the causal-
+    inference control-selection step, expressed as the both-direction
+    asof window trick (no self-join). The oracle mirrors the
+    predecessor/successor pick with IGNORE NULLS window frames and the
+    identical (score, is_treated, id) sort."""
+    from hdp_tez_spark.extensions.experiments import propensity_match
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("event_id"),
+        (F.col("user_id") % 5 == 0).alias("treated"),
+        F.col("value"),
+    )
+    return propensity_match(
+        base, ["event_type", "day"], "event_id", "treated", "value"
+    )
+
+
+_SQL_PROPENSITY_MATCH = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id AS id,
+         (user_id % 5 = 0) AS t, CAST(value AS DOUBLE) AS s
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER
+      (PARTITION BY event_type, day ORDER BY s, t, id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcs,
+    last_value(CASE WHEN NOT t THEN id END IGNORE NULLS) OVER
+      (PARTITION BY event_type, day ORDER BY s, t, id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcid,
+    first_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER
+      (PARTITION BY event_type, day ORDER BY s, t, id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ncs,
+    first_value(CASE WHEN NOT t THEN id END IGNORE NULLS) OVER
+      (PARTITION BY event_type, day ORDER BY s, t, id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ncid
+  FROM base
+),
+picked AS (
+  SELECT event_type, day, id AS treated_id, s,
+         CASE WHEN ncs IS NULL OR (pcs IS NOT NULL AND abs(s - pcs) <= abs(s - ncs))
+              THEN pcid ELSE ncid END AS control_id,
+         CASE WHEN ncs IS NULL OR (pcs IS NOT NULL AND abs(s - pcs) <= abs(s - ncs))
+              THEN pcs ELSE ncs END AS cs
+  FROM w WHERE t
+)
+SELECT event_type, day, treated_id, control_id,
+       round(s, 6) AS t_score, round(cs, 6) AS c_score,
+       round(abs(s - cs), 6) AS score_diff
+FROM picked WHERE control_id IS NOT NULL
+ORDER BY event_type, day, treated_id
+"""
+
+
+def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (extensions/dedup.py bcubed_eval)
+    of a 32-char-prefix document clustering against exact-text gold
+    clusters — the dedup-quality eval run before trusting a cheap
+    blocking key as the cluster key. Pure integer cell algebra
+    (sum n_pg^2/n_p), exact at 6 dp."""
+    from hdp_tez_spark.extensions.dedup import bcubed_eval
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(F.substring("text", 1, 32)).alias("cluster"),
+    )
+    gold = docs.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("cluster")
+    )
+    return bcubed_eval(pred, gold, "id", "cluster", "cluster").select(
+        "n_items",
+        F.col("precision").alias("b3_precision"),
+        F.col("recall").alias("b3_recall"),
+        "f1",
+    )
+
+
+_SQL_BCUBED_EVAL = """
+WITH b AS (
+  SELECT md5(substr(text, 1, 32)) AS p, md5(text) AS g FROM documents
+),
+cells AS (SELECT p, g, count(*) AS npg FROM b GROUP BY p, g),
+sp AS (SELECT p, sum(npg) AS np FROM cells GROUP BY p),
+sg AS (SELECT g, sum(npg) AS ng FROM cells GROUP BY g),
+j AS (SELECT cells.npg, sp.np, sg.ng
+      FROM cells JOIN sp USING (p) JOIN sg USING (g)),
+a AS (
+  SELECT CAST(sum(npg) AS BIGINT) AS n_items,
+         round(sum(npg * npg / np) / sum(npg), 6) AS b3_precision,
+         round(sum(npg * npg / ng) / sum(npg), 6) AS b3_recall
+  FROM j
+)
+SELECT n_items, b3_precision, b3_recall,
+       round(2 * b3_precision * b3_recall
+             / (b3_precision + b3_recall), 6) AS f1
+FROM a
+"""
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (extensions/graph.py modularity_score)
+    of the BRAND partition over the co-purchase stripe graph — does
+    brand structure explain co-purchase? — the community-quality
+    readout that scores label_propagation / CC labelings. One edge
+    collapse to community-pair cells; integer counts; the oracle is
+    the same cell algebra."""
+    from hdp_tez_spark.extensions.graph import cooccurrence_edges, modularity_score
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 4 == 0)
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    return modularity_score(edges, labels, a="a", b="b")
+
+
+_SQL_MODULARITY = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+lab AS (SELECT p_partkey AS n, p_brand AS l FROM part),
+led AS (
+  SELECT coalesce(lu.l, CAST(e.u AS VARCHAR)) AS cu,
+         coalesce(lv.l, CAST(e.v AS VARCHAR)) AS cv
+  FROM e LEFT JOIN lab lu ON e.u = lu.n LEFT JOIN lab lv ON e.v = lv.n
+),
+pc AS (SELECT cu, cv, count(*) AS ec FROM led GROUP BY cu, cv),
+intra AS (SELECT cu AS c, sum(ec) AS mc FROM pc WHERE cu = cv GROUP BY cu),
+deg AS (
+  SELECT c, sum(ec) AS dc FROM (
+    SELECT cu AS c, ec FROM pc UNION ALL SELECT cv AS c, ec FROM pc
+  ) GROUP BY c
+),
+m AS (SELECT sum(ec) AS me FROM pc)
+SELECT CAST(any_value(m.me) AS BIGINT) AS m_edges,
+       count(*) AS n_communities,
+       round(sum(CAST(coalesce(intra.mc, 0) AS DOUBLE) / m.me
+                 - (CAST(deg.dc AS DOUBLE) / (2.0 * m.me))
+                   * (CAST(deg.dc AS DOUBLE) / (2.0 * m.me))), 6) AS q
+FROM deg LEFT JOIN intra ON deg.c = intra.c, m
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (extensions/analytics.py
+    hill_tail_index) over lineitem extended price per return flag,
+    k=100 — the heavy-tail diagnostic that says whether mean-based
+    monitors are even valid on this metric. Top-(k+1) per group rides
+    a keyed window; the oracle mirrors the order statistics and the
+    k-term log sum exactly."""
+    from hdp_tez_spark.extensions.analytics import hill_tail_index
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return hill_tail_index(li, ["l_returnflag"], "l_extendedprice", k=100)
+
+
+_SQL_HILL_TAIL_INDEX = """
+WITH pos AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+),
+counts AS (SELECT l_returnflag, count(*) AS n_pos FROM pos GROUP BY l_returnflag),
+top AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v DESC) AS rk
+  FROM pos
+),
+st AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rk = 101 THEN v END) AS xk1,
+         sum(CASE WHEN rk <= 100 THEN ln(v) END) AS ls
+  FROM top WHERE rk <= 101 GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, c.n_pos,
+       CAST(least(100, c.n_pos) AS INT) AS k_used,
+       round(st.xk1, 6) AS x_k1,
+       round(CASE WHEN st.xk1 IS NOT NULL
+             THEN 100.0 / (st.ls - 100.0 * ln(st.xk1)) END, 6) AS alpha
+FROM counts c JOIN st USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile (extensions/analytics.py
+    interarrival_stats): mean/sd/CV of whole-second gaps plus
+    Goh-Barabasi burstiness — the bot-vs-human behavioral fingerprint
+    per entity. Integer-second gap sums are exact; one keyed lag
+    window + one cell collapse."""
+    from hdp_tez_spark.extensions.analytics import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(ev, ["user_id"], "ts", min_events=3)
+
+
+_SQL_INTERARRIVAL_STATS = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM e
+),
+c AS (
+  SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+         sum(gap) AS s, sum(gap * gap) AS ss
+  FROM g GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n_events, n_gaps,
+         CAST(s AS DOUBLE) / n_gaps AS mu,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n_gaps
+                       - (CAST(s AS DOUBLE) / n_gaps)
+                         * (CAST(s AS DOUBLE) / n_gaps), 0)) AS sd
+  FROM c WHERE n_events >= 3
+)
+SELECT user_id, n_events, n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(sd, 6) AS sd_gap_s,
+       round(CASE WHEN mu > 0 THEN sd / mu END, 6) AS cv,
+       round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 6)
+         AS burstiness
+FROM d ORDER BY user_id
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -10485,6 +10769,16 @@ _PREFIX_R10 = [
     # New never-checked operators added later this round splice at the
     # HEAD and demote the r05 tail (never-checked outranks refresh).
     # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- never-checked (new this round, eighth batch) — the last 6
+    # r05-refresh rows (mixture_weights/ngram_counts/pca_component/
+    # period_over_period/psi_drift/rendezvous_shard/rolling_active_users
+    # tail) demote below the boundary; never-checked outranks refresh. ---
+    "target_encoding",
+    "propensity_match",
+    "bcubed_eval",
+    "modularity",
+    "hill_tail_index",
+    "interarrival_stats",
     # --- r04-evidence refresh (all 22) ---
     "partition_overwrite",
     "point_in_time_join",
@@ -10530,16 +10824,17 @@ _PREFIX_R10 = [
     "key_skew_stats",
     "l_diversity",
     "lm_score",
-    "mixture_weights",
-    "ngram_counts",
-    "pca_component",
-    "period_over_period",
-    "psi_drift",
-    "rendezvous_shard",
     "rolling_active_users",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (eighth batch)
+    "target_encoding": (q_target_encoding, _SQL_TARGET_ENCODING),
+    "propensity_match": (q_propensity_match, _SQL_PROPENSITY_MATCH),
+    "bcubed_eval": (q_bcubed_eval, _SQL_BCUBED_EVAL),
+    "modularity": (q_modularity, _SQL_MODULARITY),
+    "hill_tail_index": (q_hill_tail_index, _SQL_HILL_TAIL_INDEX),
+    "interarrival_stats": (q_interarrival_stats, _SQL_INTERARRIVAL_STATS),
     # r09 additions (seventh batch)
     "calibration_error": (q_calibration_error, _SQL_CALIBRATION_ERROR),
     "distinct_ngrams": (q_distinct_ngrams, _SQL_DISTINCT_NGRAMS),

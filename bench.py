@@ -251,6 +251,13 @@ HEADLINE = [
     "distinct_ngrams",
     "stratified_kfold",
     "negative_sampling",
+    # r10 additions (eighth batch)
+    "target_encoding",
+    "propensity_match",
+    "bcubed_eval",
+    "modularity",
+    "hill_tail_index",
+    "interarrival_stats",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are
@@ -331,8 +338,17 @@ def main() -> None:
             {"sf": sf, "total_sec": total, "queries": timings}, f, indent=1
         )
     # Per-query stage timeline (swimlane/ATS history parity): every
-    # stage's submission/first-task/completion timestamps + byte counters.
-    dump_query_profile(collector, os.path.join(here, "BENCH_PROFILE.json"))
+    # stage's submission/first-task/completion timestamps + byte
+    # counters. Retention is capped to the standing medians set
+    # (core-28 + per-round adds) so the artifact stays bounded and
+    # round-comparable rather than growing with the whole registry.
+    from tools.reps import standing_set
+
+    dump_query_profile(
+        collector,
+        os.path.join(here, "BENCH_PROFILE.json"),
+        only=standing_set(),
+    )
 
     core = [n for n in HEADLINE[:_CORE_N] if n in timings]
     line = json.dumps(

@@ -2368,3 +2368,151 @@ def lift_curve(
         .orderBy("bucket")
     )
     return out
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group (Hill '75)
+    — the heavy-tail diagnostic next to zipf_fit's rank-frequency
+    slope: over the k largest positive values x_(1) >= ... >= x_(k)
+    with threshold x_(k+1),
+
+        alpha = k / Σ_{i=1..k} ln( x_(i) / x_(k+1) )
+
+    Low alpha (< 2) means infinite-variance tails — the regime where
+    mean-based monitors (rolling_zscore, ab_ttest) silently stop
+    working, which is exactly when a pipeline needs to know. Groups
+    with fewer than k+1 positive values report NULL alpha (not a
+    noisy small-k estimate) alongside their n so the caller sees WHY.
+    Ties at the threshold follow the strict top-k order statistics
+    (rank by value desc). Output: (group..., n_pos, k_used, x_k1,
+    alpha) with x_k1/alpha rounded to 6 dp, ordered by group.
+
+    Scale shape: per-group top-(k+1) rides ONE keyed window rank
+    (row_number over value desc, id-free — duplicates are genuine
+    order statistics), rows beyond k+1 are dropped BEFORE any math,
+    so the log-sum runs over <= k+1 rows per group; the n_pos count
+    is a partial-aggregated cell join. The k-term float sum is
+    bounded (k ~ 100) so summation-order noise cannot reach the 6th
+    decimal; ln is IEEE-identical across engines.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if not group_cols:
+        raise ValueError(
+            "hill_tail_index needs group_cols: the top-k rank is a keyed "
+            "window; a global variant would funnel all rows to one task"
+        )
+    v = F.col(value_col).cast("double")
+    pos = df.where(v.isNotNull() & (v > 0)).select(
+        *group_cols, v.alias("__v")
+    )
+    counts = pos.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("__v").desc()
+    )
+    top = pos.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k + 1
+    )
+    stats = top.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__rk") == k + 1, F.col("__v"))).alias("__xk1"),
+        F.sum(
+            F.when(F.col("__rk") <= k, F.log(F.col("__v")))
+        ).alias("__logsum"),
+    )
+    alpha = F.when(
+        F.col("__xk1").isNotNull(),
+        F.lit(float(k))
+        / (F.col("__logsum") - F.lit(float(k)) * F.log(F.col("__xk1"))),
+    )
+    out = counts.join(stats, list(group_cols))
+    return out.select(
+        *group_cols,
+        "n_pos",
+        F.least(F.lit(k), F.col("n_pos")).cast("int").alias("k_used"),
+        F.round(F.col("__xk1"), 6).alias("x_k1"),
+        F.round(alpha, 6).alias("alpha"),
+    ).orderBy(*group_cols)
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    min_events: int = 3,
+) -> DataFrame:
+    """Inter-arrival-time profile per key: mean gap, gap standard
+    deviation, coefficient of variation, and the Goh-Barabasi
+    burstiness B = (sigma - mu) / (sigma + mu) in [-1, 1] — the
+    behavioral fingerprint that separates periodic/bot traffic
+    (B -> -1, CV -> 0) from human bursty activity (B > 0); the
+    per-entity twin of `acf`'s corpus-level readout. Gaps are measured
+    in whole seconds between consecutive events per key; keys with
+    fewer than `min_events` events (i.e. < min_events-1 gaps) are
+    dropped — a one-gap entity has an undefined sigma. Population
+    (not sample) sigma: sqrt(E[g^2] - E[g]^2). Output: (key...,
+    n_events, n_gaps, mean_gap_s, sd_gap_s, cv, burstiness) rounded
+    to 6 dp, ordered by key.
+
+    Scale shape: ONE keyed window sort (lag per key) produces gaps
+    map-side relative to the shuffle; the moments collapse through a
+    partial-aggregated (sum, sum-of-squares, count) cell per key —
+    gaps are INTEGER seconds, so both sums are exact in IEEE double
+    below 2^52 and every derived float is division-of-exact-integers,
+    cross-engine stable at 6 dp. Nothing row-proportional survives
+    the per-key collapse.
+    """
+    if min_events < 2:
+        raise ValueError("min_events must be >= 2")
+    if not key_cols:
+        raise ValueError("interarrival_stats needs key_cols (keyed window)")
+    ts = F.col(ts_col).cast("timestamp")
+    # unix_timestamp is integer seconds; the lag-self difference is an
+    # exact long. Equal-timestamp events produce 0-second gaps (kept:
+    # a burst IS zero gaps). The lag order among ties is arbitrary but
+    # the gap MULTISET is tie-order-invariant: any ordering of equal
+    # timestamps yields the same sorted value sequence, hence the same
+    # consecutive differences — so the aggregate moments are exact and
+    # deterministic without a secondary sort key.
+    gaps = (
+        df.where(ts.isNotNull())
+        .select(*key_cols, F.unix_timestamp(ts).alias("__t"))
+        .withColumn("__gap", F.col("__t") - F.lag("__t").over(
+            Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+                F.col("__t").asc()
+            )
+        ))
+    )
+    cells = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap").alias("n_gaps"),
+        F.sum("__gap").alias("__s"),
+        F.sum(F.col("__gap") * F.col("__gap")).alias("__ss"),
+    )
+    mu = F.col("__s").cast("double") / F.col("n_gaps")
+    var = F.col("__ss").cast("double") / F.col("n_gaps") - mu * mu
+    # clamp tiny negative float residue before sqrt
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        cells.where(F.col("n_events") >= min_events)
+        .select(
+            *key_cols,
+            "n_events",
+            "n_gaps",
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(sd, 6).alias("sd_gap_s"),
+            F.round(
+                F.when(mu > 0, sd / mu), 6
+            ).alias("cv"),
+            F.round(
+                F.when(sd + mu > 0, (sd - mu) / (sd + mu)), 6
+            ).alias("burstiness"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -1197,3 +1197,70 @@ def blocking_eval(
             F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs), 6
         ).alias("reduction_ratio"),
     )
+
+
+def bcubed_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin '98; Amigo et al.
+    '09 showed it is the only common cluster metric satisfying all four
+    formal constraints) of a predicted dedup clustering against gold
+    labels — the eval every entity-resolution/dedup pipeline needs
+    BEFORE trusting `dedup_clusters` output at scale:
+
+        precision = avg over items i of |C(i) ∩ L(i)| / |C(i)|
+        recall    = avg over items i of |C(i) ∩ L(i)| / |L(i)|
+
+    where C(i) is i's predicted cluster and L(i) its gold cluster.
+    Items present in only one input are dropped (inner join — both
+    labelings must cover an item for the comparison to be defined).
+    Output: ONE row (n_items, precision, recall, f1) rounded to 6 dp.
+
+    Scale shape: the per-item average collapses to pure cell algebra —
+    with n_pg = |items in predicted cluster p ∩ gold cluster g|,
+    n_p and n_g the cluster sizes,
+
+        precision = Σ_pg n_pg²/n_p / N ;  recall = Σ_pg n_pg²/n_g / N
+
+    so the whole eval is: one id equi-join, ONE collapse to the
+    |co-occurrence cells| table, two broadcast-sized size tables
+    joined back, one final 1-row aggregate. All counts are integers —
+    exact in IEEE double below 2^52, cross-engine stable at 6 dp.
+    """
+    p = pred.select(
+        F.col(id_col).alias("__id"), F.col(pred_col).alias("__p")
+    )
+    g = gold.select(
+        F.col(id_col).alias("__id"), F.col(gold_col).alias("__g")
+    )
+    both = p.join(g, "__id")
+    cells = both.groupBy("__p", "__g").agg(F.count(F.lit(1)).alias("n_pg"))
+    sz_p = cells.groupBy("__p").agg(F.sum("n_pg").alias("n_p"))
+    sz_g = cells.groupBy("__g").agg(F.sum("n_pg").alias("n_g"))
+    joined = cells.join(sz_p, "__p").join(sz_g, "__g")
+    return joined.agg(
+        F.sum("n_pg").alias("n_items"),
+        F.round(
+            F.sum(F.col("n_pg") * F.col("n_pg") / F.col("n_p"))
+            / F.sum("n_pg"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.col("n_pg") * F.col("n_pg") / F.col("n_g"))
+            / F.sum("n_pg"),
+            6,
+        ).alias("recall"),
+    ).select(
+        "n_items",
+        "precision",
+        "recall",
+        F.round(
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            6,
+        ).alias("f1"),
+    )

@@ -1549,3 +1549,144 @@ def calibration_error(
         ).alias("ece"),
         F.round(F.max("__gap"), 6).alias("mce"),
     )
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Smoothed mean target encoding per category (Micci-Barreca,
+    SIGKDD Explorations '01 — the standard high-cardinality categorical
+    encoder): each category's raw target mean is shrunk toward the
+    global mean by an m-estimate prior,
+
+        encoded = (n_c * mean_c + m * mean_global) / (n_c + m)
+
+    so rare categories (n_c << m) report ~the global prior instead of a
+    noisy single-row mean, and frequent ones converge to their own
+    mean. NULL categories are a real category ('__null__' — unseen-at-
+    inference handling is the caller's join default); NULL targets are
+    excluded from both numerator and n. Output: (category, n,
+    raw_mean, encoded) rounded to 6 dp, ordered by category.
+
+    Scale shape: ONE partial-aggregated collapse of raw rows to the
+    |categories| cell table (map-side combine does the heavy lifting);
+    the global mean is a 1-row aggregate broadcast back onto the cells
+    — computed from the SAME cell sums (never a second scan). Nothing
+    row-proportional survives the first shuffle.
+    """
+    if prior_weight < 0:
+        raise ValueError("prior_weight must be >= 0")
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__"))
+    y = F.col(target_col).cast("double")
+    cells = (
+        df.where(y.isNotNull())
+        .groupBy(cat.alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("__sum"))
+    )
+    glob = cells.agg(
+        (F.sum("__sum") / F.sum("n")).alias("__gmean")
+    )
+    m = F.lit(float(prior_weight))
+    enc = (
+        (F.col("n") * (F.col("__sum") / F.col("n")) + m * F.col("__gmean"))
+        / (F.col("n") + m)
+    )
+    return (
+        cells.crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "n",
+            F.round(F.col("__sum") / F.col("n"), 6).alias("raw_mean"),
+            F.round(enc, 6).alias("encoded"),
+        )
+        .orderBy("category")
+    )
+
+
+def propensity_match(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    treated_col: str,
+    score_col: str,
+    caliper: float | None = None,
+) -> DataFrame:
+    """Deterministic 1-nearest-neighbor propensity matching WITH
+    replacement, stratified by `group_cols` (Rosenbaum & Rubin '83;
+    greedy-order-free variant): each treated unit matches the control
+    in its stratum whose score is closest — the score-sorted
+    predecessor or successor control, whichever is nearer (|diff|
+    ties break to the PREDECESSOR side; among equal-score controls
+    the sort order (score, is_treated, id) makes the predecessor the
+    LARGEST id at that score and the successor the smallest, both
+    deterministic) — so the matching is a pure function of the data,
+    not of scan
+    order (greedy without-replacement matching is order-dependent and
+    cannot be oracle-checked). An optional caliper drops matches with
+    |t_score - c_score| > caliper. Treated units in strata with no
+    controls are dropped. Output: (group..., treated_id, control_id,
+    t_score, c_score, score_diff rounded 6 dp), ordered by (group...,
+    treated_id).
+
+    Scale shape: ONE keyed window sort per stratum over the unioned
+    (score, is_control) rows — nearest-control-by-score is last_value
+    (ignorenulls) over the preceding frame + first_value over the
+    following frame, the asof-join trick applied both directions; no
+    self-join, no cross join, nothing beyond the stratum sort. With
+    replacement = each treated row resolves independently (hub
+    controls are reused, never materialized per-pair).
+    """
+    if not group_cols:
+        raise ValueError("propensity matching must be stratified: pass group_cols")
+    s = F.col(score_col).cast("double")
+    base = df.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        F.col(treated_col).cast("boolean").alias("__t"),
+        s.alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    ctl = F.when(
+        ~F.col("__t"), F.struct(F.col("__s").alias("cs"), F.col("__id").alias("cid"))
+    )
+    order = [F.col("__s").asc(), F.col("__t").asc(), F.col("__id").asc()]
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = (
+        base.withColumn("__prev", F.last(ctl, ignorenulls=True).over(w_prev))
+        .withColumn("__next", F.first(ctl, ignorenulls=True).over(w_next))
+        .where(F.col("__t"))
+    )
+    d_prev = F.abs(F.col("__s") - F.col("__prev.cs"))
+    d_next = F.abs(F.col("__s") - F.col("__next.cs"))
+    pick_prev = F.col("__next").isNull() | (
+        F.col("__prev").isNotNull() & (d_prev <= d_next)
+    )
+    chosen = F.when(pick_prev, F.col("__prev")).otherwise(F.col("__next"))
+    out = cand.select(
+        *group_cols,
+        F.col("__id").alias("treated_id"),
+        F.col("__s").alias("t_score"),
+        chosen.alias("__c"),
+    ).where(F.col("__c").isNotNull())
+    diff = F.abs(F.col("t_score") - F.col("__c.cs"))
+    if caliper is not None:
+        out = out.where(diff <= float(caliper))
+    return out.select(
+        *group_cols,
+        "treated_id",
+        F.col("__c.cid").alias("control_id"),
+        F.round("t_score", 6).alias("t_score"),
+        F.round(F.col("__c.cs"), 6).alias("c_score"),
+        F.round(diff, 6).alias("score_diff"),
+    ).orderBy(*group_cols, "treated_id")

@@ -544,6 +544,21 @@ def negative_sampling(
     (node, cand) anti-join against the symmetrized edge list, and the
     keep-k is a per-node window over ≤ k·oversample rows. Everything
     shuffled is (long, long) pairs.
+
+    Measured rejection (r10, SCALE.md): an index-space restructure —
+    reject on (node, cand_idx) against a pre-indexed neighbor table
+    and resolve candidate ids only AFTER keep-k, so the resolve join
+    carries k instead of k·oversample rows — measured MORE shuffle at
+    sf1.0 (481 MB read vs 445 MB here): the anti-join (node, idx key)
+    and keep-k window (node key) cannot share partitioning, and the
+    neighbor side needs its own edge-sized resolve join, so the saved
+    resolve bytes reappear as an extra edge reshuffle. A per-node
+    neighbor-idx-ARRAY variant would halve row-shuffles but builds a
+    deg(node)-sized single row — fatal on a 100 TB hub — and a
+    broadcast Bloom needs a verify join for exactness anyway while its
+    bitset outgrows the driver at 10^9+ edges. The flat anti-join
+    shape stays: skew degrades into AQE-splittable join keys, never a
+    giant row or driver state.
     """
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
@@ -616,4 +631,94 @@ def negative_sampling(
             (F.col("__rn") - 1).cast("int").alias("draw"),
         )
         .orderBy("node", "draw")
+    )
+
+
+def modularity_score(
+    edges: DataFrame,
+    labels: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity Q of a community labeling over an
+    undirected graph (Newman & Girvan '04) — the quality score that
+    turns `label_propagation` / `connected_components` output into a
+    number a pipeline can threshold or regression-test:
+
+        Q = Σ_c ( m_c / m  −  (d_c / 2m)² )
+
+    with m the undirected edge count, m_c the intra-community edge
+    count, and d_c the total degree of community c. Self-loops and
+    duplicate/reversed edge rows collapse first (the same
+    canonicalization every graph operator here applies); nodes missing
+    from `labels` form their own singleton communities contributing
+    only their degree term (inner-join edges would silently shrink m —
+    degrees come from the labeled edge list, so both endpoints'
+    memberships resolve via left joins with the node id itself as the
+    fallback label). Output: ONE row (m_edges, n_communities, q)
+    with q rounded to 6 dp.
+
+    Scale shape: canonicalize + distinct is the only edge-sized
+    shuffle; membership resolves through two node-keyed equi-joins
+    against the |V|-row label table, then the labeled edges collapse
+    ONCE to the |observed community-pair| cell table — m, every m_c,
+    and every d_c are all algebra over those cells (no second scan,
+    no driver-side count action); the readout is a 1-row aggregate
+    with the 1-row m table broadcast back. Integer counts throughout —
+    the division happens once at the end, cross-engine exact at 6 dp.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__l")
+    )
+    e = (
+        edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
+        .where(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__u"),
+            F.greatest("__u", "__v").alias("__v"),
+        )
+        .distinct()
+    )
+    lu = lab.select(F.col("__n").alias("__u"), F.col("__l").alias("__lu"))
+    lv = lab.select(F.col("__n").alias("__v"), F.col("__l").alias("__lv"))
+    labeled = (
+        e.join(lu, "__u", "left")
+        .join(lv, "__v", "left")
+        .select(
+            F.coalesce("__lu", F.col("__u").cast("string")).alias("__lu"),
+            F.coalesce("__lv", F.col("__v").cast("string")).alias("__lv"),
+        )
+    )
+    pair_cells = labeled.groupBy("__lu", "__lv").agg(
+        F.count(F.lit(1)).alias("__e")
+    )
+    intra = pair_cells.where(F.col("__lu") == F.col("__lv")).groupBy(
+        F.col("__lu").alias("__c")
+    ).agg(F.sum("__e").alias("m_c"))
+    deg = (
+        pair_cells.select(F.col("__lu").alias("__c"), "__e")
+        .union(pair_cells.select(F.col("__lv").alias("__c"), "__e"))
+        .groupBy("__c")
+        .agg(F.sum("__e").alias("d_c"))
+    )
+    m_tab = pair_cells.agg(F.sum("__e").alias("__m"))
+    cells = (
+        deg.join(intra, "__c", "left")
+        .select("__c", F.coalesce("m_c", F.lit(0)).alias("m_c"), "d_c")
+        .crossJoin(F.broadcast(m_tab))
+    )
+    two_m = 2.0 * F.col("__m").cast("double")
+    return cells.agg(
+        F.any_value(F.col("__m")).alias("m_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("m_c").cast("double") / F.col("__m").cast("double")
+                - (F.col("d_c").cast("double") / two_m)
+                * (F.col("d_c").cast("double") / two_m)
+            ),
+            6,
+        ).alias("q"),
     )

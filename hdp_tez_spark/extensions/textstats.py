@@ -639,6 +639,16 @@ def distinct_ngrams(
     reduce to one row; the union stacks |ns| such one-row plans.
     Collision effect at 60 bits is ~1e-18 of the count — the minhash /
     ngram_jaccard trade, documented there.
+
+    Measured rejection (r10): a single-scan variant — every order's
+    (n, hash) structs emitted from ONE projection, one explode, one
+    (n, hash) collapse — measured ~2x SLOWER at sf0.1 (5.5s vs 2.5s
+    same-session medians): codegen does not common-subexpression the
+    tokenizer split across higher-order-function lambdas, so the
+    "one scan" still tokenizes once per order while adding struct
+    construction + flatten per gram and a wider shuffle row. The
+    per-order union stays; its scans are embarrassingly parallel and
+    each prunes to the single text column.
     """
     from hdp_tez_spark.extensions.dedup import _md5_long
 

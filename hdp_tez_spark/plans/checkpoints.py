@@ -160,6 +160,25 @@ class LoopCheckpointer:
         self._base: str | None = None  # resolved lazily, only if needed
         self._label = label
         self._token = uuid.uuid4().hex[:8]
+        self._prev: DataFrame | None = None  # last cut, for block release
+
+    def _release_prev(self, new_df: DataFrame | None) -> None:
+        """Unpersist the PREVIOUS round's checkpoint blocks. Safe the
+        moment the new cut has materialized: every cut is EAGER and
+        self-contained (localCheckpoint truncates lineage; the parquet
+        buffer is a file scan), so round N's blocks are never ancestors
+        of round N+1's data. Without this, a long loop pins every
+        round's MEMORY_AND_DISK blocks until the JVM happens to GC the
+        Python-side references — measured r10 at x100 edges: k_core's
+        retained round blocks squeezed the unified memory enough to
+        make the NEXT query in the session spill 125 GB on sorts that
+        run spill-free in a fresh session (SCALE.md r10)."""
+        if self._prev is not None:
+            try:
+                self._prev.unpersist()
+            except Exception:
+                pass  # block release is best-effort, never correctness
+        self._prev = new_df
 
     def _resolve_base(self) -> str:
         if self._base is None:
@@ -186,17 +205,29 @@ class LoopCheckpointer:
         Eager either way — attached `observe` metrics ride the job."""
         self._rounds += 1
         if self._rounds % self._reset_every != 0:
-            return truncate_lineage(df, self._checkpoint_dir)
+            out = truncate_lineage(df, self._checkpoint_dir)
+            self._release_prev(out)
+            return out
         path = self._buffer(self._writes)
         self._writes += 1
         df.write.mode("overwrite").parquet(path)
-        return self._spark.read.parquet(path)
+        out = self._spark.read.parquet(path)
+        # a file scan holds no blocks; release the previous cut's and
+        # track nothing (unpersist on a scan would be a no-op anyway)
+        self._release_prev(None)
+        return out
 
     def finish(self, df: DataFrame) -> DataFrame:
         """Detach `df` from the spill files (one checkpoint on a flat,
-        at-most-``reset_every``-deep plan — cheap) and delete them."""
+        at-most-``reset_every``-deep plan — cheap) and delete them.
+        The FINAL cut's blocks are intentionally NOT released — the
+        caller's returned DataFrame reads from them."""
         if self._writes:
             df = truncate_lineage(df, self._checkpoint_dir)
+        # df either IS the tracked final cut or was just re-cut from the
+        # parquet buffer; either way drop tracking without unpersisting
+        # the data the caller is about to read.
+        self._prev = None
         self.cleanup()
         return df
 

@@ -93,6 +93,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
     "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
     "triangle_count": "1-row census totals (wedges/triangles) crossJoined",
+    "target_encoding": "1-row global-mean agg (from the SAME cell sums) "
+    "crossJoined onto the |categories| cell table",
+    "modularity": "1-row edge-total agg crossJoined onto the |communities| "
+    "cell table",
     "ndcg_eval": "3-row query-vector relation crossJoined onto the "
     "corpus (bruteforce retriever + label judgments) — |queries| "
     "bounded by contract, corpus side streams",

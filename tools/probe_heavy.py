@@ -67,6 +67,14 @@ def main() -> None:
             ),
             flush=True,
         )
+        # Same inter-query hygiene as check_correctness/bench: drive the
+        # ContextCleaner so one probe's released broadcast/checkpoint
+        # blocks don't squeeze the NEXT probe's execution memory (the
+        # r10 k_core->label_propagation 125 GB phantom spill).
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
 
 if __name__ == "__main__":

@@ -90,6 +90,13 @@ STANDING_EXTRAS = [
     "distinct_ngrams",
     "stratified_kfold",
     "negative_sampling",
+    # r10 additions (eighth batch)
+    "target_encoding",
+    "propensity_match",
+    "bcubed_eval",
+    "modularity",
+    "hill_tail_index",
+    "interarrival_stats",
 ]
 
 
