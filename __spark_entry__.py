@@ -10802,7 +10802,8 @@ _PREFIX_R10 = [
     "winsorize",
     "woe_iv",
     "zorder_stats",
-    # --- r05-evidence refresh (28 of 38) ---
+    # --- r05-evidence refresh (22 of 38; the 6 demoted by the eighth
+    # batch above join the 10-row tail -> 16 r05 rows left for r11) ---
     "acf",
     "ann_recall",
     "apply_mixture",

@@ -69,7 +69,29 @@ def truncate_lineage(
     `eager=False` there is no safe point to release such a cache, so the
     lazy reliable path accepts the one recompute instead of leaking a
     pinned dataset per call.
+
+    Every eager cut runs under `session.coalesce_floor`: the cut IS the
+    per-round job of every iterative operator, and those jobs shuffle
+    narrow (long, long) rows that compress ~10x — AQE's byte-based
+    coalescing under-partitions their deserialized volume (measured r10:
+    label_propagation at x100 edges, 16-task rounds, 125 GB spill; floor
+    128 -> ZERO spill at half the wall, SCALE.md). Scoping the floor
+    here gives every loop the fix without touching operators and leaves
+    ordinary one-shot queries on the default coalescing.
     """
+    from hdp_tez_spark.session import coalesce_floor
+
+    if eager:
+        with coalesce_floor(df.sparkSession):
+            return _truncate_lineage_inner(df, checkpoint_dir, eager)
+    return _truncate_lineage_inner(df, checkpoint_dir, eager)
+
+
+def _truncate_lineage_inner(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    eager: bool = True,
+) -> DataFrame:
     sc = df.sparkSession.sparkContext
     app = sc.applicationId
     jsc = sc._jsc.sc()
@@ -210,7 +232,10 @@ class LoopCheckpointer:
             return out
         path = self._buffer(self._writes)
         self._writes += 1
-        df.write.mode("overwrite").parquet(path)
+        from hdp_tez_spark.session import coalesce_floor
+
+        with coalesce_floor(self._spark):
+            df.write.mode("overwrite").parquet(path)
         out = self._spark.read.parquet(path)
         # a file scan holds no blocks; release the previous cut's and
         # track nothing (unpersist on a scan would be a no-op anyway)

@@ -148,3 +148,45 @@ def warm_up(spark: SparkSession) -> SparkSession:
         (F.col("id") % 10).alias("k")
     ).count().count()
     return spark
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def coalesce_floor(spark: SparkSession, n: int = 128):
+    """Scoped AQE coalesce floor for narrow-row fan-out plans.
+
+    AQE's parallelism-first coalescing sizes post-shuffle stages by
+    COMPRESSED map-output bytes with a floor of defaultParallelism.
+    Graph-loop shuffles are (long, long) rows that compress ~10x, so a
+    59.8M-row per-round join at x100 edges coalesced to 16 tasks —
+    each task then aggregated ~3.7M deserialized join rows inside a
+    ~250 MB memory grant and the round spilled ~42 GB (measured r10,
+    SCALE.md: label_propagation 125 GB total spill, wall 231s). A
+    minPartitionNum floor of 128 made the same run spill ZERO at wall
+    117s (floor 64 still spilled 10 GB). The floor is SCOPED to the
+    operator rather than set session-wide because every small query
+    would otherwise pay >= 128 tasks per stage; iterative graph
+    operators opt in around their loops. On a real cluster
+    defaultParallelism is the core count, so the same 4x-cores-style
+    floor reasoning applies at any scale; 128 also stays below the
+    session's initialPartitionNum=512 so AQE still coalesces the
+    512-partition start, just not past the floor.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, old)
