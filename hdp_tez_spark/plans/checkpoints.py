@@ -185,21 +185,32 @@ class LoopCheckpointer:
         self._prev: DataFrame | None = None  # last cut, for block release
 
     def _release_prev(self, new_df: DataFrame | None) -> None:
-        """Unpersist the PREVIOUS round's checkpoint blocks. Safe the
-        moment the new cut has materialized: every cut is EAGER and
+        """Free the PREVIOUS round's checkpoint blocks. Safe the moment
+        the new cut has materialized: every cut is EAGER and
         self-contained (localCheckpoint truncates lineage; the parquet
         buffer is a file scan), so round N's blocks are never ancestors
         of round N+1's data. Without this, a long loop pins every
         round's MEMORY_AND_DISK blocks until the JVM happens to GC the
-        Python-side references — measured r10 at x100 edges: k_core's
-        retained round blocks squeezed the unified memory enough to
-        make the NEXT query in the session spill 125 GB on sorts that
-        run spill-free in a fresh session (SCALE.md r10)."""
+        Python-side references (measured r10: 2.5 GB of storage memory
+        left pinned after one x100-edge graph operator, squeezing the
+        unified pool for everything after it).
+
+        NOTE `Dataset.unpersist()` is the WRONG tool here and is a
+        silent no-op: localCheckpoint blocks belong to the Dataset's
+        internal checkpointed RDD (persisted inside
+        Dataset.localCheckpoint), not to the CacheManager that
+        unpersist() talks to — measured r10: 348 MB of blocks untouched
+        by unpersist(), freed completely by unpersisting the LogicalRDD
+        accessor below. Best-effort: a plan that is not LogicalRDD-backed
+        (reliable-checkpoint branch, file scans) raises and is skipped —
+        release is an optimization, never correctness."""
         if self._prev is not None:
             try:
-                self._prev.unpersist()
+                self._prev._jdf.queryExecution().analyzed().rdd().unpersist(
+                    False
+                )
             except Exception:
-                pass  # block release is best-effort, never correctness
+                pass
         self._prev = new_df
 
     def _resolve_base(self) -> str:
