@@ -271,15 +271,46 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .select(F.col("__e.s").alias("__s"), F.col("__e.t").alias("__t"))
         .transform(truncate_lineage)
     )
-    w1 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__x"))
+    # Both wedge-side joins are pinned SHUFFLE-HASH with the bounded
+    # edge-sized relation as build side (r10 found-at-scale fix,
+    # SCALE.md): SMJ would SORT the n_wedges ~ m^1.5 fan-out table for
+    # the closure join — at x100 edges AQE's byte advisory coalesced
+    # that sort to ~100 MB-compressed tasks of 8-byte triples (~10x
+    # deserialized) and spilled 100 GB / 282s. Hash joins stream the
+    # exploded side with zero sort (27s / 0 spill, same census). The
+    # build sides here are PRE-explode edge lists (|E|/partitions rows
+    # per task), not the post-explode streams that force merge pins
+    # elsewhere (dedup.py containment precedent) — the hint survives
+    # AQE replans in both directions.
+    # The wedge fan-out stage runs at an EXPLICIT partition count:
+    # REPARTITION_BY_NUM is exempt from AQE coalescing, which would
+    # otherwise size this stage by its COMPRESSED input bytes (~10x
+    # under the deserialized volume for 8-byte long pairs) and hand
+    # each of ~16 tasks a ~1 GB fan-out to emit (the second half of
+    # the r10 100 GB spill).
+    n_fanout = int(
+        edges.sparkSession.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512"
+        )
+    )
+    w1 = oriented.repartition(n_fanout, "__s").select(
+        F.col("__s").alias("__mid"), F.col("__t").alias("__x")
+    )
     w2 = oriented.select(F.col("__s").alias("__mid"), F.col("__t").alias("__y"))
-    wedges = w1.join(w2, "__mid").where(F.col("__x") < F.col("__y"))
+    wedges = w1.join(w2.hint("shuffle_hash"), "__mid").where(
+        F.col("__x") < F.col("__y")
+    )
+    # Measured rejection (r10): pre-collapsing the wedge stream to
+    # (x, y, multiplicity) cells before the closure join made things
+    # WORSE (222 GB spill vs 60) — wedge endpoint pairs on sparse
+    # graphs are mostly unique, so the "collapse" shrank nothing and
+    # added a full hash-aggregate pass over the m^1.5 stream.
     # e is already normalized __u < __v, so it IS the closure list keyed
     # the same way as the (x < y) wedge endpoints — no re-orientation pass
     closing = e.select(F.col("__u").alias("__x"), F.col("__v").alias("__y"))
-    tri = wedges.join(closing, ["__x", "__y"]).groupBy().agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    tri = wedges.select("__x", "__y").join(
+        closing.hint("shuffle_hash"), ["__x", "__y"]
+    ).groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         counts.crossJoin(F.broadcast(n_edges))
