@@ -10746,6 +10746,228 @@ FROM d ORDER BY user_id
 """
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer-value segmentation (extensions/analytics.py
+    rfm_scores) over orders: per customer, recency/frequency/monetary
+    each banded 1..5 by global rank, composite rfm = 100r+10f+m. One
+    collapse to the |customers| cell table, then three range-partition
+    global ranks (never a single-task window); monetary is rounded to
+    2 dp BEFORE ranking so summation-order noise can't flip ranks."""
+    from hdp_tez_spark.extensions.analytics import rfm_scores
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", buckets=5
+    )
+
+
+_SQL_RFM_SCORES = """
+WITH cells AS (
+  SELECT o_custkey AS key, max(o_orderdate) AS last_ts,
+         count(*) AS frequency,
+         round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS monetary
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS n FROM cells),
+r AS (
+  SELECT key, last_ts, frequency, monetary,
+         row_number() OVER (ORDER BY last_ts, key) AS rr,
+         row_number() OVER (ORDER BY frequency, key) AS rf,
+         row_number() OVER (ORDER BY monetary, key) AS rm
+  FROM cells
+)
+SELECT key, last_ts, frequency, monetary,
+       CAST(floor((rr - 1) * 5.0 / n) + 1 AS INT) AS r_score,
+       CAST(floor((rf - 1) * 5.0 / n) + 1 AS INT) AS f_score,
+       CAST(floor((rm - 1) * 5.0 / n) + 1 AS INT) AS m_score,
+       CAST((floor((rr - 1) * 5.0 / n) + 1) * 100
+            + (floor((rf - 1) * 5.0 / n) + 1) * 10
+            + (floor((rm - 1) * 5.0 / n) + 1) AS INT) AS rfm
+FROM r, n ORDER BY key
+"""
+
+
+def q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail vocabulary truncation (extensions/curation.py
+    group_rare_categories): part names under 30 occurrences collapse
+    to '__other__' — the cardinality guard before target encoding /
+    one-hot. Output is the |categories|-row mapping table (one
+    map-side-combined collapse; `kept` cast to int for the driver's
+    string-hash compare)."""
+    from hdp_tez_spark.extensions.curation import group_rare_categories
+
+    part = _t(spark, sf_dir, "part")
+    out = group_rare_categories(part, "p_name", min_count=30)
+    return out.select(
+        "category", "n", "mapped", F.col("kept").cast("int").alias("kept")
+    )
+
+
+_SQL_RARE_CATEGORIES = """
+WITH cells AS (
+  SELECT coalesce(CAST(p_name AS VARCHAR), '__null__') AS category,
+         count(*) AS n
+  FROM part GROUP BY 1
+)
+SELECT category, n,
+       CASE WHEN n >= 30 THEN category ELSE '__other__' END AS mapped,
+       CAST(n >= 30 AS INT) AS kept
+FROM cells ORDER BY category
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (extensions/dedup.py
+    sorted_neighborhood_pairs, Hernandez-Stolfo '95) over part names,
+    window=3: candidate pairs within 3 positions of the name-sorted
+    order — the linear-budget third blocking method next to LSH
+    banding and prefix filtering. Global position via the
+    range-partitioned rank; neighbors meet through rank-offset
+    EQUI-joins (never a range join)."""
+    from hdp_tez_spark.extensions.dedup import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=3)
+
+
+_SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (SELECT p_partkey AS id, p_name AS key FROM part),
+rk AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS rn FROM r)
+SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+       CAST(b.rn - a.rn AS INT) AS rank_gap
+FROM rk a JOIN rk b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 3
+ORDER BY id_a, rank_gap
+"""
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / per-query MAP summand (extensions/
+    experiments.py average_precision) per event type: value-ranked
+    events scored against a deterministic label (event_id % 3 == 0) —
+    the class-imbalance-honest ranking readout next to ROC-AUC. One
+    keyed window drives rank and running positives; ratio-of-small-
+    integers sum is exact well past the 6-dp readout."""
+    from hdp_tez_spark.extensions.experiments import average_precision
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "label", (F.col("event_id") % 3 == 0).cast("int")
+    )
+    return average_precision(
+        ev, ["event_type"], "value", "label", "event_id"
+    )
+
+
+_SQL_AVERAGE_PRECISION = """
+WITH b AS (
+  SELECT event_type, value, event_id,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+r AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS i,
+         sum(y) OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cp
+  FROM b
+)
+SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       round(CASE WHEN sum(y) > 0
+             THEN sum(CASE WHEN y = 1 THEN CAST(cp AS DOUBLE) / i END)
+                  / sum(y) END, 6) AS ap
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling (extensions/similarity.py
+    knn_label): a FIXED 100-vector query panel (vec_id < 100 — bounded
+    by contract like the cosine_topk family, so the |q| x |corpus|
+    product stays linear in the corpus) against the remaining labeled
+    train set, k=5 exact cosine neighbors, deterministic
+    smallest-label tie-break — the weak-labeling consumer of the ANN
+    family. Query side broadcast, per-group heap top-k, labels joined
+    by id AFTER the distance math."""
+    from hdp_tez_spark.extensions.similarity import knn_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label(
+        emb.where(F.col("vec_id") < 100),
+        emb.where(F.col("vec_id") >= 100),
+        k=5,
+    )
+
+
+_SQL_KNN_LABEL = """
+WITH nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 100 AND c.vec_id >= 100
+    )
+  ) WHERE rn <= 5
+),
+v AS (
+  SELECT nn.query_id, e.label, count(*) AS votes
+  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+  GROUP BY nn.query_id, e.label
+),
+t AS (SELECT query_id, CAST(count(*) AS INT) AS k_used
+      FROM nn GROUP BY query_id),
+best AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rb
+  FROM v
+)
+SELECT b.query_id, b.label, b.votes, t.k_used
+FROM best b JOIN t USING (query_id) WHERE rb = 1 ORDER BY query_id
+"""
+
+
+def q_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split with a 1-hour embargo
+    (extensions/splits.py time_embargo_split, de Prado '18) over
+    events: earliest 80% train, the hour after the cutoff dropped as
+    'embargo' so trailing-window features can't leak labels. The
+    cutoff is a pure order statistic (count(ts<=t) >= ceil(0.8n)) —
+    deterministic, tie-mass-into-train; the cumulative count rides the
+    |distinct seconds| cell table (clock-bounded, never row-sized)."""
+    from hdp_tez_spark.extensions.splits import time_embargo_split
+
+    ev = _t(spark, sf_dir, "events")
+    return time_embargo_split(
+        ev, "event_id", "ts", train_frac=0.8, embargo_seconds=3600
+    )
+
+
+_SQL_TIME_EMBARGO_SPLIT = """
+WITH b AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL
+),
+n AS (SELECT count(*) AS n FROM b),
+cells AS (SELECT t, count(*) AS c FROM b GROUP BY t),
+cum AS (SELECT t, sum(c) OVER (ORDER BY t) AS cm FROM cells),
+cut AS (
+  SELECT min(t) AS cut FROM cum, n
+  WHERE cm >= ceil(CAST(0.8 AS DOUBLE) * n)
+)
+SELECT id,
+       CASE WHEN t <= cut THEN 'train'
+            WHEN t <= cut + 3600 THEN 'embargo'
+            ELSE 'test' END AS split
+FROM b, cut ORDER BY id
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -10769,6 +10991,16 @@ _PREFIX_R10 = [
     # New never-checked operators added later this round splice at the
     # HEAD and demote the r05 tail (never-checked outranks refresh).
     # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- never-checked (new this round, ninth batch) — six more
+    # r05-refresh rows (golden_record/importance_sample/key_skew_stats/
+    # l_diversity/lm_score/rolling_active_users) demote below the
+    # boundary; never-checked outranks refresh. ---
+    "rfm_scores",
+    "rare_categories",
+    "sorted_neighborhood",
+    "average_precision",
+    "knn_label",
+    "time_embargo_split",
     # --- never-checked (new this round, eighth batch) — the last 6
     # r05-refresh rows (mixture_weights/ngram_counts/pca_component/
     # period_over_period/psi_drift/rendezvous_shard/rolling_active_users
@@ -10820,15 +11052,16 @@ _PREFIX_R10 = [
     "edit_distance_pairs",
     "fk_integrity",
     "gap_fill",
-    "golden_record",
-    "importance_sample",
-    "key_skew_stats",
-    "l_diversity",
-    "lm_score",
-    "rolling_active_users",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (ninth batch)
+    "rfm_scores": (q_rfm_scores, _SQL_RFM_SCORES),
+    "rare_categories": (q_rare_categories, _SQL_RARE_CATEGORIES),
+    "sorted_neighborhood": (q_sorted_neighborhood, _SQL_SORTED_NEIGHBORHOOD),
+    "average_precision": (q_average_precision, _SQL_AVERAGE_PRECISION),
+    "knn_label": (q_knn_label, _SQL_KNN_LABEL),
+    "time_embargo_split": (q_time_embargo_split, _SQL_TIME_EMBARGO_SPLIT),
     # r10 additions (eighth batch)
     "target_encoding": (q_target_encoding, _SQL_TARGET_ENCODING),
     "propensity_match": (q_propensity_match, _SQL_PROPENSITY_MATCH),

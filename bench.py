@@ -258,6 +258,13 @@ HEADLINE = [
     "modularity",
     "hill_tail_index",
     "interarrival_stats",
+    # r10 additions (ninth batch)
+    "rfm_scores",
+    "rare_categories",
+    "sorted_neighborhood",
+    "average_precision",
+    "knn_label",
+    "time_embargo_split",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

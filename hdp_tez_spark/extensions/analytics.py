@@ -2516,3 +2516,95 @@ def interarrival_stats(
         )
         .orderBy(*key_cols)
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) scoring per entity — the
+    classic customer-value segmentation, and more generally the
+    activity-value fingerprint for any keyed event stream (data
+    sources, crawl domains, annotators). Each dimension is bucketed
+    1..B by equal-count bands over the per-key aggregate, higher =
+    better (more recent / more frequent / higher spend); the composite
+    is rfm = 100*r + 10*f + m (for B <= 9). Band assignment is rank
+    r -> floor((r-1)*B/n)+1 over a DETERMINISTIC order: monetary is
+    rounded to 2 dp BEFORE ranking (sums of 2-dp amounts are exact
+    multiples of 0.01 obscured by ~1e-10 float noise; ranking the raw
+    sum would let summation order flip equal-value ranks across
+    engines), and every rank ties on the key id. Output: (key,
+    last_ts, frequency, monetary, r_score, f_score, m_score, rfm)
+    ordered by key.
+
+    Scale shape: raw events collapse ONCE (map-side combine) to the
+    |keys|-row (last_ts, count, sum) cell table; each of the three
+    ranks is a range-partition + broadcast-offset global rank
+    (operators/sort.global_sort_ranked — never a single-task window)
+    over that cell table; n arrives as a broadcast 1-row count. Three
+    skinny |keys|-row range shuffles, nothing event-sized after the
+    first collapse.
+    """
+    if not (2 <= buckets <= 9):
+        raise ValueError("buckets must be in 2..9 (rfm digit composite)")
+    from hdp_tez_spark.operators.sort import global_sort_ranked
+
+    cells = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.max(F.col(ts_col)).alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col(amount_col).cast("double")), 2).alias(
+                "monetary"
+            ),
+        )
+    )
+    n_tab = cells.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+
+    def band(ranked: DataFrame, rank_col: str, out: str) -> DataFrame:
+        return ranked.crossJoin(F.broadcast(n_tab)).withColumn(
+            out,
+            (
+                F.floor(
+                    (F.col(rank_col) - 1) * buckets / F.col("__n")
+                ) + 1
+            ).cast("int"),
+        ).drop(rank_col, "__n")
+
+    r = band(
+        global_sort_ranked(
+            cells, [F.col("last_ts").asc(), F.col("key").asc()], "__rr"
+        ),
+        "__rr",
+        "r_score",
+    )
+    f = band(
+        global_sort_ranked(
+            r, [F.col("frequency").asc(), F.col("key").asc()], "__rf"
+        ),
+        "__rf",
+        "f_score",
+    )
+    m = band(
+        global_sort_ranked(
+            f, [F.col("monetary").asc(), F.col("key").asc()], "__rm"
+        ),
+        "__rm",
+        "m_score",
+    )
+    return m.select(
+        "key",
+        "last_ts",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm"),
+    ).orderBy("key")

@@ -622,3 +622,41 @@ def apply_mixture(
         df.join(F.broadcast(rates), domain_col)
         .where(hash_bucket(F.col(id_col), buckets) < cutoff)
     )
+
+
+def group_rare_categories(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int = 10,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Long-tail vocabulary truncation for a categorical column: every
+    category seen fewer than `min_count` times maps to `other_label` —
+    the standard cardinality guard before one-hot/target encoding or
+    per-category dashboards (a 10M-value id-like column silently turns
+    both into garbage). NULL is a real category ('__null__', mapped by
+    its own count like any other). Output is the MAPPING TABLE
+    (category, n, mapped, kept) ordered by category — callers join it
+    back onto the data (broadcast-sized after truncation by
+    construction: |distinct categories| rows, and the whole point is
+    that the kept set is small).
+
+    Scale shape: ONE partial-aggregated collapse of raw rows to the
+    |categories| cell table; the mapping is a map-side expression over
+    those cells. Nothing row-proportional survives the first shuffle.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__"))
+    cells = df.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept = F.col("n") >= min_count
+    return cells.select(
+        "category",
+        "n",
+        F.when(kept, F.col("category")).otherwise(F.lit(other_label)).alias(
+            "mapped"
+        ),
+        kept.alias("kept"),
+    ).orderBy("category")

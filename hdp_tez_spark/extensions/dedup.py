@@ -1264,3 +1264,64 @@ def bcubed_eval(
             6,
         ).alias("f1"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo '95) — the
+    third candidate-generation method next to LSH banding (probability
+    bound) and prefix filtering (exact threshold bound): sort the
+    corpus by a fuzzy blocking key (phonetic code, normalized prefix,
+    zip+name) and emit every pair within `window` positions. Catches
+    near-boundary pairs that fixed blocking splits apart, with an
+    exactly linear candidate budget: each record pairs with at most
+    `window` successors, so |pairs| <= window * n by construction —
+    no frequency skew can blow it up (the stopword failure mode of
+    token blocking). Sort ties break by id, making the neighborhood —
+    and therefore the candidate set — deterministic. Output:
+    (id_a, id_b, key_a, key_b, rank_gap) ordered by (id_a, rank_gap).
+
+    Scale shape: the global sort position comes from the
+    range-partition + broadcast-offset global rank
+    (operators/sort.global_sort_ranked — never a single-task window);
+    neighbors meet through `window` rank-offset EQUI-joins (one
+    explode of 1..window, one join on rank+offset — a range join would
+    be a nested loop). Everything shuffled is (rank, id, key) rows.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from hdp_tez_spark.operators.sort import global_sort_ranked
+
+    ranked = global_sort_ranked(
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key")),
+        [F.col("key").asc(), F.col("id").asc()],
+        "__rk",
+    )
+    left = ranked.select(
+        F.col("__rk").alias("__ra"),
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window)))
+        ).alias("__off"),
+    ).withColumn("__rb", F.col("__ra") + F.col("__off"))
+    right = ranked.select(
+        F.col("__rk").alias("__rb"),
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+    )
+    return (
+        left.join(right, "__rb")
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            F.col("__off").cast("int").alias("rank_gap"),
+        )
+        .orderBy("id_a", "rank_gap")
+    )

@@ -1690,3 +1690,62 @@ def propensity_match(
         F.round(F.col("__c.cs"), 6).alias("c_score"),
         F.round(diff, 6).alias("score_diff"),
     ).orderBy(*group_cols, "treated_id")
+
+
+def average_precision(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve at
+    every positive, a.k.a. AP / the per-query summand of MAP) per
+    group — the ranking-quality readout that, unlike ROC-AUC
+    (`binary_auc`), does not reward a model for ranking easy negatives
+    correctly when positives are rare (the class-imbalance regime of
+    retrieval and near-dup detection):
+
+        AP = (1/n_pos) * Σ_{ranks i with label=1} cum_pos(i) / i
+
+    Ranks are score-descending with id-ascending tie-breaks, so AP is
+    a pure function of the data (the textbook definition leaves tied
+    scores undefined; pinning the tie order makes the oracle exact).
+    Groups with no positives report NULL ap (undefined, never 0).
+    Output: (group..., n, n_pos, ap) with ap rounded to 6 dp.
+
+    Scale shape: ONE keyed window sort per group drives both the rank
+    and the running positive count; the readout is a partial-aggregated
+    conditional sum — cum_pos/i is a ratio of small integers, so the
+    per-group float sum is exact well past the 6-dp readout.
+    """
+    if not group_cols:
+        raise ValueError("average_precision needs group_cols (keyed window)")
+    y = F.col(label_col).cast("int")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *group_cols, F.col(score_col), F.col(id_col), y.alias("__y")
+    ).withColumn("__i", F.row_number().over(w)).withColumn(
+        "__cp", F.sum("__y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum(
+                F.when(F.col("__y") == 1, F.col("__cp") / F.col("__i"))
+            ).alias("__s"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_pos",
+            F.round(
+                F.when(F.col("n_pos") > 0, F.col("__s") / F.col("n_pos")), 6
+            ).alias("ap"),
+        )
+        .orderBy(*group_cols)
+    )

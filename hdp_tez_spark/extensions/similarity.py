@@ -1012,3 +1012,54 @@ def embedding_outliers(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_n)
     )
+
+
+def knn_label(
+    queries: DataFrame,
+    train: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column — the
+    consumer every ANN index ultimately serves (weak labeling, label
+    propagation onto unlabeled shards, eval of embedding quality by
+    label agreement). For each query vector: the k nearest TRAIN
+    vectors by cosine (exact brute force — swap in the LSH/IVF topk
+    for the 100 TB path, same contract), majority label among them,
+    ties broken to the SMALLEST label so the vote is deterministic.
+    Output: (query_id, label, votes, k_used) ordered by query_id.
+
+    Scale shape: rides cosine_topk_bruteforce (query side broadcast,
+    per-group heap via WindowGroupLimit — the |q|x|corpus| product
+    never sorts fully); neighbor labels arrive through ONE id-keyed
+    equi-join against the |train| label table (never carried through
+    the distance math); the vote is a (query, label) cell aggregate
+    + argmax window over <= k rows per query.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    nn = cosine_topk_bruteforce(queries, train, id_col, vec_col, k=k)
+    labs = train.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("label")
+    )
+    votes = (
+        nn.join(labs, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    totals = nn.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("k_used")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(totals, "query_id")
+        .select("query_id", "label", "votes", "k_used")
+        .orderBy("query_id")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp_tez_spark.extensions.dedup import _md5_long
@@ -219,4 +219,67 @@ def stratified_kfold(
     )
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )
+
+
+def time_embargo_split(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    train_frac: float = 0.8,
+    embargo_seconds: int = 3600,
+) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap (the
+    purged split of de Prado '18, standard for any model whose features
+    smear information across time — sessionized events, rolling
+    aggregates, n-day label windows): the chronologically earliest
+    `train_frac` of rows train; rows inside `embargo_seconds` after the
+    cutoff are DROPPED (labeled 'embargo') so trailing-window features
+    computed on early test rows cannot see training labels; the rest
+    test. The cutoff is the smallest timestamp t with
+    count(ts <= t) >= ceil(train_frac * n) — a pure order statistic,
+    so the split is a deterministic function of the data (ties at the
+    cutoff second all fall into train; the achieved train fraction can
+    exceed train_frac by the tie mass, the standard convention).
+    Output: (id, split) with split in {train, embargo, test}, ordered
+    by id.
+
+    Scale shape: raw rows collapse ONCE (map-side combine) to the
+    |distinct timestamps| cell table; the cumulative count rides one
+    window over THAT table (cell-bounded — the period_over_period
+    precedent, allowlisted in tools/plan_lint.py with this reason);
+    the 1-row cutoff broadcasts back and labeling is a map-side
+    comparison. Integer second arithmetic throughout.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError("train_frac must be in (0, 1)")
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.where(ts.isNotNull()).select(
+        F.col(id_col).alias("id"), F.unix_timestamp(ts).alias("__t")
+    )
+    cells = base.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    n_tab = cells.groupBy().agg(F.sum("__c").alias("__n"))
+    cutoff = (
+        cells.withColumn("__cum", F.sum("__c").over(w))
+        .crossJoin(F.broadcast(n_tab))
+        .where(F.col("__cum") >= F.ceil(F.lit(train_frac) * F.col("__n")))
+        .groupBy()
+        .agg(F.min("__t").alias("__cut"))
+    )
+    return (
+        base.crossJoin(F.broadcast(cutoff))
+        .select(
+            "id",
+            F.when(F.col("__t") <= F.col("__cut"), F.lit("train"))
+            .when(
+                F.col("__t") <= F.col("__cut") + embargo_seconds,
+                F.lit("embargo"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("id")
     )

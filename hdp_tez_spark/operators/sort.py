@@ -50,10 +50,25 @@ def global_sort_ranked(df: DataFrame, order: Sequence[Column], rank_name: str = 
     # Correct globally because repartitionByRange co-locates equal keys, so
     # a tie group never spans partitions and local-rank + preceding-count
     # equals global rank.
+    #
+    # The lazy localCheckpoint PIN below is load-bearing (found at scale,
+    # r10): `ranked` is referenced twice — by the offsets join's main side
+    # and by the `counts` subtree. Those are only consistent if Spark
+    # reuses one exchange; when callers stack this operator (rfm_scores
+    # chained it three deep) reuse breaks, the two instantiations get
+    # DIFFERENT AQE-coalesced partition counts, and the inner join on
+    # __pid silently drops every row whose pid exceeds the counts side's
+    # range (sf1.0: 150k rows -> a nondeterministic ~62k). spark_partition_id
+    # is partitioning metadata, not data — any plan that reads it twice
+    # must read it from ONE materialization. The pin also makes the ranks
+    # stable for consumers that self-join the output (sorted-neighborhood
+    # pairing). Blocks are freed by the ContextCleaner once the caller's
+    # reference drops (the sweep GC-nudges between queries).
     ranked = (
         df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__local_rn", F.rank().over(part))
+        .localCheckpoint(eager=False)
     )
     counts = (
         ranked.groupBy("__pid")

@@ -108,6 +108,13 @@ BNLJ_ALLOWED: dict[str, str] = {
     "negative_sampling": "1-row |V| count crossJoined onto the node "
     "list to modulo the md5 draws (census-totals class); the node "
     "index itself is the range-partitioned global rank",
+    "rfm_scores": "1-row |customers| count crossJoined onto the cell "
+    "table for the rank->band formula (census-totals class)",
+    "knn_label": "rides cosine_topk_bruteforce: bounded query-vector "
+    "relation crossJoined onto the corpus (cosine_topk class)",
+    "time_embargo_split": "1-row order-statistic cutoff (and the 1-row "
+    "total count under it) crossJoined onto the id list — the split "
+    "label is a map-side comparison against that scalar",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -145,6 +152,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "lift_curve": "running sums over the distinct-6dp-score CELL table "
     "(bounded value grid, never row-sized) and the |buckets|-row "
     "rollup — both windows are cell/bucket-bounded by construction",
+    "rfm_scores": _OFFSETS,
+    "sorted_neighborhood": _OFFSETS,
+    "time_embargo_split": "cumulative count over the |distinct seconds| "
+    "CELL table — clock-bounded (seconds in the data's time span), "
+    "never row-sized; plus the global-rank offsets window",
 }
 
 # `+- Window [aggs], [order]` = global (2 bracket groups);

@@ -97,6 +97,13 @@ STANDING_EXTRAS = [
     "modularity",
     "hill_tail_index",
     "interarrival_stats",
+    # r10 additions (ninth batch)
+    "rfm_scores",
+    "rare_categories",
+    "sorted_neighborhood",
+    "average_precision",
+    "knn_label",
+    "time_embargo_split",
 ]
 
 
