@@ -10968,6 +10968,328 @@ FROM b, cut ORDER BY id
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability per document
+    (extensions/textstats.py readability_scores): deterministic
+    vowel-run syllable heuristic, terminator-run sentence count — the
+    prose-vs-boilerplate curation signal. Pure map-side column
+    expressions; the oracle mirrors the token split, the vowel-run
+    regex, and the formula shape exactly."""
+    from hdp_tez_spark.extensions.textstats import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")
+
+
+_SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[.!?]+')) AS sent_runs
+  FROM documents
+),
+c AS (
+  SELECT id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(1, sent_runs) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(toks,
+              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+              AS BIGINT) AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+         AS fk_grade
+FROM c ORDER BY id
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (extensions/textstats.py
+    vocab_growth): OLS on (ln cum_tokens, ln cum_vocab) over the
+    per-document checkpoint series — the template-flood /
+    garbage-token corpus diagnostic. First occurrences via one
+    (token-hash -> min doc) collapse; both cumulative series share one
+    prefix_sum; token identity travels as the md5 60-bit hash the
+    oracle reproduces."""
+    from hdp_tez_spark.extensions.textstats import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs, "doc_id", "text")
+
+
+_SQL_VOCAB_GROWTH = """
+WITH t AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+per_doc AS (SELECT doc, len(toks) AS n_tok FROM t),
+tok AS (
+  SELECT doc, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+  FROM t, unnest(toks) AS u(tk)
+),
+firsts AS (SELECT h, min(doc) AS doc FROM tok GROUP BY h),
+newc AS (SELECT doc, count(*) AS n_new FROM firsts GROUP BY doc),
+cells AS (
+  SELECT p.doc, p.n_tok, coalesce(n.n_new, 0) AS n_new
+  FROM per_doc p LEFT JOIN newc n USING (doc)
+),
+cum AS (
+  SELECT doc,
+         sum(n_tok) OVER (ORDER BY doc) AS cum_tokens,
+         sum(n_new) OVER (ORDER BY doc) AS cum_vocab
+  FROM cells
+),
+pts AS (
+  SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_vocab AS DOUBLE)) AS y,
+         cum_tokens, cum_vocab
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+s AS (
+  SELECT count(*) AS n_docs, max(cum_tokens) AS total_tokens,
+         max(cum_vocab) AS vocab_size,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       round(exp((sy - ((n_docs * sxy - sx * sy)
+                        / (n_docs * sxx - sx * sx)) * sx) / n_docs), 6)
+         AS heaps_k,
+       round((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx), 6)
+         AS heaps_beta
+FROM s
+"""
+
+
+def q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter field agreement weights (extensions/dedup.py
+    linkage_weights) over sorted-neighborhood candidate pairs on part
+    names: m from the blocked pair set, u EXACTLY from value
+    frequencies (c*(c-1)/(n*(n-1)) integer arithmetic) — the scoring
+    layer on top of blocking. Linear candidate budget by construction;
+    the oracle rebuilds the same pairs, agreements, and frequency
+    algebra."""
+    from hdp_tez_spark.extensions.dedup import linkage_weights
+
+    part = _t(spark, sf_dir, "part")
+    return linkage_weights(
+        part, "p_partkey", "p_name", ["p_brand", "p_type", "p_size"], window=3
+    )
+
+
+_SQL_LINKAGE_WEIGHTS = """
+WITH r AS (
+  SELECT p_partkey AS id, p_name AS key, p_brand, p_type, p_size FROM part
+),
+rk AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS rn FROM r),
+pr AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM rk a JOIN rk b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 3
+),
+j AS (
+  SELECT ra.p_brand AS a_brand, rb.p_brand AS b_brand,
+         ra.p_type AS a_type, rb.p_type AS b_type,
+         ra.p_size AS a_size, rb.p_size AS b_size
+  FROM pr JOIN r ra ON pr.id_a = ra.id JOIN r rb ON pr.id_b = rb.id
+),
+m AS (
+  SELECT 'p_brand' AS field, count(*) AS n_pairs,
+         sum(CASE WHEN a_brand IS NOT NULL AND b_brand IS NOT NULL
+                   AND a_brand = b_brand THEN 1 ELSE 0 END)::DOUBLE
+           / count(*) AS m
+  FROM j
+  UNION ALL
+  SELECT 'p_size', count(*),
+         sum(CASE WHEN a_size IS NOT NULL AND b_size IS NOT NULL
+                   AND a_size = b_size THEN 1 ELSE 0 END)::DOUBLE / count(*)
+  FROM j
+  UNION ALL
+  SELECT 'p_type', count(*),
+         sum(CASE WHEN a_type IS NOT NULL AND b_type IS NOT NULL
+                   AND a_type = b_type THEN 1 ELSE 0 END)::DOUBLE / count(*)
+  FROM j
+),
+n_t AS (SELECT count(*) AS n FROM part),
+u AS (
+  SELECT 'p_brand' AS field,
+         sum(c * (c - 1))::DOUBLE / (any_value(n) * (any_value(n) - 1)) AS u
+  FROM (SELECT count(*) AS c FROM part WHERE p_brand IS NOT NULL
+        GROUP BY p_brand), n_t
+  UNION ALL
+  SELECT 'p_size',
+         sum(c * (c - 1))::DOUBLE / (any_value(n) * (any_value(n) - 1))
+  FROM (SELECT count(*) AS c FROM part WHERE p_size IS NOT NULL
+        GROUP BY p_size), n_t
+  UNION ALL
+  SELECT 'p_type',
+         sum(c * (c - 1))::DOUBLE / (any_value(n) * (any_value(n) - 1))
+  FROM (SELECT count(*) AS c FROM part WHERE p_type IS NOT NULL
+        GROUP BY p_type), n_t
+)
+SELECT m.field, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       round(m.m, 6) AS m_prob, round(u.u, 6) AS u_prob,
+       round(CASE WHEN m.m > 0 AND u.u > 0 AND u.u < 1
+             THEN log2(m.m / u.u) END, 6) AS agree_weight,
+       round(CASE WHEN m.m < 1 AND u.u < 1 AND u.u > 0
+             THEN log2((1 - m.m) / (1 - u.u)) END, 6) AS disagree_weight
+FROM m JOIN u USING (field) ORDER BY field
+"""
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise screen (extensions/experiments.py
+    label_noise) over events with a deterministic score/label pair
+    (score = (event_id %% 1000)/999, label = event_id %% 7 < 3): the
+    2x2 confident joint whose off-diagonals estimate label noise.
+    Thresholds are 9-dp-rounded class-mean probabilities so the >=
+    comparisons bit-match across engines."""
+    from hdp_tez_spark.extensions.experiments import label_noise
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            ((F.col("event_id") % 1000) / 999.0).alias("score"),
+            (F.col("event_id") % 7 < 3).cast("int").alias("label"),
+        )
+    )
+    return label_noise(ev, "event_id", "score", "label")
+
+
+_SQL_LABEL_NOISE = """
+WITH b AS (
+  SELECT event_id AS id,
+         CAST(event_id % 1000 AS DOUBLE) / 999.0 AS p1,
+         CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+thr AS (
+  SELECT round(avg(CASE WHEN y = 1 THEN p1 END), 9) AS t1,
+         round(avg(CASE WHEN y = 0 THEN 1 - p1 END), 9) AS t0
+  FROM b
+),
+cls AS (
+  SELECT y,
+         CASE WHEN p1 >= t1 AND (1 - p1) >= t0
+                THEN CASE WHEN p1 >= 0.5 THEN 1 ELSE 0 END
+              WHEN p1 >= t1 THEN 1
+              WHEN (1 - p1) >= t0 THEN 0 END AS s
+  FROM b, thr
+),
+cells AS (
+  SELECT y AS given_label, s AS suggested_label, count(*) AS n
+  FROM cls WHERE s IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT given_label, sum(n) AS t FROM cells GROUP BY 1)
+SELECT c.given_label, c.suggested_label, CAST(c.n AS BIGINT) AS n,
+       round(c.n::DOUBLE / t.t, 6) AS frac_of_given
+FROM cells c JOIN tot t USING (given_label)
+ORDER BY given_label, suggested_label
+"""
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment A/B sample-size calculation (extensions/
+    experiments.py power_analysis): two-proportion normal-approximation
+    n-per-arm at alpha=0.05 / power=80%%, 10%% relative MDE, baseline
+    rate = the deterministic event_id %% 7 < 3 label per event type.
+    One collapse to the |segments| cell table; every downstream float
+    op has an identical expression shape in the oracle, so ceil() sees
+    bit-identical inputs."""
+    from hdp_tez_spark.extensions.experiments import power_analysis
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 7 < 3).cast("double").alias("label"),
+    )
+    return power_analysis(ev, ["event_type"], "label", mde_rel=0.1)
+
+
+_SQL_POWER_ANALYSIS = """
+WITH cells AS (
+  SELECT event_type, count(*) AS n_obs,
+         avg(CASE WHEN event_id % 7 < 3 THEN 1.0 ELSE 0.0 END) AS p1
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT event_type, n_obs, p1, least(p1 * 1.1, 1.0) AS p2 FROM cells
+)
+SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+       round(p1, 6) AS p_base, round(p2, 6) AS p_target,
+       CASE WHEN p1 > 0 AND p1 < 1 AND p2 > p1 THEN
+         CAST(ceil(
+           pow(1.9599639845400545
+                 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+               + 0.8416212335729143
+                 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+           / pow(p2 - p1, 2)) AS BIGINT) END AS n_per_arm
+FROM c ORDER BY event_type
+"""
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral predictability (extensions/analytics.py
+    behavior_entropy): Shannon entropy of the event-type mix plus
+    conditional next-event entropy over the time-ordered stream — the
+    bot-vs-human fingerprint next to interarrival_stats. One keyed lag
+    window; entropies live on |types|- and |types|^2-bounded cell
+    tables."""
+    from hdp_tez_spark.extensions.analytics import behavior_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior_entropy(ev, ["user_id"], "event_type", "ts", "event_id")
+
+
+_SQL_BEHAVIOR_ENTROPY = """
+WITH b AS (
+  SELECT user_id, event_type AS t,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE ts IS NOT NULL
+),
+marg AS (SELECT user_id, t, count(*) AS c FROM b GROUP BY 1, 2),
+tot AS (
+  SELECT user_id, sum(c) AS n_events, count(*) AS n_types
+  FROM marg GROUP BY 1
+),
+hm AS (
+  SELECT m.user_id,
+         -sum((m.c::DOUBLE / tot.n_events)
+              * log2(m.c::DOUBLE / tot.n_events)) AS hm
+  FROM marg m JOIN tot USING (user_id) GROUP BY m.user_id
+),
+tr AS (
+  SELECT user_id, prev, t, count(*) AS c
+  FROM b WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+pt AS (SELECT user_id, prev, sum(c) AS ca FROM tr GROUP BY 1, 2),
+a_t AS (SELECT user_id, sum(c) AS n FROM tr GROUP BY 1),
+hc AS (
+  SELECT tr.user_id,
+         -sum((tr.c::DOUBLE / a_t.n) * log2(tr.c::DOUBLE / pt.ca)) AS hc
+  FROM tr
+  JOIN pt ON tr.user_id = pt.user_id AND tr.prev = pt.prev
+  JOIN a_t ON tr.user_id = a_t.user_id
+  GROUP BY tr.user_id
+)
+SELECT t.user_id, CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       round(hm.hm + CAST(0 AS DOUBLE), 6) AS h_marginal,
+       round(coalesce(hc.hc, 0.0) + CAST(0 AS DOUBLE), 6) AS h_conditional
+FROM tot t JOIN hm USING (user_id) LEFT JOIN hc USING (user_id)
+WHERE t.n_events >= 2 ORDER BY t.user_id
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -10991,6 +11313,16 @@ _PREFIX_R10 = [
     # New never-checked operators added later this round splice at the
     # HEAD and demote the r05 tail (never-checked outranks refresh).
     # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- never-checked (new this round, tenth batch) — six more
+    # r05-refresh rows (collocations/cusum_shift/dataset_diff/
+    # edit_distance_pairs/fk_integrity/gap_fill) demote below the
+    # boundary; never-checked outranks refresh. ---
+    "readability",
+    "vocab_growth",
+    "linkage_weights",
+    "label_noise",
+    "power_analysis",
+    "behavior_entropy",
     # --- never-checked (new this round, ninth batch) — six more
     # r05-refresh rows (golden_record/importance_sample/key_skew_stats/
     # l_diversity/lm_score/rolling_active_users) demote below the
@@ -11046,15 +11378,16 @@ _PREFIX_R10 = [
     "calibration_bins",
     "cms_frequency",
     "cohort_retention",
-    "collocations",
-    "cusum_shift",
-    "dataset_diff",
-    "edit_distance_pairs",
-    "fk_integrity",
-    "gap_fill",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (tenth batch)
+    "readability": (q_readability, _SQL_READABILITY),
+    "vocab_growth": (q_vocab_growth, _SQL_VOCAB_GROWTH),
+    "linkage_weights": (q_linkage_weights, _SQL_LINKAGE_WEIGHTS),
+    "label_noise": (q_label_noise, _SQL_LABEL_NOISE),
+    "power_analysis": (q_power_analysis, _SQL_POWER_ANALYSIS),
+    "behavior_entropy": (q_behavior_entropy, _SQL_BEHAVIOR_ENTROPY),
     # r10 additions (ninth batch)
     "rfm_scores": (q_rfm_scores, _SQL_RFM_SCORES),
     "rare_categories": (q_rare_categories, _SQL_RARE_CATEGORIES),

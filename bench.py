@@ -265,6 +265,13 @@ HEADLINE = [
     "average_precision",
     "knn_label",
     "time_embargo_split",
+    # r10 additions (tenth batch)
+    "readability",
+    "vocab_growth",
+    "linkage_weights",
+    "label_noise",
+    "power_analysis",
+    "behavior_entropy",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

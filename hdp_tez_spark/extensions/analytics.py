@@ -1499,6 +1499,11 @@ def skyline(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     part = part.withColumn("__local_max", F.max("__grp_max").over(local_w))
+    # Pin before dual reference (offsets + main join) — spark_partition_id
+    # may only be read from ONE materialization (operators/sort.py r10
+    # found-at-scale note); otherwise broken exchange reuse can give the
+    # two sides different AQE partition counts and drop rows at the join.
+    part = part.localCheckpoint(eager=False)
     offsets = part.groupBy("__pid").agg(
         F.max("__grp_max").alias("__part_max")
     )
@@ -2608,3 +2613,91 @@ def rfm_scores(
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("rfm"),
     ).orderBy("key")
+
+
+def behavior_entropy(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    min_events: int = 2,
+) -> DataFrame:
+    """Per-entity behavioral predictability: Shannon entropy of the
+    event-type distribution (H_marginal) and conditional next-event
+    entropy H(next | current) over the time-ordered stream — the
+    bot-vs-human fingerprint next to interarrival_stats (bots replay a
+    script: both entropies collapse toward 0; engaged humans mix). The
+    conditional entropy is sum_a p(a) * H(next | cur=a), computed from
+    the lag-pair cell table; the order is (ts, tiebreak) so ties can't
+    reshuffle transitions across engines. Entities with fewer than
+    `min_events` events are dropped (no transitions to measure).
+    Output: (key..., n_events, n_types, h_marginal, h_conditional)
+    rounded to 6 dp, ordered by key.
+
+    Scale shape: ONE keyed window (the lag) over the raw stream; both
+    entropies then live on cell tables bounded by |types| and |types|^2
+    per entity — the sums are over cells, never rows.
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.col(type_col).alias("__t"),
+        F.lag(F.col(type_col)).over(w).alias("__prev"),
+    )
+    # marginal cells: (key, type) counts
+    marg = base.groupBy(*key_cols, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    totals = marg.groupBy(*key_cols).agg(
+        F.sum("__c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = F.col("__c").cast("double") / F.col("n_events")
+    h_marg = (
+        marg.join(totals, list(key_cols))
+        .groupBy(*key_cols)
+        .agg((-F.sum(p * F.log2(p))).alias("__hm"))
+    )
+    # transition cells: (key, prev, next) counts over rows with a prev
+    trans = (
+        base.where(F.col("__prev").isNotNull())
+        .groupBy(*key_cols, "__prev", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    prev_tot = trans.groupBy(*key_cols, "__prev").agg(
+        F.sum("__c").alias("__ca")
+    )
+    all_tot = trans.groupBy(*key_cols).agg(F.sum("__c").alias("__n"))
+    cond = F.col("__c").cast("double") / F.col("__ca")
+    h_cond = (
+        trans.join(prev_tot, list(key_cols) + ["__prev"])
+        .join(all_tot, list(key_cols))
+        .groupBy(*key_cols)
+        .agg(
+            (
+                -F.sum(
+                    (F.col("__c").cast("double") / F.col("__n"))
+                    * F.log2(cond)
+                )
+            ).alias("__hc")
+        )
+    )
+    return (
+        totals.where(F.col("n_events") >= min_events)
+        .join(h_marg, list(key_cols))
+        .join(h_cond, list(key_cols), "left")
+        .select(
+            *key_cols,
+            "n_events",
+            "n_types",
+            # + 0.0 normalizes IEEE -0.0 (single-type entities) for the
+            # driver's string hash
+            F.round(F.col("__hm") + F.lit(0.0), 6).alias("h_marginal"),
+            F.round(
+                F.coalesce(F.col("__hc"), F.lit(0.0)) + F.lit(0.0), 6
+            ).alias("h_conditional"),
+        )
+        .orderBy(*key_cols)
+    )

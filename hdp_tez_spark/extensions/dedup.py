@@ -1325,3 +1325,112 @@ def sorted_neighborhood_pairs(
         )
         .orderBy("id_a", "rank_gap")
     )
+
+
+def linkage_weights(
+    df: DataFrame,
+    id_col: str,
+    block_key_col: str,
+    fields: Sequence[str],
+    window: int = 3,
+) -> DataFrame:
+    """Fellegi-Sunter-style field agreement weights from blocked
+    candidate pairs (Fellegi & Sunter, JASA 1969) — the scoring layer
+    record linkage puts on top of blocking: for each compare field,
+    m = P(field agrees | candidate pair) estimated from the
+    sorted-neighborhood candidate set, and u = P(field agrees | random
+    pair) computed EXACTLY from value frequencies as
+    sum_v c_v*(c_v-1) / (n*(n-1)) — integer arithmetic, no sampling.
+    agree_weight = log2(m/u) (evidence a match contributes),
+    disagree_weight = log2((1-m)/(1-u)) (evidence a mismatch
+    subtracts). NULL field values never count as agreement; weights are
+    NULL when the ratio is degenerate (m or u at 0/1) rather than
+    +/-inf. Output: one row per field (field, n_pairs, m_prob, u_prob,
+    agree_weight, disagree_weight) rounded to 6 dp, ordered by field.
+
+    Scale shape: candidate pairs ride sorted_neighborhood_pairs'
+    linear-budget rank-offset equi-joins (|pairs| <= window*n by
+    construction); field values arrive through two id-keyed equi-joins;
+    each field's m is a conditional count in ONE pass over the pair
+    table (per-field rows exploded from a bounded |fields| literal
+    array); each u is one |distinct-values| cell collapse. Nothing
+    quadratic anywhere.
+    """
+    if not fields:
+        raise ValueError("linkage_weights needs at least one compare field")
+    pairs = sorted_neighborhood_pairs(df, id_col, block_key_col, window=window)
+    lhs = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"__a_{f}") for f in fields],
+    )
+    rhs = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"__b_{f}") for f in fields],
+    )
+    joined = pairs.select("id_a", "id_b").join(lhs, "id_a").join(rhs, "id_b")
+    # one row per (pair, field): field name + agreement flag
+    per_field = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        (
+                            F.col(f"__a_{f}").isNotNull()
+                            & F.col(f"__b_{f}").isNotNull()
+                            & (F.col(f"__a_{f}") == F.col(f"__b_{f}"))
+                        )
+                        .cast("long")
+                        .alias("agree"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("__fa")
+    ).select("__fa.field", "__fa.agree")
+    m_tab = per_field.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("agree").cast("double") / F.count(F.lit(1))).alias("__m"),
+    )
+    # exact random-pair agreement probability per field from value counts
+    u_parts = []
+    for f in fields:
+        vals = df.where(F.col(f).isNotNull()).groupBy(F.col(f)).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        n_tab = df.agg(F.count(F.lit(1)).alias("__n"))
+        u_parts.append(
+            vals.agg(
+                F.lit(f).alias("field"),
+                F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__agree2"),
+            ).crossJoin(F.broadcast(n_tab))
+            .select(
+                "field",
+                (
+                    F.col("__agree2").cast("double")
+                    / (F.col("__n") * (F.col("__n") - F.lit(1)))
+                ).alias("__u"),
+            )
+        )
+    u_tab = u_parts[0]
+    for p in u_parts[1:]:
+        u_tab = u_tab.unionByName(p)
+    m, u = F.col("__m"), F.col("__u")
+    ok_agree = (m > 0) & (u > 0) & (u < 1)
+    ok_dis = (m < 1) & (u < 1) & (u > 0)
+    return (
+        m_tab.join(F.broadcast(u_tab), "field")
+        .select(
+            "field",
+            "n_pairs",
+            F.round(m, 6).alias("m_prob"),
+            F.round(u, 6).alias("u_prob"),
+            F.round(
+                F.when(ok_agree, F.log2(m / u)), 6
+            ).alias("agree_weight"),
+            F.round(
+                F.when(ok_dis, F.log2((1 - m) / (1 - u))), 6
+            ).alias("disagree_weight"),
+        )
+        .orderBy("field")
+    )

@@ -1749,3 +1749,126 @@ def average_precision(
         )
         .orderBy(*group_cols)
     )
+
+
+def label_noise(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Confident-learning label-noise screen for binary labels (Northcutt
+    et al., JAIR 2021 'Confident Learning', simplified to the binary
+    single-score case) — the label-quality gate a training-data pipeline
+    runs before trusting crowd/weak labels. Per-class confidence
+    thresholds are the mean predicted probability among examples GIVEN
+    that label: t1 = mean(score | label=1), t0 = mean(1-score |
+    label=0). An example is confidently class j when p_j >= t_j; the
+    confident joint counts (given_label, suggested_label) over examples
+    confident in at least one class, suggesting the higher-probability
+    confident class. Off-diagonal cells estimate label noise. Thresholds
+    are rounded to 9 dp on BOTH sides of the oracle pair so the >=
+    comparisons bit-match across engines (an unrounded mean differs in
+    the last ulp under different summation orders). Output: up to 4 rows
+    (given_label, suggested_label, n, frac_of_given) with frac rounded
+    to 6 dp, ordered by (given_label, suggested_label).
+
+    Scale shape: two passes of 1-row aggregates (the thresholds)
+    broadcast back onto a map-side classification — no shuffle carries
+    more than the final <=4-cell table.
+    """
+    p1 = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"), p1.alias("__p1"), y.alias("__y")
+    ).where(p1.isNotNull() & y.isNotNull())
+    thr = base.agg(
+        F.round(F.avg(F.when(F.col("__y") == 1, F.col("__p1"))), 9).alias(
+            "__t1"
+        ),
+        F.round(
+            F.avg(F.when(F.col("__y") == 0, 1 - F.col("__p1"))), 9
+        ).alias("__t0"),
+    )
+    conf1 = F.col("__p1") >= F.col("__t1")
+    conf0 = (1 - F.col("__p1")) >= F.col("__t0")
+    suggested = (
+        F.when(conf1 & conf0, (F.col("__p1") >= 0.5).cast("int"))
+        .when(conf1, F.lit(1))
+        .when(conf0, F.lit(0))
+    )
+    cells = (
+        base.crossJoin(F.broadcast(thr))
+        .select("__y", suggested.alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .groupBy(
+            F.col("__y").alias("given_label"),
+            F.col("__s").alias("suggested_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = (
+        cells.groupBy("given_label")
+        .agg(F.sum("n").alias("__tot"))
+    )
+    return (
+        cells.join(F.broadcast(w_tot), "given_label")
+        .select(
+            "given_label",
+            "suggested_label",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias(
+                "frac_of_given"
+            ),
+        )
+        .orderBy("given_label", "suggested_label")
+    )
+
+
+def power_analysis(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    mde_rel: float = 0.05,
+    z_alpha: float = 1.9599639845400545,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Two-proportion sample-size calculation per group (the standard
+    normal-approximation formula, two-sided alpha=0.05 / power=80% by
+    default): given each group's observed baseline rate p and a relative
+    minimum detectable effect, the required per-arm n is
+
+        n = (z_a*sqrt(2*pbar*(1-pbar)) + z_b*sqrt(p1*(1-p1)+p2*(1-p2)))^2
+            / (p2 - p1)^2,   pbar = (p1+p2)/2
+
+    — the pre-experiment readout that says whether a segment can support
+    its own test at all. p2 = min(p*(1+mde_rel), 1); groups where the
+    rate is degenerate (p in {0,1}) or the effect is zero report NULL.
+    Output: (group..., n_obs, p_base, p_target, n_per_arm) — rates
+    rounded to 6 dp, n_per_arm = ceil, ordered by group.
+
+    Scale shape: ONE partial-aggregated collapse to the |groups| cell
+    table; everything after is closed-form column math on cells.
+    """
+    if not 0 < mde_rel:
+        raise ValueError("mde_rel must be > 0")
+    y = F.col(label_col).cast("double")
+    cells = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_obs"), F.avg(y).alias("__p1")
+    )
+    p1 = F.col("__p1")
+    p2 = F.least(p1 * (1 + F.lit(float(mde_rel))), F.lit(1.0))
+    pbar = (p1 + p2) / 2
+    num = (
+        F.lit(float(z_alpha)) * F.sqrt(2 * pbar * (1 - pbar))
+        + F.lit(float(z_beta)) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    )
+    ok = (p1 > 0) & (p1 < 1) & (p2 > p1)
+    n_req = F.ceil(F.pow(num, 2) / F.pow(p2 - p1, 2)).cast("long")
+    return cells.select(
+        *group_cols,
+        "n_obs",
+        F.round(p1, 6).alias("p_base"),
+        F.round(p2, 6).alias("p_target"),
+        F.when(ok, n_req).alias("n_per_arm"),
+    ).orderBy(*group_cols)

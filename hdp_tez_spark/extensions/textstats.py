@@ -687,3 +687,139 @@ def distinct_ngrams(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("n")
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic curation signal for separating prose from boilerplate/code
+    dumps (extreme grades in either direction are a junk marker). The
+    syllable counter is the deterministic vowel-run heuristic (count of
+    maximal [aeiouy]+ runs per token, floored at 1): crude but standard,
+    and exactly reproducible in any engine — the point is a stable
+    corpus-level ranking signal, not linguistic truth. Sentences are
+    terminator runs ([.!?]+), floored at 1 for any non-empty text.
+    Documents with zero tokens are dropped (scores undefined). Output:
+    (id, n_words, n_sentences, n_syllables, flesch, fk_grade), both
+    scores rounded to 6 dp, ordered by id.
+
+    Scale shape: pure map-side column expressions over each document's
+    token array — no shuffle at all except the output ordering; exactly
+    the token_stats/quality_score class.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    words = F.size(toks).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast(
+            "long"
+        ),
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        (words.cast("double") / sents).alias("__wps"),
+    ).where(F.col("n_words") > 0)
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * F.col("__wps") - F.lit(84.6) * spw,
+            6,
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * F.col("__wps") + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    ).orderBy("id")
+
+
+def vocab_growth(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the corpus in document-id
+    order: V(n) ~ k * n^beta, where n is cumulative token count and V
+    cumulative distinct vocabulary. beta well below ~0.5 on web-scale
+    text signals a template-flooded corpus (vocabulary saturating);
+    beta near 1 signals id-like garbage tokens. The fit is OLS on
+    (ln cum_tokens, ln cum_vocab) across the per-document checkpoint
+    series. Output: ONE row (n_docs, total_tokens, vocab_size, heaps_k,
+    heaps_beta), k/beta rounded to 6 dp.
+
+    Scale shape: tokens collapse map-side to per-doc counts; first
+    occurrences come from ONE (token-hash -> min doc) collapse, then a
+    second |docs|-row collapse to per-doc new-token counts; the two
+    cumulative series ride ONE shared prefix_sum (operators/sort.py —
+    range-partitioned scan + broadcast offsets, never a single-task
+    window over the |docs|-sized table); the OLS fit is a 1-row
+    sufficient-statistics aggregate. Token identity travels as an
+    8-byte md5 hash, never the string.
+    """
+    from hdp_tez_spark.extensions.dedup import _md5_long
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    base = _spread(
+        df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+    )
+    per_doc = base.select("doc", F.size("__toks").alias("n_tok"))
+    firsts = (
+        base.select("doc", F.explode("__toks").alias("__t"))
+        .select("doc", _md5_long(F.col("__t")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    cells = per_doc.join(firsts, "doc", "left").select(
+        "doc",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    cum = prefix_sum(
+        cells,
+        [F.col("doc").asc()],
+        ["n_tok", "n_new"],
+        ["cum_tokens", "cum_vocab"],
+    ).where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    stats = cum.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("vocab_size"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_docs").cast("double")
+    beta = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return stats.select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(F.exp((F.col("__sy") - beta * F.col("__sx")) / n), 6).alias(
+            "heaps_k"
+        ),
+        F.round(beta, 6).alias("heaps_beta"),
+    )

@@ -247,6 +247,13 @@ def prefix_sum(
         with_local = with_local.withColumn(
             f"__local_sum{i}", F.sum(vc).over(local_w)
         )
+    # Same load-bearing pin as global_sort_ranked (found at scale, r10):
+    # `with_local` is referenced by BOTH the offsets subtree and the main
+    # join side; spark_partition_id is partitioning metadata and may only
+    # be read from ONE materialization, or a broken exchange reuse gives
+    # the two sides different AQE partition counts and the inner __pid
+    # join silently drops rows.
+    with_local = with_local.localCheckpoint(eager=False)
     offsets = with_local.groupBy("__pid").agg(
         *[F.sum(vc).alias(f"__part_total{i}") for i, vc in enumerate(vcols)]
     )

@@ -115,6 +115,11 @@ BNLJ_ALLOWED: dict[str, str] = {
     "time_embargo_split": "1-row order-statistic cutoff (and the 1-row "
     "total count under it) crossJoined onto the id list — the split "
     "label is a map-side comparison against that scalar",
+    "linkage_weights": "1-row total-count agg crossJoined onto each "
+    "field's |distinct values| cell table for the exact u-probability "
+    "(census-totals class)",
+    "label_noise": "1-row class-threshold agg crossJoined onto the "
+    "stream for the map-side confident classification",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -154,6 +159,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "rollup — both windows are cell/bucket-bounded by construction",
     "rfm_scores": _OFFSETS,
     "sorted_neighborhood": _OFFSETS,
+    "vocab_growth": _OFFSETS,
+    "linkage_weights": _OFFSETS,
     "time_embargo_split": "cumulative count over the |distinct seconds| "
     "CELL table — clock-bounded (seconds in the data's time span), "
     "never row-sized; plus the global-rank offsets window",

@@ -104,6 +104,13 @@ STANDING_EXTRAS = [
     "average_precision",
     "knn_label",
     "time_embargo_split",
+    # r10 additions (tenth batch)
+    "readability",
+    "vocab_growth",
+    "linkage_weights",
+    "label_noise",
+    "power_analysis",
+    "behavior_entropy",
 ]
 
 
