@@ -11290,6 +11290,269 @@ WHERE t.n_events >= 2 ORDER BY t.user_id
 """
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement (extensions/experiments.py
+    fleiss_kappa) treating each event_id %% 500 bucket as an item and
+    its event types as ratings — the annotation-quality gate beyond
+    the 2-rater cohens_kappa. One (item, category) cell collapse;
+    integer sums until the final ratios."""
+    from hdp_tez_spark.extensions.experiments import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("item"),
+        F.col("event_type").alias("cat"),
+    )
+    return fleiss_kappa(ev, "item", "cat")
+
+
+_SQL_FLEISS_KAPPA = """
+WITH cells AS (
+  SELECT event_id % 500 AS i, event_type AS j, count(*) AS nij
+  FROM events GROUP BY 1, 2
+),
+items AS (
+  SELECT i, sum(nij) AS ni, sum(nij * nij) AS sq
+  FROM cells GROUP BY i HAVING sum(nij) >= 2
+),
+pbar AS (
+  SELECT count(*) AS n_items, sum(ni) AS n_ratings,
+         avg((sq - ni)::DOUBLE / (ni * (ni - 1))) AS pb
+  FROM items
+),
+pe AS (
+  SELECT sum(cj::DOUBLE * cj) / (sum(cj) * sum(cj)) AS pe
+  FROM (
+    SELECT c.j, sum(c.nij) AS cj
+    FROM cells c JOIN items USING (i) GROUP BY c.j
+  )
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_ratings AS BIGINT) AS n_ratings,
+       round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
+       round(CASE WHEN pe < 1 THEN (pb - pe) / (1 - pe) END, 6) AS kappa
+FROM pbar, pe
+"""
+
+
+def q_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift AUUC / area under the Qini curve (extensions/
+    experiments.py qini_auuc) over events with a deterministic
+    treatment (user_id %% 2), outcome (event_id %% 5 = 0) and score
+    ((event_id %% 997)/996) — the targeting-model eval ROC-AUC cannot
+    replace. Global ranking + all four cumulative series ride one
+    shared prefix_sum."""
+    from hdp_tez_spark.extensions.experiments import qini_auuc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 2).alias("tr"),
+        (F.col("event_id") % 5 == 0).cast("int").alias("y"),
+        ((F.col("event_id") % 997) / 996.0).alias("score"),
+    )
+    return qini_auuc(ev, "event_id", "tr", "y", "score")
+
+
+_SQL_QINI_AUUC = """
+WITH b AS (
+  SELECT event_id AS id,
+         CAST(event_id % 997 AS DOUBLE) / 996.0 AS s,
+         CAST(user_id % 2 AS INT) AS t,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cum AS (
+  SELECT sum(t * y) OVER w AS cyt, sum(t) OVER w AS cnt,
+         sum((1 - t) * y) OVER w AS cyc, sum(1 - t) OVER w AS cnc,
+         t
+  FROM b WINDOW w AS (ORDER BY s DESC, id ROWS UNBOUNDED PRECEDING)
+)
+SELECT count(*) AS n,
+       CAST(sum(t) AS BIGINT) AS n_treat,
+       CAST(sum(1 - t) AS BIGINT) AS n_ctrl,
+       round(avg(cyt::DOUBLE - CASE WHEN cnc > 0
+                 THEN cyc::DOUBLE * cnt / cnc ELSE 0.0 END), 6) AS auuc
+FROM cum
+"""
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test (extensions/experiments.py
+    mcnemar_test): model A = value > 50, model B = event_id %% 3 = 0,
+    truth = event_id %% 5 = 0 — the discordant-cell significance test
+    for comparing two models on the SAME eval rows. One conditional-
+    count pass; integer arithmetic until the final ratio."""
+    from hdp_tez_spark.extensions.experiments import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events")
+    truth = F.col("event_id") % 5 == 0
+    flags = ev.select(
+        ((F.col("value") > 50) == truth).cast("int").alias("a_ok"),
+        ((F.col("event_id") % 3 == 0) == truth).cast("int").alias("b_ok"),
+    )
+    return mcnemar_test(flags, "a_ok", "b_ok")
+
+
+_SQL_MCNEMAR = """
+WITH f AS (
+  SELECT CASE WHEN (value > 50) = (event_id % 5 = 0) THEN 1 ELSE 0 END AS a,
+         CASE WHEN (event_id % 3 = 0) = (event_id % 5 = 0) THEN 1 ELSE 0 END AS b
+  FROM events
+),
+c AS (
+  SELECT count(*) AS n,
+         CAST(sum(a * b) AS BIGINT) AS both_right,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS both_wrong,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS a_only,
+         CAST(sum((1 - a) * b) AS BIGINT) AS b_only
+  FROM f
+)
+SELECT n, both_right, both_wrong, a_only, b_only,
+       round(CASE WHEN a_only + b_only > 0 THEN
+         pow(abs(a_only - b_only) - 1, 2)::DOUBLE / (a_only + b_only) END, 6)
+         AS statistic
+FROM c
+"""
+
+
+def q_event_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type lift/PMI within users (extensions/
+    analytics.py event_affinity) on the 10%% event slice (event_id %%
+    10 = 0, so per-user presence actually varies) — the co-engagement
+    map. One collapse to the (user, type) presence table; pair join
+    bounded by |types|^2 per user."""
+    from hdp_tez_spark.extensions.analytics import event_affinity
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    return event_affinity(ev, ["user_id"], "event_type")
+
+
+_SQL_EVENT_AFFINITY = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type AS t
+  FROM events WHERE event_id % 10 = 0 AND event_type IS NOT NULL
+),
+n_t AS (SELECT count(DISTINCT user_id) AS N FROM pres),
+marg AS (SELECT t, count(*) AS n FROM pres GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ma.n AS n_a, mb.n AS n_b,
+       round(p.n_both::DOUBLE * n_t.N / (ma.n * mb.n), 6) AS lift,
+       round(log2(p.n_both::DOUBLE * n_t.N / (ma.n * mb.n)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON p.type_a = ma.t
+JOIN marg mb ON p.type_b = mb.t, n_t
+ORDER BY type_a, type_b
+"""
+
+
+def q_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability of the embedding space (extensions/
+    similarity.py embedding_separability): within/between scatter and
+    the Calinski-Harabasz pseudo-F from one (label, dim) cell collapse
+    — does the geometry know about the labeling? Exact
+    sufficient-statistics identity, cells = k*d rows independent of
+    corpus size."""
+    from hdp_tez_spark.extensions.similarity import embedding_separability
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_separability(emb)
+
+
+_SQL_EMBEDDING_SEPARABILITY = """
+WITH e AS (
+  SELECT label AS l,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+cells AS (
+  SELECT l, pos, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM e GROUP BY l, pos
+),
+gdim AS (SELECT pos, sum(s) / sum(n) AS gmu FROM cells GROUP BY pos),
+per_cell AS (
+  SELECT c.l, c.pos, c.n,
+         c.ss - c.n * (c.s / c.n) * (c.s / c.n) AS w,
+         c.n * (c.s / c.n - g.gmu) * (c.s / c.n - g.gmu) AS b
+  FROM cells c JOIN gdim g USING (pos)
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN pos = 0 THEN n END) AS BIGINT) AS n,
+         count(DISTINCT l) AS k,
+         sum(w) AS W, sum(b) AS B
+  FROM per_cell
+)
+SELECT n, CAST(k AS BIGINT) AS k,
+       round(W, 4) AS within_ss, round(B, 4) AS between_ss,
+       round(CASE WHEN k > 1 AND W > 0 AND n > k
+             THEN (B / (k - 1)) / (W / (n - k)) END, 4)
+         AS calinski_harabasz
+FROM agg
+"""
+
+
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (extensions/ranking.py rank_overlap, Webber
+    et al. TOIS'10) between the revenue top-20 parts of two 2/3-
+    overlapping order slices (l_orderkey %% 3 <> 0 vs <> 1) — the
+    head-weighted retrieval-change monitor. Both inputs are LIMITed
+    top-k lists; everything downstream is k-bounded."""
+    from hdp_tez_spark.extensions.ranking import rank_overlap
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def top(sl: DataFrame) -> DataFrame:
+        t = (
+            sl.groupBy("l_partkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+            .orderBy(F.desc("rev"), F.asc("l_partkey"))
+            .limit(20)
+        )
+        return t.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+            ),
+        )
+
+    a = top(li.where(F.col("l_orderkey") % 3 != 0))
+    b = top(li.where(F.col("l_orderkey") % 3 != 1))
+    return rank_overlap(a, b, "l_partkey", "r", p=0.9, k=20)
+
+
+_SQL_RANK_OVERLAP = """
+WITH a AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY rev DESC, l_partkey) AS r
+  FROM (SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY l_partkey)
+  ORDER BY rev DESC, l_partkey LIMIT 20
+),
+b AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY rev DESC, l_partkey) AS r
+  FROM (SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem WHERE l_orderkey % 3 <> 1 GROUP BY l_partkey)
+  ORDER BY rev DESC, l_partkey LIMIT 20
+),
+common AS (
+  SELECT greatest(a.r, b.r) AS m FROM a JOIN b USING (l_partkey)
+),
+terms AS (
+  SELECT pow(0.9, d - 1) / d AS w
+  FROM common, unnest(generate_series(m, 20)) AS g(d)
+)
+SELECT 20 AS k,
+       (SELECT count(*) FROM common) AS n_common,
+       round(0.1 * coalesce(sum(w), 0.0), 6) AS rbo
+FROM terms
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -11313,6 +11576,16 @@ _PREFIX_R10 = [
     # New never-checked operators added later this round splice at the
     # HEAD and demote the r05 tail (never-checked outranks refresh).
     # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- never-checked (new this round, eleventh batch) — the last six
+    # r05-refresh rows (attribution/bootstrap_ci/calibration_bins/
+    # cms_frequency/cohort_retention + rolling_active_users) demote
+    # below the boundary; never-checked outranks refresh. ---
+    "fleiss_kappa",
+    "qini_auuc",
+    "mcnemar",
+    "event_affinity",
+    "embedding_separability",
+    "rank_overlap",
     # --- never-checked (new this round, tenth batch) — six more
     # r05-refresh rows (collocations/cusum_shift/dataset_diff/
     # edit_distance_pairs/fk_integrity/gap_fill) demote below the
@@ -11372,15 +11645,19 @@ _PREFIX_R10 = [
     "ann_recall",
     "apply_mixture",
     "approx_distinct",
-    "approx_percentile_bound",
-    "attribution",
-    "bootstrap_ci",
-    "calibration_bins",
-    "cms_frequency",
-    "cohort_retention",
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (eleventh batch)
+    "fleiss_kappa": (q_fleiss_kappa, _SQL_FLEISS_KAPPA),
+    "qini_auuc": (q_qini_auuc, _SQL_QINI_AUUC),
+    "mcnemar": (q_mcnemar, _SQL_MCNEMAR),
+    "event_affinity": (q_event_affinity, _SQL_EVENT_AFFINITY),
+    "embedding_separability": (
+        q_embedding_separability,
+        _SQL_EMBEDDING_SEPARABILITY,
+    ),
+    "rank_overlap": (q_rank_overlap, _SQL_RANK_OVERLAP),
     # r10 additions (tenth batch)
     "readability": (q_readability, _SQL_READABILITY),
     "vocab_growth": (q_vocab_growth, _SQL_VOCAB_GROWTH),

@@ -272,6 +272,13 @@ HEADLINE = [
     "label_noise",
     "power_analysis",
     "behavior_entropy",
+    # r10 additions (eleventh batch)
+    "fleiss_kappa",
+    "qini_auuc",
+    "mcnemar",
+    "event_affinity",
+    "embedding_separability",
+    "rank_overlap",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

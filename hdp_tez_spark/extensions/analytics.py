@@ -2701,3 +2701,71 @@ def behavior_entropy(
         )
         .orderBy(*key_cols)
     )
+
+
+def event_affinity(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    type_col: str,
+) -> DataFrame:
+    """Pairwise event-type affinity across entities: for every
+    unordered type pair (a < b), the lift and PMI of co-occurring
+    within the same entity — the cross-sell / co-engagement readout
+    (which behaviors travel together), and for a corpus the
+    topic-co-occurrence map. With N entities, n_a entities exhibiting
+    a, and n_ab exhibiting both: lift = n_ab * N / (n_a * n_b),
+    pmi = log2(lift); pairs never co-occurring are absent (their PMI is
+    -inf by definition — consumers treat absence as "no signal").
+    Output: (type_a, type_b, n_both, n_a, n_b, lift, pmi) rounded to
+    6 dp, ordered by (type_a, type_b).
+
+    Scale shape: raw events collapse ONCE to the distinct
+    (entity, type) presence table; the pair table is a self equi-join
+    on the entity key (per-entity fan-out bounded by |types|^2, and
+    |types| is small by the nature of a type column); marginals come
+    from the presence table, N from a 1-row count broadcast onto the
+    |type-pair| cell table. Nothing event-sized past the first
+    collapse.
+    """
+    keys = [F.col(c) for c in key_cols]
+    pres = df.where(F.col(type_col).isNotNull()).select(
+        *key_cols, F.col(type_col).alias("__t")
+    ).distinct()
+    n_tab = pres.select(*key_cols).distinct().agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    marg = pres.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    a = pres.select(*key_cols, F.col("__t").alias("type_a"))
+    b = pres.select(*key_cols, F.col("__t").alias("type_b"))
+    pairs = (
+        a.join(b, list(key_cols))
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("__N")
+        / (F.col("__na") * F.col("__nb"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("__t").alias("type_a"), F.col("__n").alias("__na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("__t").alias("type_b"), F.col("__n").alias("__nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log2(lift), 6).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )

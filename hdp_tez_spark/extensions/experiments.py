@@ -1872,3 +1872,163 @@ def power_analysis(
         F.round(p2, 6).alias("p_target"),
         F.when(ok, n_req).alias("n_per_arm"),
     ).orderBy(*group_cols)
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa for multi-rater categorical agreement (Fleiss,
+    Psych. Bulletin 1971; the generalized per-item-n form) — the
+    annotation-quality gate for labeling pipelines with more than two
+    raters (cohens_kappa covers the 2-rater case). Input is one row per
+    rating (item, category); rater identity is irrelevant to the
+    statistic. Per item i with n_i ratings and category counts n_ij:
+    P_i = (sum_j n_ij^2 - n_i) / (n_i (n_i - 1)); P-bar is the mean
+    over items; chance agreement P_e = sum_j p_j^2 with p_j the pooled
+    category share; kappa = (P_bar - P_e) / (1 - P_e). Items with fewer
+    than 2 ratings are dropped (pairwise agreement undefined on them).
+    Output: ONE row (n_items, n_ratings, p_bar, p_e, kappa) rounded to
+    6 dp; kappa NULL when P_e = 1 (a single category everywhere).
+
+    Scale shape: ONE partial-aggregated collapse to (item, category)
+    cells; per-item stats collapse those cells; the readout is two tiny
+    aggregates joined as 1-row relations. Integer sums everywhere until
+    the final ratios.
+    """
+    cells = (
+        df.where(F.col(item_col).isNotNull() & F.col(category_col).isNotNull())
+        .groupBy(F.col(item_col).alias("__i"), F.col(category_col).alias("__j"))
+        .agg(F.count(F.lit(1)).alias("__nij"))
+    )
+    items = (
+        cells.groupBy("__i")
+        .agg(
+            F.sum("__nij").alias("__ni"),
+            F.sum(F.col("__nij") * F.col("__nij")).alias("__sq"),
+        )
+        .where(F.col("__ni") >= 2)
+    )
+    pbar_tab = items.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__ni").alias("n_ratings"),
+        F.avg(
+            (F.col("__sq") - F.col("__ni")).cast("double")
+            / (F.col("__ni") * (F.col("__ni") - 1))
+        ).alias("__pbar"),
+    )
+    # pooled category shares from the SAME cells, restricted to kept items
+    pe_tab = (
+        cells.join(items.select("__i"), "__i")
+        .groupBy("__j")
+        .agg(F.sum("__nij").alias("__cj"))
+        .agg(
+            (
+                F.sum(F.col("__cj").cast("double") * F.col("__cj"))
+                / (F.sum("__cj") * F.sum("__cj"))
+            ).alias("__pe")
+        )
+    )
+    pb, pe = F.col("__pbar"), F.col("__pe")
+    return pbar_tab.crossJoin(F.broadcast(pe_tab)).select(
+        "n_items",
+        "n_ratings",
+        F.round(pb, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(F.when(pe < 1, (pb - pe) / (1 - pe)), 6).alias("kappa"),
+    )
+
+
+def qini_auuc(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Uplift-model quality: the area under the Qini curve (Radcliffe,
+    Direct Marketing Analytics 2007) — THE eval for targeting models,
+    where ROC-AUC is wrong because treatment and control outcomes must
+    be compared at equal targeting depth. Rows are ranked score-descending
+    (ties by id); at each depth k,
+    qini(k) = Y_t(k) - Y_c(k) * N_t(k)/N_c(k) (incremental conversions
+    vs the depth-matched control expectation; 0-control depths
+    contribute Y_t(k) alone). auuc = mean over all n depths. Output:
+    ONE row (n, n_treat, n_ctrl, auuc) rounded to 6 dp.
+
+    Scale shape: the global ranking and all four cumulative series ride
+    ONE shared prefix_sum (range-partitioned scan + broadcast offsets,
+    never a single-task window over data-sized rows); the readout is a
+    1-row aggregate over the scanned stream.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    t = F.col(treat_col).cast("int")
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("__s"),
+        (t * y).cast("long").alias("__yt"),
+        t.cast("long").alias("__nt"),
+        ((1 - t) * y).cast("long").alias("__yc"),
+        (1 - t).cast("long").alias("__nc"),
+    )
+    cum = prefix_sum(
+        base,
+        [F.col("__s").desc(), F.col("id").asc()],
+        ["__yt", "__nt", "__yc", "__nc"],
+        ["cyt", "cnt", "cyc", "cnc"],
+    )
+    qini = F.col("cyt").cast("double") - F.when(
+        F.col("cnc") > 0,
+        F.col("cyc").cast("double") * F.col("cnt") / F.col("cnc"),
+    ).otherwise(F.lit(0.0))
+    return cum.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__nt").alias("n_treat"),
+        F.sum("__nc").alias("n_ctrl"),
+        F.round(F.avg(qini), 6).alias("auuc"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_correct_col: str,
+    b_correct_col: str,
+) -> DataFrame:
+    """McNemar's test for paired classifiers on a shared eval set — the
+    right significance test when comparing model A vs model B row by
+    row (a two-proportion z-test double-counts the concordant mass).
+    Input: one row per example with boolean/0-1 correctness flags for
+    each model. Only the discordant cells carry signal:
+    b = A right & B wrong, c = A wrong & B right; the
+    continuity-corrected statistic is (|b - c| - 1)^2 / (b + c),
+    chi-square with 1 dof under H0 (statistic only — the chi_square
+    family convention; feed fdr_bh for multiplicity). NULL when
+    b + c = 0 (no disagreements, test undefined). Output: ONE row
+    (n, both_right, both_wrong, a_only, b_only, statistic) rounded to
+    6 dp.
+
+    Scale shape: one partial-aggregated pass of conditional counts —
+    a 1-row output, integer arithmetic until the final ratio.
+    """
+    a = F.col(a_correct_col).cast("int")
+    b = F.col(b_correct_col).cast("int")
+    cells = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("both_right"),
+        F.sum((1 - a) * (1 - b)).alias("both_wrong"),
+        F.sum(a * (1 - b)).alias("a_only"),
+        F.sum((1 - a) * b).alias("b_only"),
+    )
+    bb, cc = F.col("a_only"), F.col("b_only")
+    stat = F.pow(F.abs(bb - cc) - 1, 2) / (bb + cc)
+    return cells.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        F.round(F.when(bb + cc > 0, stat), 6).alias("statistic"),
+    )

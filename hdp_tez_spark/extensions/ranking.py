@@ -648,3 +648,59 @@ def ranking_eval(
         ).alias("rr_at_k"),
     )
     return out.orderBy(query_col)
+
+
+def rank_overlap(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    id_col: str,
+    rank_col: str = "r",
+    p: float = 0.9,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-biased overlap between two top-k lists (Webber, Moffat &
+    Zobel, TOIS 2010), truncated at depth k — the retrieval-change
+    monitor: how much did the ranking REALLY move between two index
+    builds / retriever versions, weighting the head far above the
+    tail (persistence p; p=0.9 puts ~86% of the mass in the top 10).
+    RBO_min = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d. An item
+    at ranks (ra, rb) enters every depth d >= max(ra, rb), so the sum
+    regroups per shared item as sum_{d=m..k} p^(d-1)/d — a bounded
+    k-term series. Output: ONE row (k, n_common, rbo) rounded to 6 dp.
+
+    Scale shape: the two inputs are top-k lists BY CONTRACT (bounded
+    relations, exactly the rrf_fusion precedent); the join, the
+    depth explode (<= k^2 rows total), and the aggregate are all
+    k-bounded — corpus-sized data never reaches this operator.
+    """
+    if not 0 < p < 1:
+        raise ValueError("p must be in (0, 1)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = list_a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    ).where(F.col(rank_col) <= k)
+    b = list_b.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    ).where(F.col(rank_col) <= k)
+    common = a.join(b, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    terms = common.select(
+        F.explode(F.sequence(F.col("__m"), F.lit(int(k)))).alias("__d")
+    ).select(
+        (
+            F.pow(F.lit(float(p)), F.col("__d") - 1) / F.col("__d")
+        ).alias("__w")
+    )
+    n_common = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        terms.agg(
+            F.round(
+                (1 - F.lit(float(p))) * F.coalesce(F.sum("__w"), F.lit(0.0)),
+                6,
+            ).alias("rbo")
+        )
+        .crossJoin(F.broadcast(n_common))
+        .select(F.lit(int(k)).alias("k"), "n_common", "rbo")
+    )

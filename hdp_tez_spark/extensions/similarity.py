@@ -1063,3 +1063,71 @@ def knn_label(
         .select("query_id", "label", "votes", "k_used")
         .orderBy("query_id")
     )
+
+
+def embedding_separability(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label separability of an embedding space — the one-number answer
+    to "do these embeddings know about this labeling?": within-class
+    vs between-class scatter and the Calinski-Harabasz pseudo-F
+    ratio (Calinski & Harabasz, Comm. Statistics 1974),
+    CH = (B/(k-1)) / (W/(n-k)). High CH = classes form tight separated
+    clouds (the labeling is recoverable from geometry); CH near 1 =
+    the embedding is blind to it. Scatter is computed by the exact
+    sufficient-statistics identity (W = sum x^2 - sum n_c mu_c^2 per
+    dimension; B = sum n_c (mu_c - mu)^2) — one pass, no second scan
+    against broadcast centroids. Output: ONE row (n, k, within_ss,
+    between_ss, calinski_harabasz), SS rounded to 4 dp (the
+    embedding_covariance precedent: 100x headroom over summation-order
+    noise), CH to 4 dp.
+
+    Scale shape: ONE (label, dim) cell collapse of the exploded
+    vectors (cells = k*d rows, independent of corpus size); the global
+    mean derives from the SAME cells; everything after is cell math.
+    """
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("__l"), F.posexplode(F.col(vec_col)))
+    cells = base.groupBy("__l", "pos").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("col").cast("double")).alias("__s"),
+        F.sum(F.col("col").cast("double") * F.col("col")).alias("__ss"),
+    )
+    # global per-dimension mean from the same cells
+    gdim = cells.groupBy("pos").agg(
+        (F.sum("__s") / F.sum("__n")).alias("__gmu")
+    )
+    mu = F.col("__s") / F.col("__n")
+    per_cell = cells.join(F.broadcast(gdim), "pos").select(
+        "__l",
+        "__n",
+        (F.col("__ss") - F.col("__n") * mu * mu).alias("__w"),
+        (F.col("__n") * (mu - F.col("__gmu")) * (mu - F.col("__gmu"))).alias(
+            "__b"
+        ),
+        F.col("__n").alias("__nc"),
+        F.col("pos"),
+    )
+    agg = per_cell.agg(
+        # rows per class counted once (cells repeat per dimension)
+        (F.sum(F.when(F.col("pos") == 0, F.col("__nc")))).alias("n"),
+        F.count_distinct(F.col("__l")).alias("k"),
+        F.sum("__w").alias("__W"),
+        F.sum("__b").alias("__B"),
+    )
+    W, B = F.col("__W"), F.col("__B")
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    ch = F.when(
+        (F.col("k") > 1) & (W > 0) & (n > k),
+        (B / (k - 1)) / (W / (n - k)),
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.round(W, 4).alias("within_ss"),
+        F.round(B, 4).alias("between_ss"),
+        F.round(ch, 4).alias("calinski_harabasz"),
+    )

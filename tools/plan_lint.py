@@ -120,6 +120,12 @@ BNLJ_ALLOWED: dict[str, str] = {
     "(census-totals class)",
     "label_noise": "1-row class-threshold agg crossJoined onto the "
     "stream for the map-side confident classification",
+    "fleiss_kappa": "two 1-row sufficient-statistic aggs (P-bar, P_e) "
+    "crossJoined into the single readout row (census-totals class)",
+    "event_affinity": "1-row entity-count agg crossJoined onto the "
+    "|type-pair| cell table for the lift denominator",
+    "rank_overlap": "1-row overlap-count agg crossJoined onto the "
+    "1-row RBO sum — both sides k-bounded by contract",
 }
 
 # Row-at-a-time Python UDTF is the documented @udtf parity surface
@@ -161,6 +167,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "sorted_neighborhood": _OFFSETS,
     "vocab_growth": _OFFSETS,
     "linkage_weights": _OFFSETS,
+    "qini_auuc": _OFFSETS,
+    "rank_overlap": "row_number over the LIMITed top-20 revenue lists "
+    "(rrf_fusion class: inputs are k-bounded by construction)",
     "time_embargo_split": "cumulative count over the |distinct seconds| "
     "CELL table — clock-bounded (seconds in the data's time span), "
     "never row-sized; plus the global-rank offsets window",

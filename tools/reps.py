@@ -111,6 +111,13 @@ STANDING_EXTRAS = [
     "label_noise",
     "power_analysis",
     "behavior_entropy",
+    # r10 additions (eleventh batch)
+    "fleiss_kappa",
+    "qini_auuc",
+    "mcnemar",
+    "event_affinity",
+    "embedding_separability",
+    "rank_overlap",
 ]
 
 
