@@ -10695,6 +10695,7 @@ SELECT c.l_returnflag, c.n_pos,
        CAST(least(100, c.n_pos) AS INT) AS k_used,
        round(st.xk1, 6) AS x_k1,
        round(CASE WHEN st.xk1 IS NOT NULL
+                   AND st.ls - 100.0 * ln(st.xk1) <> 0
              THEN 100.0 / (st.ls - 100.0 * ln(st.xk1)) END, 6) AS alpha
 FROM counts c JOIN st USING (l_returnflag)
 ORDER BY l_returnflag

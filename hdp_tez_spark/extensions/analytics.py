@@ -2431,11 +2431,12 @@ def hill_tail_index(
             F.when(F.col("__rk") <= k, F.log(F.col("__v")))
         ).alias("__logsum"),
     )
-    alpha = F.when(
-        F.col("__xk1").isNotNull(),
-        F.lit(float(k))
-        / (F.col("__logsum") - F.lit(float(k)) * F.log(F.col("__xk1"))),
-    )
+    # degenerate guard (found by the hypothesis layer, r10): when every
+    # top-k value equals x_{k+1} (a constant tail) the denominator is
+    # exactly 0 — the estimator is undefined there, and ANSI mode would
+    # raise DIVIDE_BY_ZERO instead of returning a row. Emit NULL alpha.
+    denom = F.col("__logsum") - F.lit(float(k)) * F.log(F.col("__xk1"))
+    alpha = F.when(F.col("__xk1").isNotNull() & (denom != 0), F.lit(float(k)) / denom)
     out = counts.join(stats, list(group_cols))
     return out.select(
         *group_cols,

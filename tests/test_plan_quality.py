@@ -465,8 +465,12 @@ def test_binary_auc_no_global_window(spark):
     plan = _plan(df)
     # Window.orderBy with no partitionBy renders as 'Window [...], [x ASC...]'
     # after an Exchange SinglePartition over the FULL data; the offsets
-    # table (one row per range partition) is the only single-partition hop
-    assert "rangepartitioning" in plan
+    # table (one row per range partition) is the only single-partition hop.
+    # Since the r10 dual-instantiation fix, prefix_sum pins its
+    # range-partitioned scan with a lazy localCheckpoint, so the range
+    # exchange lives INSIDE the checkpointed RDD and the downstream plan
+    # shows a Scan ExistingRDD instead of the rangepartitioning string.
+    assert "rangepartitioning" in plan or "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -116,9 +116,14 @@ def test_hill_matches_sorted_reference(spark, vals, k):
         assert r.alpha is None and r.x_k1 is None
         return
     xk1 = xs[k]
-    alpha = k / sum(math.log(xs[i] / xk1) for i in range(k))
-    assert r.x_k1 == pytest.approx(xk1, rel=1e-6)
-    assert r.alpha == pytest.approx(alpha, rel=1e-4)
+    # operator rounds x_k1 to 6 dp; compare against the rounded value
+    assert r.x_k1 == pytest.approx(round(xk1, 6), abs=1e-9)
+    denom = sum(math.log(xs[i] / xk1) for i in range(k))
+    if denom == 0:
+        # constant tail: estimator undefined, operator emits NULL
+        assert r.alpha is None
+    else:
+        assert r.alpha == pytest.approx(k / denom, rel=1e-4)
 
 
 # ------------------------------------------------------------ interarrival
