@@ -11554,6 +11554,248 @@ FROM terms
 """
 
 
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types on event value
+    (extensions/experiments.py anova_oneway): the parametric twin of
+    kruskal_wallis — one map-side-combined collapse to per-group
+    (n, Σx, Σx²) sufficient statistics, then a 1-row reduce. Raw table
+    scanned exactly once; integer/sufficient-stat arithmetic until the
+    final ratios."""
+    from hdp_tez_spark.extensions.experiments import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+_SQL_ANOVA_F = """
+WITH g AS (
+  SELECT event_type AS grp, count(*) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+r AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts,
+         sum(s * s / n) AS bg, sum(ss - s * s / n) AS wg
+  FROM g
+)
+SELECT k AS n_groups, nn::BIGINT AS n,
+       round(bg - ts * ts / nn, 6) AS ss_between,
+       round(wg, 6) AS ss_within,
+       round(CASE WHEN nn > k AND wg > 0 THEN
+         ((bg - ts * ts / nn) / (k - 1)) / (wg / (nn - k)) END, 6)
+         AS f_stat,
+       round(CASE WHEN (bg - ts * ts / nn) + wg > 0 THEN
+         (bg - ts * ts / nn) / ((bg - ts * ts / nn) + wg) END, 6)
+         AS eta_sq
+FROM r
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between document language and source
+    (extensions/experiments.py cramers_v): the [0,1]-normalized effect
+    size over the observed contingency cells only — the zero-cell-free
+    χ² identity means the dense lang×source grid never materializes.
+    One cell collapse + two |levels|-row broadcast totals."""
+    from hdp_tez_spark.extensions.experiments import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+_SQL_CRAMERS_V = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+rt AS (SELECT a, sum(o) AS rtot FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o) AS ctot FROM cells GROUP BY b),
+r AS (
+  SELECT sum(o) AS n, count(DISTINCT cells.a) AS ra,
+         count(DISTINCT cells.b) AS cb,
+         sum(o::DOUBLE * o / (rtot * ctot)) AS q
+  FROM cells JOIN rt USING (a) JOIN ct USING (b)
+)
+SELECT n::BIGINT AS n, ra AS levels_a, cb AS levels_b,
+       round(n * (q - 1), 6) AS chi2,
+       round(CASE WHEN least(ra, cb) - 1 >= 1 THEN
+         sqrt(n * (q - 1) / (n * (least(ra, cb) - 1))) END, 6) AS v
+FROM r
+"""
+
+
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 distance between click and purchase
+    event values (extensions/experiments.py wasserstein_1d): the
+    magnitude-aware drift readout next to ks_test — distinct-value
+    cells, ONE multi-column prefix_sum pass (counts + segment index),
+    consecutive segments paired by an idx+1 equi-join (never a global
+    lead window), 1-row reduce."""
+    from hdp_tez_spark.extensions.experiments import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
+_SQL_WASSERSTEIN_1D = """
+WITH s AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+c AS (
+  SELECT v, sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         count(*) AS t
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(t)  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_t,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM c
+),
+tot AS (SELECT sum(ca) AS na, sum(t) - sum(ca) AS nb FROM c)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(sum((nv - v) * abs(cum_a::DOUBLE / na
+                                - (cum_t - cum_a)::DOUBLE / nb)), 6)
+         AS w1
+FROM cum CROSS JOIN tot
+WHERE nv IS NOT NULL
+GROUP BY na, nb
+"""
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies over the document
+    corpus (extensions/textstats.py good_turing): N_r band sizes,
+    adjusted counts r* = (r+1)N_{r+1}/N_r, and the per-band token mass
+    whose r=1 row is the classic unseen-vocabulary estimate. One
+    O(|vocab|) hash collapse; the r↔r+1 pairing is a tiny self
+    equi-join; token identity travels as the md5 60-bit hash the
+    oracle reproduces."""
+    from hdp_tez_spark.extensions.textstats import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"), "text")
+
+
+_SQL_GOOD_TURING = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+  FROM t, unnest(toks) AS u(tk)
+),
+f AS (SELECT h, count(*) AS r FROM tok GROUP BY h),
+nr AS (SELECT r, count(*) AS n_r FROM f GROUP BY r),
+tot AS (SELECT sum(r * n_r) AS n FROM nr)
+SELECT a.r, a.n_r::BIGINT AS n_r,
+       round((a.r + 1) * b.n_r::DOUBLE / a.n_r, 6) AS r_star,
+       round(a.r * a.n_r / n::DOUBLE, 6) AS p_mass
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot
+ORDER BY a.r
+"""
+
+
+def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness of the English sub-corpus vs the
+    rest (extensions/textstats.py keyness_llr): top-25 most
+    over/under-represented terms by G², sorted on the ROUNDED
+    statistic so the top-k boundary is engine-stable. One (term, a, b)
+    count collapse + a 1-row totals broadcast + a TakeOrdered."""
+    from hdp_tez_spark.extensions.textstats import keyness_llr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    return keyness_llr(docs, "text", "is_en", k=25)
+
+
+_SQL_KEYNESS_LLR = """
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT tk AS term, sum(f) AS count_a, sum(1 - f) AS count_b
+  FROM t, unnest(toks) AS u(tk) GROUP BY tk
+),
+tot AS (SELECT sum(count_a) AS ta, sum(count_b) AS tb FROM c),
+s AS (
+  SELECT term, count_a, count_b,
+         round(2 * (
+           CASE WHEN count_a > 0 THEN count_a * ln(
+             count_a / (ta * (count_a + count_b)::DOUBLE / (ta + tb)))
+           ELSE 0 END
+           + CASE WHEN count_b > 0 THEN count_b * ln(
+             count_b / (tb * (count_a + count_b)::DOUBLE / (ta + tb)))
+           ELSE 0 END), 6) AS g2,
+         CASE WHEN count_a::DOUBLE / ta >= count_b::DOUBLE / tb
+              THEN 1 ELSE -1 END AS direction
+  FROM c CROSS JOIN tot
+)
+SELECT term, count_a::BIGINT AS count_a, count_b::BIGINT AS count_b,
+       g2, direction
+FROM s ORDER BY g2 DESC, term ASC LIMIT 25
+"""
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority over the DIRECTED customer→supplier trade
+    graph (extensions/graph.py hits_scores, iters=2): customers score
+    as hubs, suppliers as authorities — the bipartite co-citation
+    readout next to pagerank (which runs the symmetrized graph).
+    Normalization deferred to the readout keeps every iterate exact
+    LONG arithmetic; oracle is the 2-iteration unrolled SQL (the
+    pagerank pattern)."""
+    from hdp_tez_spark.extensions.graph import hits_scores
+
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 200000).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iters=2)
+
+
+_SQL_HITS_SCORES = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 200000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+a1 AS (SELECT dst AS node, count(*) AS a FROM pairs GROUP BY dst),
+h1 AS (SELECT p.src AS node, sum(a1.a) AS h
+       FROM pairs p JOIN a1 ON p.dst = a1.node GROUP BY p.src),
+a2 AS (SELECT p.dst AS node, sum(h1.h) AS a
+       FROM pairs p JOIN h1 ON p.src = h1.node GROUP BY p.dst),
+h2 AS (SELECT p.src AS node, sum(a2.a) AS h
+       FROM pairs p JOIN a2 ON p.dst = a2.node GROUP BY p.src),
+tot AS (SELECT (SELECT sum(h) FROM h2) AS sh,
+               (SELECT sum(a) FROM a2) AS sa)
+SELECT n.node,
+       round(coalesce(h2.h, 0)::DOUBLE / sh, 6) AS hub,
+       round(coalesce(a2.a, 0)::DOUBLE / sa, 6) AS auth
+FROM nodes n LEFT JOIN h2 ON n.node = h2.node
+             LEFT JOIN a2 ON n.node = a2.node
+CROSS JOIN tot
+ORDER BY n.node
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -11577,6 +11819,17 @@ _PREFIX_R10 = [
     # New never-checked operators added later this round splice at the
     # HEAD and demote the r05 tail (never-checked outranks refresh).
     # All 50 pass the local sf0.01 --exact gate before this lands.
+    # --- never-checked (new this round, twelfth batch) — six more
+    # r05-refresh rows (acf/ann_recall/apply_mixture/approx_distinct
+    # from the tail below, plus attribution/bootstrap_ci already
+    # demoted) demote below the boundary; never-checked outranks
+    # refresh. ---
+    "anova_f",
+    "cramers_v",
+    "wasserstein_1d",
+    "good_turing",
+    "keyness_llr",
+    "hits_scores",
     # --- never-checked (new this round, eleventh batch) — the last six
     # r05-refresh rows (attribution/bootstrap_ci/calibration_bins/
     # cms_frequency/cohort_retention + rolling_active_users) demote
@@ -11617,7 +11870,8 @@ _PREFIX_R10 = [
     "modularity",
     "hill_tail_index",
     "interarrival_stats",
-    # --- r04-evidence refresh (all 22) ---
+    # --- r04-evidence refresh (20 of 22; woe_iv/zorder_stats demoted
+    # by the twelfth batch, see tail note) ---
     "partition_overwrite",
     "point_in_time_join",
     "prefix_filter_join",
@@ -11638,17 +11892,20 @@ _PREFIX_R10 = [
     "triangle_count",
     "weighted_sample",
     "winsorize",
-    "woe_iv",
-    "zorder_stats",
-    # --- r05-evidence refresh (22 of 38; the 6 demoted by the eighth
-    # batch above join the 10-row tail -> 16 r05 rows left for r11) ---
-    "acf",
-    "ann_recall",
-    "apply_mixture",
-    "approx_distinct",
+    # --- woe_iv + zorder_stats (r04) and the whole r05-refresh block
+    # (acf/ann_recall/apply_mixture/approx_distinct) demoted by the
+    # twelfth batch to keep len == 50 — never-checked outranks
+    # refresh; they stay first in line for the r11 rotation ---
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (twelfth batch)
+    "anova_f": (q_anova_f, _SQL_ANOVA_F),
+    "cramers_v": (q_cramers_v, _SQL_CRAMERS_V),
+    "wasserstein_1d": (q_wasserstein_1d, _SQL_WASSERSTEIN_1D),
+    "good_turing": (q_good_turing, _SQL_GOOD_TURING),
+    "keyness_llr": (q_keyness_llr, _SQL_KEYNESS_LLR),
+    "hits_scores": (q_hits_scores, _SQL_HITS_SCORES),
     # r10 additions (eleventh batch)
     "fleiss_kappa": (q_fleiss_kappa, _SQL_FLEISS_KAPPA),
     "qini_auuc": (q_qini_auuc, _SQL_QINI_AUUC),

@@ -279,6 +279,13 @@ HEADLINE = [
     "event_affinity",
     "embedding_separability",
     "rank_overlap",
+    # r10 additions (twelfth batch)
+    "anova_f",
+    "cramers_v",
+    "wasserstein_1d",
+    "good_turing",
+    "keyness_llr",
+    "hits_scores",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -2032,3 +2032,196 @@ def mcnemar_test(
         "b_only",
         F.round(F.when(bb + cc > 0, stat), 6).alias("statistic"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F test across ALL groups present — the parametric
+    twin of `kruskal_wallis` (which works on ranks) for multi-arm
+    experiments and segment mean comparisons. Classical decomposition:
+    SS_between = Σ_g n_g (x̄_g - x̄)², SS_within = Σ_g Σ_i (x_ig - x̄_g)²,
+    F = (SS_between / (k-1)) / (SS_within / (N-k)). Output: ONE row
+    (n_groups, n, ss_between, ss_within, f_stat, eta_sq) rounded to
+    6 dp; compare f_stat to the F(k-1, N-k) threshold driver-side (the
+    CDF is not expressible identically in both engines — the ks_test /
+    kruskal_wallis convention). f_stat is NULL when N = k (no
+    within-group df) or SS_within = 0 (all groups constant); eta_sq
+    (= SS_between / SS_total, the effect size) is NULL when SS_total
+    = 0. NULL values and NULL group labels are excluded.
+
+    Scale shape: ONE map-side-combined collapse to per-group sufficient
+    statistics (n_g, Σx, Σx²) — |groups| rows — then a 1-row reduce
+    using SS_between = Σ (Σx_g)²/n_g - (Σx)²/N and
+    SS_within = Σ (Σx²_g - (Σx_g)²/n_g). The raw table is scanned
+    exactly once; nothing after the first collapse exceeds |groups|
+    rows.
+    """
+    v = F.col(value_col).cast("double")
+    per_g = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    red = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__s").alias("__ts"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__bg"),
+        F.sum(
+            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")
+        ).alias("__wg"),
+    )
+    k, n = F.col("__k"), F.col("__nn")
+    ssb = F.col("__bg") - F.col("__ts") * F.col("__ts") / n
+    ssw = F.col("__wg")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return red.select(
+        k.alias("n_groups"),
+        n.alias("n"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(F.when((n > k) & (ssw > 0), f_stat), 6).alias("f_stat"),
+        F.round(F.when(ssb + ssw > 0, ssb / (ssb + ssw)), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0, 1]-normalized effect size the raw `chi_square` statistic lacks
+    (χ² grows with N; V = sqrt(χ² / (N · (min(r, c) - 1))) does not),
+    used to rank feature↔label and feature↔feature dependence in
+    selection / leakage screens. Output: ONE row (n, levels_a,
+    levels_b, chi2, v) rounded to 6 dp; v is NULL when either column
+    is constant (min(r, c) = 1). NULL labels on either side are
+    excluded.
+
+    Uses the zero-cell-free identity χ² = N · (Σ_observed
+    o²/(rowtot · coltot) - 1): absent (a, b) cells contribute exactly
+    0 to the sum, so only OBSERVED cells are ever materialized — the
+    r×c dense grid never exists.
+
+    Scale shape: ONE map-side-combined collapse to observed (a, b)
+    cells; row / column totals are |levels|-row aggregates broadcast
+    back onto the cells; the χ² readout is a 1-row reduce. Integer
+    counts until the final ratios.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    cells = truncate_lineage(cells)
+    rows = cells.groupBy("__a").agg(F.sum("__o").alias("__rt"))
+    cols = cells.groupBy("__b").agg(F.sum("__o").alias("__ct"))
+    joined = cells.join(F.broadcast(rows), "__a").join(
+        F.broadcast(cols), "__b"
+    )
+    red = joined.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct(F.col("__a")).alias("__ra"),
+        F.count_distinct(F.col("__b")).alias("__cb"),
+        F.sum(
+            F.col("__o").cast("double")
+            * F.col("__o")
+            / (F.col("__rt") * F.col("__ct"))
+        ).alias("__q"),
+    )
+    n = F.col("__n")
+    chi2 = n * (F.col("__q") - 1)
+    mindim = F.least(F.col("__ra"), F.col("__cb")) - 1
+    return red.select(
+        n.alias("n"),
+        F.col("__ra").alias("levels_a"),
+        F.col("__cb").alias("levels_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.when(mindim >= 1, F.sqrt(chi2 / (n * mindim))), 6
+        ).alias("v"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth mover's) distance — the
+    magnitude-aware drift readout `ks_test` caps at 1: W₁ = ∫|F_a -
+    F_b| dx integrates HOW FAR apart the CDFs are in value units, so a
+    uniform +10 shift scores 10 where KS saturates. Output: ONE row
+    (n_a, n_b, w1) with w1 rounded to 6 dp; w1 is NULL when either
+    group is empty. NULL values excluded.
+
+    Each CDF value is a ratio of exact integer prefix counts; the only
+    float accumulation is the final Σ gap·|ΔF| segment sum.
+
+    Scale shape: raw rows collapse to DISTINCT value cells with
+    per-group counts (map-side combined, checkpointed); cumulative
+    counts AND a dense segment index ride ONE multi-column
+    `prefix_sum` pass (no single-task window); consecutive segments
+    pair by an idx = idx+1 equi-join of the |distinct|-cell table with
+    itself (never a global lead window); the readout is a 1-row
+    reduce.
+    """
+    from hdp_tez_spark.operators.sort import prefix_sum
+
+    cells = _two_group_value_cells(
+        df, group_col, value_col, group_a, group_b
+    ).withColumn("__one", F.lit(1))
+    cum = prefix_sum(
+        cells,
+        [F.col("__v")],
+        ["__ca", "__t", "__one"],
+        ["__cum_a", "__cum_t", "__idx"],
+    )
+    cum = truncate_lineage(
+        cum.select("__v", "__cum_a", "__cum_t", "__idx")
+    )
+    totals = cells.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    nxt = cum.select(
+        (F.col("__idx") - 1).alias("__idx"), F.col("__v").alias("__nv")
+    )
+    segs = (
+        cum.join(nxt, "__idx")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__na",
+            "__nb",
+            (
+                (F.col("__nv") - F.col("__v"))
+                * F.abs(
+                    F.col("__cum_a") / F.col("__na")
+                    - (F.col("__cum_t") - F.col("__cum_a"))
+                    / F.col("__nb")
+                )
+            ).alias("__seg"),
+        )
+    )
+    return (
+        segs.groupBy("__na", "__nb")
+        .agg(F.round(F.sum("__seg"), 6).alias("w1"))
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            "w1",
+        )
+    )

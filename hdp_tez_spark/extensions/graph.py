@@ -753,3 +753,107 @@ def modularity_score(
             6,
         ).alias("q"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg, JACM 1999) over a directed
+    edge list — the bipartite-friendly companion to `pagerank`: hubs
+    are nodes that POINT AT good authorities, authorities are nodes
+    pointed at BY good hubs. Per iteration i:
+    auth_i(v) = Σ_{(u,v)∈E} hub_{i-1}(u), then
+    hub_i(u) = Σ_{(u,v)∈E} auth_i(v). Duplicate edges count once —
+    dedup upstream if needed.
+
+    Normalization is deferred to the readout (each vector scaled to
+    L1 = 1 there), so with hub_0 = 1 every intermediate iterate is an
+    INTEGER (auth_1 is in-degree, hub_1 is the sum of successors'
+    in-degrees, …) carried exactly in LONG arithmetic — bit-stable
+    across engines, partitionings, and retries, where the textbook
+    per-round L2 normalization would compound float summation-order
+    noise through every iteration. Exactness bounds iters: iterate
+    magnitudes grow like (Σdeg)^iters, so keep iters ≤ 3 on billion-
+    edge graphs (the default 2 is the classic co-citation readout) —
+    raise it only with the overflow headroom checked.
+
+    Output: (node, hub, auth) over nodes = src ∪ dst, both columns
+    rounded to 6 dp, ordered by node. Nodes with no out-edges have
+    hub = 0; no in-edges, auth = 0. A graph with zero edges returns
+    zero rows.
+
+    Scale shape per round: two keyed equi-joins (edges ⋈ scores) each
+    followed by a map-side-combined groupBy on the opposite endpoint —
+    never all-pairs, shuffle O(|E|) narrow (long, long) rows; per-round
+    LoopCheckpointer cuts keep round i's plan independent of round i-1
+    (and carry the iterative-loop AQE coalesce floor — the
+    label_propagation x100-edge lesson). The L1 totals ride a 1-row
+    broadcast at readout; nothing is ever collected.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes, checkpoint_dir)
+    e = truncate_lineage(e, checkpoint_dir)
+
+    # TWO checkpointers, one per score vector: LoopCheckpointer.cut
+    # releases the PREVIOUS cut's blocks, so interleaving auth and hub
+    # cuts through one instance would free the final auth the readout
+    # still needs (each instance only ever releases its own stale
+    # rounds).
+    lc_a = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "hits_a")
+    lc_h = LoopCheckpointer(edges.sparkSession, checkpoint_dir, "hits_h")
+    # hub_0 = 1 for every node; auth/hub stay LONG until the readout
+    hub = nodes.select("node", F.lit(1).cast("long").alias("__h"))
+    auth = None
+    # shuffle_hash pin, score side as build: the per-phase join would
+    # otherwise fall to sort-merge once the score vector outgrows the
+    # broadcast threshold, SORTING the |E|-row edge stream every phase
+    # (the triangle_count x100 lesson — 1.5 GB sort spill at sf3.0
+    # here). The build side is the |nodes|-row score vector: narrow,
+    # well-estimated, |nodes|/partitions rows per task.
+    for _ in range(iters):
+        auth = lc_a.cut(
+            e.join(hub.hint("shuffle_hash"), e["__src"] == hub["node"])
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum("__h").alias("__a"))
+        )
+        hub = lc_h.cut(
+            e.join(auth.hint("shuffle_hash"), e["__dst"] == auth["node"])
+            .groupBy(F.col("__src").alias("node"))
+            .agg(F.sum("__a").alias("__h"))
+        )
+    hub = lc_h.finish(hub)
+    auth = lc_a.finish(auth)
+
+    totals = hub.agg(F.sum("__h").alias("__sh")).crossJoin(
+        auth.agg(F.sum("__a").alias("__sa"))
+    )
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+                / F.col("__sh"),
+                6,
+            ).alias("hub"),
+            F.round(
+                F.coalesce(F.col("__a"), F.lit(0)).cast("double")
+                / F.col("__sa"),
+                6,
+            ).alias("auth"),
+        )
+    )
+    return out.orderBy("node")

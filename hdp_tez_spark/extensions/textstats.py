@@ -823,3 +823,132 @@ def vocab_growth(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         F.round(beta, 6).alias("heaps_beta"),
     )
+
+
+def good_turing(df: DataFrame, text_col: str) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies table (Good 1953;
+    the unsmoothed r* estimates): for each observed token frequency r,
+    N_r = how many distinct tokens occur exactly r times, and
+    r* = (r+1)·N_{r+1}/N_r — the adjusted count a Good-Turing language
+    model assigns to an r-count token. N_1/N (= p_mass at r = 1) is
+    the classic estimate of the corpus' UNSEEN-token probability mass:
+    the "how much vocabulary am I still missing" readout for corpus
+    sizing, and a dedup diagnostic (near-dup-flooded corpora collapse
+    the r = 1 band). Output: one row per observed r — (r, n_r, r_star,
+    p_mass) where p_mass = r·N_r/N is the share of all tokens sitting
+    in the r band; r_star is NULL when no r+1 class exists (the
+    standard smoothing cutoff). Floats rounded to 6 dp; ordered by r.
+
+    Scale shape: tokens collapse map-side to (token-hash → count) —
+    the ONE corpus-sized shuffle, O(|vocab|) narrow 8-byte rows; the
+    frequency-of-frequencies collapse is |vocab| → |distinct r| (a few
+    hundred rows even at web scale, since Σ N_r·r = N bounds distinct
+    r at O(√N)); the r ↔ r+1 pairing is a tiny self EQUI-join on r+1
+    (never a global lead window); the N total rides a 1-row broadcast.
+    Token identity travels as the 60-bit md5 hash, never the string
+    (the vocab_growth convention — collisions fold identically in the
+    oracle, which reproduces the same hash).
+    """
+    from hdp_tez_spark.extensions.dedup import _md5_long
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    toks = _tokens(F.col(text_col))
+    freqs = (
+        _spread(df.select(F.col(text_col)))
+        .select(F.explode(toks).alias("__tok"))
+        .select(_md5_long(F.col("__tok")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__r"))
+    )
+    nr = freqs.groupBy("__r").agg(F.count(F.lit(1)).alias("n_r"))
+    nr = truncate_lineage(nr)
+    total = nr.agg(F.sum(F.col("__r") * F.col("n_r")).alias("__n"))
+    nxt = nr.select(
+        (F.col("__r") - 1).alias("__r"), F.col("n_r").alias("__nr1")
+    )
+    return (
+        nr.join(nxt, "__r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__r").alias("r"),
+            "n_r",
+            F.round(
+                (F.col("__r") + 1)
+                * F.col("__nr1").cast("double")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("__r") * F.col("n_r") / F.col("__n").cast("double"),
+                6,
+            ).alias("p_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+def keyness_llr(
+    df: DataFrame,
+    text_col: str,
+    flag_col: str,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-comparison keyness by Dunning's log-likelihood ratio
+    (Dunning, Comp. Ling. 1993): which terms are most
+    over/under-represented in the flagged sub-corpus vs the rest —
+    the standard contamination / register-shift / template-detection
+    screen when curating a training mix. Per term with count a in
+    corpus A (flag = 1, total A tokens) and b in B (flag = 0, total
+    B): expected e_a = A·(a+b)/(A+B), e_b = B·(a+b)/(A+B), and
+    G² = 2·(a·ln(a/e_a) + b·ln(b/e_b)) with zero-count terms
+    contributing 0 to their side. Output: top-k rows by (g2 DESC,
+    term ASC) — (term, count_a, count_b, g2, direction) where
+    direction is +1 when the term is over-represented in A (a/A ≥
+    b/B) and -1 otherwise; g2 rounded to 6 dp, and the sort runs on
+    the ROUNDED g2 so the top-k boundary is engine-stable (each g2 is
+    a pure function of the integer pair (a, b), so ties order
+    identically everywhere).
+
+    Scale shape: tokens collapse map-side to (term, a, b) counts —
+    the one corpus-sized shuffle (term strings must survive: they ARE
+    the output, the tfidf_top_terms trade-off); totals ride a 1-row
+    broadcast; the top-k is a single TakeOrdered, never a global
+    sort.
+    """
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    toks = _tokens(F.col(text_col))
+    flag = F.col(flag_col).cast("int")
+    counts = (
+        _spread(df.select(F.col(text_col), flag.alias("__f")))
+        .select(F.explode(toks).alias("term"), "__f")
+        .groupBy("term")
+        .agg(
+            F.sum("__f").alias("count_a"),
+            F.sum(1 - F.col("__f")).alias("count_b"),
+        )
+    )
+    counts = truncate_lineage(counts)
+    totals = counts.agg(
+        F.sum("count_a").alias("__ta"), F.sum("count_b").alias("__tb")
+    )
+    a = F.col("count_a").cast("double")
+    b = F.col("count_b").cast("double")
+    ta = F.col("__ta").cast("double")
+    tb = F.col("__tb").cast("double")
+    ea = ta * (a + b) / (ta + tb)
+    eb = tb * (a + b) / (ta + tb)
+    g2 = 2 * (
+        F.when(a > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "count_a",
+        "count_b",
+        F.round(g2, 6).alias("g2"),
+        F.when(a / ta >= b / tb, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("direction"),
+    )
+    return scored.orderBy(F.col("g2").desc(), F.col("term").asc()).limit(k)

@@ -90,6 +90,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     "bounded (<= #days), broadcast by construction",
     "rrf_fusion": "fusion inputs are LIMITed top-k candidate lists",
     "stream_drift": "pooled-reference grid rebuild — bounded |categories|",
+    "wasserstein_1d": "1-row per-group totals crossJoined onto segments",
+    "good_turing": "1-row corpus token total crossJoined onto the N_r table",
+    "keyness_llr": "1-row per-corpus token totals crossJoined onto terms",
+    "hits_scores": "1-row L1-norm totals crossJoined at the readout",
     "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
     "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
     "triangle_count": "1-row census totals (wedges/triangles) crossJoined",

@@ -118,6 +118,13 @@ STANDING_EXTRAS = [
     "event_affinity",
     "embedding_separability",
     "rank_overlap",
+    # r10 additions (twelfth batch)
+    "anova_f",
+    "cramers_v",
+    "wasserstein_1d",
+    "good_turing",
+    "keyness_llr",
+    "hits_scores",
 ]
 
 
