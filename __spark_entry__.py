@@ -11584,7 +11584,7 @@ r AS (
 SELECT k AS n_groups, nn::BIGINT AS n,
        round(bg - ts * ts / nn, 6) AS ss_between,
        round(wg, 6) AS ss_within,
-       round(CASE WHEN nn > k AND wg > 0 THEN
+       round(CASE WHEN k > 1 AND nn > k AND wg > 0 THEN
          ((bg - ts * ts / nn) / (k - 1)) / (wg / (nn - k)) END, 6)
          AS f_stat,
        round(CASE WHEN (bg - ts * ts / nn) + wg > 0 THEN
@@ -11796,6 +11796,298 @@ ORDER BY n.node
 """
 
 
+
+
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test across event types
+    (extensions/experiments.py levene_test): |x - group median|
+    deviations through the anova_oneway sufficient-stat shape — the
+    homoscedasticity gate in front of anova_f. One |groups|-row median
+    aggregate broadcast back; nothing after the collapses exceeds
+    |groups| rows."""
+    from hdp_tez_spark.extensions.experiments import levene_test
+
+    return levene_test(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+_SQL_LEVENE_TEST = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+med AS (SELECT g, median(v) AS m FROM base GROUP BY g),
+z AS (SELECT base.g AS g, abs(v - m) AS z FROM base JOIN med USING (g)),
+gg AS (
+  SELECT g, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+  FROM z GROUP BY g
+),
+r AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts,
+         sum(s * s / n) AS bg, sum(ss - s * s / n) AS wg
+  FROM gg
+)
+SELECT k AS n_groups, nn::BIGINT AS n,
+       round(CASE WHEN k > 1 AND nn > k AND wg > 0 THEN
+         ((bg - ts * ts / nn) / (k - 1)) / (wg / (nn - k)) END, 6)
+         AS w_stat,
+       round(CASE WHEN (bg - ts * ts / nn) + wg > 0 THEN
+         (bg - ts * ts / nn) / ((bg - ts * ts / nn) + wg) END, 6)
+         AS eta_sq
+FROM r
+"""
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of event-type activity across user cohorts
+    (extensions/experiments.py friedman_test): blocks = user_id %% 200,
+    treatments = the five event types, response = per-cell event COUNT
+    (integer, so within-block mid-ranks are bit-stable across engines).
+    Complete blocks only; tie-corrected statistic."""
+    from hdp_tez_spark.extensions.experiments import friedman_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("cohort"), "event_type"
+    )
+    return friedman_test(ev, "cohort", "event_type")
+
+
+_SQL_FRIEDMAN_TEST = """
+WITH cells AS (
+  SELECT user_id % 200 AS b, event_type AS t, count(*) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS k FROM cells),
+complete AS (
+  SELECT b FROM cells GROUP BY b
+  HAVING count(*) = (SELECT k FROM k)
+),
+kept AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+ranked AS (
+  SELECT b, t,
+         rank() OVER (PARTITION BY b ORDER BY x)
+           + (count(*) OVER (PARTITION BY b, x) - 1) / 2.0 AS r
+  FROM kept
+),
+cs AS (SELECT t, sum(r) AS rj FROM ranked GROUP BY t),
+tot AS (SELECT count(DISTINCT b) AS n, sum(r * r) AS ssr FROM ranked),
+red AS (
+  SELECT (SELECT sum(rj * rj) FROM cs) AS ssj, n, ssr,
+         (SELECT k FROM k) AS k
+  FROM tot
+)
+SELECT n::BIGINT AS n_blocks, k AS k_treatments,
+       round(CASE WHEN ssr - n * k * (k + 1) * (k + 1) / 4.0 > 0 THEN
+         (k - 1) * (ssj - n * n * k * (k + 1) * (k + 1) / 4.0)
+           / (ssr - n * k * (k + 1) * (k + 1) / 4.0) END, 6) AS q_stat
+FROM red
+"""
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three binary per-cohort outcomes
+    (extensions/experiments.py cochran_q): subjects = user_id %% 500,
+    treatments = click/view/purchase, success = cohort had any such
+    event with value > 50 — the k-arm extension of mcnemar on the same
+    subjects. Integer marginals until the final ratio."""
+    from hdp_tez_spark.extensions.experiments import cochran_q
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("click", "view", "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 500).alias("subject"),
+            F.col("event_type").alias("treatment"),
+            (F.col("value") > 50).cast("int").alias("success"),
+        )
+    )
+    return cochran_q(ev, "subject", "treatment", "success")
+
+
+_SQL_COCHRAN_Q = """
+WITH ev AS (
+  SELECT user_id % 500 AS s, event_type AS t,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS ok
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND value IS NOT NULL AND user_id IS NOT NULL
+),
+cells AS (SELECT s, t, max(ok) AS x FROM ev GROUP BY s, t),
+k AS (SELECT count(DISTINCT t) AS k FROM cells),
+complete AS (
+  SELECT s FROM cells GROUP BY s
+  HAVING count(*) = (SELECT k FROM k)
+),
+kept AS (SELECT cells.* FROM cells JOIN complete USING (s)),
+rows_ AS (SELECT s, sum(x) AS ri FROM kept GROUP BY s),
+rr AS (
+  SELECT count(*) AS n, sum(ri) AS tt, sum(ri * ri) AS sr2 FROM rows_
+),
+cols AS (SELECT t, sum(x) AS cj FROM kept GROUP BY t),
+red AS (
+  SELECT (SELECT sum((cj - tt / k) * (cj - tt / k))
+          FROM cols, rr, k) AS ssc,
+         n, tt, sr2, (SELECT k FROM k) AS k
+  FROM rr
+)
+SELECT n::BIGINT AS n_subjects, k AS k_treatments,
+       round(CASE WHEN k * tt - sr2 > 0 THEN
+         k * (k - 1) * ssc / (k * tt - sr2) END, 6) AS q_stat
+FROM red
+"""
+
+
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation of event values within users
+    (extensions/experiments.py icc_oneway): how much value variance is
+    BETWEEN users vs within — the cluster-randomization deflation
+    readout, Searle's n0 correction for unbalanced users. Same
+    sufficient-stat single-pass shape as anova_f."""
+    from hdp_tez_spark.extensions.experiments import icc_oneway
+
+    return icc_oneway(_t(spark, sf_dir, "events"), "user_id", "value")
+
+
+_SQL_ICC = """
+WITH g AS (
+  SELECT user_id AS grp, count(*) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+r AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts, sum(n * n) AS sn2,
+         sum(s * s / n) AS bg, sum(ss - s * s / n) AS wg
+  FROM g
+)
+SELECT k AS n_groups, nn::BIGINT AS n,
+       round(CASE WHEN k > 1 THEN
+         (nn - sn2 / CAST(nn AS DOUBLE)) / (k - 1) END, 6) AS n0,
+       round(CASE WHEN k > 1 THEN
+         (bg - ts * ts / nn) / (k - 1) END, 6) AS msb,
+       round(CASE WHEN nn > k THEN wg / (nn - k) END, 6) AS msw,
+       round(CASE WHEN k > 1 AND nn > k AND
+         ((bg - ts * ts / nn) / (k - 1)
+          + ((nn - sn2 / CAST(nn AS DOUBLE)) / (k - 1) - 1)
+            * (wg / (nn - k))) <> 0 THEN
+         ((bg - ts * ts / nn) / (k - 1) - wg / (nn - k))
+           / ((bg - ts * ts / nn) / (k - 1)
+              + ((nn - sn2 / CAST(nn AS DOUBLE)) / (k - 1) - 1)
+                * (wg / (nn - k))) END, 6) AS icc
+FROM r
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type over the time-ordered
+    value series (extensions/analytics.py runs_test): serial-randomness
+    screen next to acf — above/below-median sign runs, z against the
+    exact run-count moments. Lag window partitioned by type; (ts,
+    event_id) total order."""
+    from hdp_tez_spark.extensions.analytics import runs_test
+
+    return runs_test(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    )
+
+
+_SQL_RUNS_TEST = """
+WITH base AS (
+  SELECT event_type AS g, ts, event_id, value AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+med AS (SELECT g, median(v) AS m FROM base GROUP BY g),
+s AS (
+  SELECT base.g AS g, ts, event_id,
+         CASE WHEN v > m THEN 1 ELSE 0 END AS sign
+  FROM base JOIN med USING (g)
+  WHERE v <> m
+),
+runs AS (
+  SELECT g, sign,
+         CASE WHEN lag(sign) OVER w IS NULL
+                OR lag(sign) OVER w <> sign THEN 1 ELSE 0 END AS new_run
+  FROM s WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+),
+red AS (
+  SELECT g, sum(sign) AS n1, sum(1 - sign) AS n2, sum(new_run) AS r
+  FROM runs GROUP BY g
+)
+SELECT g AS "group", n1::BIGINT AS n1, n2::BIGINT AS n2,
+       r::BIGINT AS runs,
+       round(CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                   AND 2.0 * n1 * n2 > n1 + n2 THEN
+         (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                     * (n1 + n2 - 1))) END, 6) AS z_stat
+FROM red ORDER BY g
+"""
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of value/100 as a purchase
+    probability (extensions/experiments.py isotonic_calibration,
+    bins=20): the monotone minimax fit over the binned reliability
+    table — everything after the one corpus-sized bin collapse is
+    triangular joins over <= 20 rows; every interval average is a ratio
+    of exact integer prefix counts."""
+    from hdp_tez_spark.extensions.experiments import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") / 100).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return isotonic_calibration(ev, "score", F.col("label"), bins=20)
+
+
+_SQL_ISOTONIC_CALIBRATION = """
+WITH cells AS (
+  SELECT least(floor(least(greatest(value / 100.0, 0), 1) * 20), 19)::INT
+           AS b,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT c.b AS b, c.n AS n, c.y AS y,
+         sum(l.n) AS cn, sum(l.y) AS cy
+  FROM cells c JOIN cells l ON l.b <= c.b
+  GROUP BY c.b, c.n, c.y
+),
+pairs AS (
+  SELECT i.b AS i, j.b AS j,
+         (j.cy - (i.cy - i.y))::DOUBLE / (j.cn - (i.cn - i.n)) AS a
+  FROM cum i JOIN cum j ON i.b <= j.b
+),
+mids AS (SELECT b AS mid FROM cells),
+inner_min AS (
+  SELECT mid, i, min(a) AS m
+  FROM pairs JOIN mids ON i <= mid AND mid <= j
+  GROUP BY mid, i
+),
+fit AS (SELECT mid, max(m) AS f FROM inner_min GROUP BY mid)
+SELECT c.b AS bin, round(c.b / 20.0, 6) AS lo,
+       round((c.b + 1) / 20.0, 6) AS hi,
+       c.n::BIGINT AS n, c.y::BIGINT AS n_pos,
+       round(c.y / CAST(c.n AS DOUBLE), 6) AS pos_rate,
+       round(f.f, 6) AS fitted
+FROM cells c JOIN fit f ON c.b = f.mid
+ORDER BY bin
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -11824,6 +12116,17 @@ _PREFIX_R10 = [
     # from the tail below, plus attribution/bootstrap_ci already
     # demoted) demote below the boundary; never-checked outranks
     # refresh. ---
+    # --- never-checked (new this round, thirteenth batch) — six more
+    # r04-refresh rows (stream_left_join/stream_tumbling/
+    # transition_counts/triangle_count/weighted_sample/winsorize)
+    # demote below the boundary; never-checked outranks refresh. ---
+    "levene_test",
+    "friedman_test",
+    "cochran_q",
+    "icc",
+    "runs_test",
+    "isotonic_calibration",
+    # --- (twelfth batch) ---
     "anova_f",
     "cramers_v",
     "wasserstein_1d",
@@ -11886,12 +12189,6 @@ _PREFIX_R10 = [
     "schema_evolution",
     "sorted_group_apply",
     "stream_cdc_upsert",
-    "stream_left_join",
-    "stream_tumbling",
-    "transition_counts",
-    "triangle_count",
-    "weighted_sample",
-    "winsorize",
     # --- woe_iv + zorder_stats (r04) and the whole r05-refresh block
     # (acf/ann_recall/apply_mixture/approx_distinct) demoted by the
     # twelfth batch to keep len == 50 — never-checked outranks
@@ -11899,6 +12196,16 @@ _PREFIX_R10 = [
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (thirteenth batch)
+    "levene_test": (q_levene_test, _SQL_LEVENE_TEST),
+    "friedman_test": (q_friedman_test, _SQL_FRIEDMAN_TEST),
+    "cochran_q": (q_cochran_q, _SQL_COCHRAN_Q),
+    "icc": (q_icc, _SQL_ICC),
+    "runs_test": (q_runs_test, _SQL_RUNS_TEST),
+    "isotonic_calibration": (
+        q_isotonic_calibration,
+        _SQL_ISOTONIC_CALIBRATION,
+    ),
     # r10 additions (twelfth batch)
     "anova_f": (q_anova_f, _SQL_ANOVA_F),
     "cramers_v": (q_cramers_v, _SQL_CRAMERS_V),

@@ -286,6 +286,13 @@ HEADLINE = [
     "good_turing",
     "keyness_llr",
     "hits_scores",
+    # r10 additions (thirteenth batch)
+    "levene_test",
+    "friedman_test",
+    "cochran_q",
+    "icc",
+    "runs_test",
+    "isotonic_calibration",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

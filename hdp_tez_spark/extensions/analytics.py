@@ -2770,3 +2770,93 @@ def event_affinity(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for serial randomness, per group: is
+    the sequence of above/below-median values random in time, or does
+    it cluster (trends, regime stickiness, feedback loops) /
+    oscillate (over-correction)? The structural complement to `acf`
+    (which measures LINEAR lag correlation; runs detects any
+    sign-pattern dependence) and the pre-flight check before treating
+    per-entity series as i.i.d. for bootstrap/CUPED. Values exactly
+    equal to the group median are dropped (the classical convention);
+    the remaining signs above (n1) / below (n2) yield runs count R and
+
+        mu = 2 n1 n2 / (n1 + n2) + 1
+        sigma^2 = 2 n1 n2 (2 n1 n2 - n1 - n2)
+                  / ((n1+n2)^2 (n1 + n2 - 1))
+        z = (R - mu) / sigma
+
+    Output per group: (group, n1, n2, runs, z_stat) rounded to 6 dp,
+    ordered by group; z_stat is NULL when either side is empty,
+    n1 + n2 < 2, or sigma = 0 (the n1 = n2 = 1 degenerate). `order_cols` must make the
+    within-group order TOTAL (pass a tiebreak column), or run counting
+    would be nondeterministic across retries.
+
+    Scale shape: one |groups|-row exact-median aggregate broadcast
+    back; run boundaries come from a lag window PARTITIONED BY GROUP
+    (never a global funnel); the readout is a |groups|-row aggregate.
+    The median comparison is the only float op — both engines compare
+    the same doubles, so the sign split is bit-stable.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), *[F.col(c) for c in order_cols], v.alias("__v")
+    )
+    med = base.groupBy("__g").agg(F.median("__v").alias("__m"))
+    signed = (
+        base.join(F.broadcast(med), "__g")
+        .where(F.col("__v") != F.col("__m"))
+        .select(
+            "__g",
+            *[F.col(c) for c in order_cols],
+            (F.col("__v") > F.col("__m")).cast("int").alias("__sign"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(*[F.col(c) for c in order_cols])
+    runs = signed.select(
+        "__g",
+        "__sign",
+        F.when(
+            F.lag("__sign").over(w).isNull()
+            | (F.lag("__sign").over(w) != F.col("__sign")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    red = runs.groupBy("__g").agg(
+        F.sum("__sign").alias("__n1"),
+        F.sum(1 - F.col("__sign")).alias("__n2"),
+        F.sum("__new_run").alias("__r"),
+    )
+    n1, n2, r = F.col("__n1"), F.col("__n2"), F.col("__r")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return red.select(
+        F.col("__g").alias("group"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+        r.alias("runs"),
+        F.round(
+            F.when(
+                (n1 > 0) & (n2 > 0) & (n > 1) & (2.0 * n1 * n2 > n),
+                (r - mu) / F.sqrt(var),
+            ),
+            6,
+        ).alias("z_stat"),
+    ).orderBy("group")

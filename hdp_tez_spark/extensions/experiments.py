@@ -2047,8 +2047,9 @@ def anova_oneway(
     (n_groups, n, ss_between, ss_within, f_stat, eta_sq) rounded to
     6 dp; compare f_stat to the F(k-1, N-k) threshold driver-side (the
     CDF is not expressible identically in both engines — the ks_test /
-    kruskal_wallis convention). f_stat is NULL when N = k (no
-    within-group df) or SS_within = 0 (all groups constant); eta_sq
+    kruskal_wallis convention). f_stat is NULL when k = 1 (no
+    between-group df), N = k (no within-group df), or SS_within = 0
+    (all groups constant); eta_sq
     (= SS_between / SS_total, the effect size) is NULL when SS_total
     = 0. NULL values and NULL group labels are excluded.
 
@@ -2087,7 +2088,9 @@ def anova_oneway(
         n.alias("n"),
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
-        F.round(F.when((n > k) & (ssw > 0), f_stat), 6).alias("f_stat"),
+        F.round(
+            F.when((k > 1) & (n > k) & (ssw > 0), f_stat), 6
+        ).alias("f_stat"),
         F.round(F.when(ssb + ssw > 0, ssb / (ssb + ssw)), 6).alias(
             "eta_sq"
         ),
@@ -2224,4 +2227,366 @@ def wasserstein_1d(
             F.col("__nb").alias("n_b"),
             "w1",
         )
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe / Levene test for equality of group VARIANCES —
+    the assumption gate in front of `anova_oneway` (whose F is only
+    calibrated under homoscedasticity), and a drift readout in its own
+    right (a segment whose variance exploded fails here long before its
+    mean moves). This is the robust Brown-Forsythe variant: the one-way
+    ANOVA F statistic applied to z = |x - median_g| (absolute deviation
+    from the GROUP MEDIAN; Levene's original mean-centered form is less
+    robust to heavy tails and is not offered). Output: ONE row
+    (n_groups, n, w_stat, eta_sq) rounded to 6 dp; w_stat is NULL under
+    the same degeneracies as anova_oneway's f_stat (N = k or all
+    deviations constant). NULL values and NULL group labels are
+    excluded.
+
+    Scale shape: one |groups|-row exact-median aggregate broadcast back
+    onto the rows, then exactly anova_oneway's shape on z — the raw
+    table is scanned twice (once for medians, once for deviations),
+    nothing after the collapses exceeds |groups| rows.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    med = base.groupBy("__g").agg(F.median("__v").alias("__m"))
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__m")).alias("__z")
+    )
+    out = anova_oneway(z, "__g", "__z")
+    return out.select(
+        "n_groups",
+        "n",
+        F.col("f_stat").alias("w_stat"),
+        "eta_sq",
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Friedman rank test across treatments with repeated-measures
+    blocks — the within-subject twin of `kruskal_wallis` (which assumes
+    independent groups): does the response differ across the k
+    treatments when every block experiences all of them? The response
+    here is the per-(block, treatment) EVENT COUNT — an integer, so
+    within-block ranks are bit-stable across engines (ranking a float
+    aggregate like avg(value) would let last-ulp summation noise flip
+    ties between Spark and the oracle). Blocks missing any treatment
+    are dropped (the classical complete-block design); ties take
+    average (mid) ranks. With R_j the column rank sums over n complete
+    blocks and r the individual ranks, the tie-corrected statistic is
+
+        Q = (k-1) * (sum_j R_j^2 - n^2 k (k+1)^2 / 4)
+                  / (sum r^2 - n k (k+1)^2 / 4)
+
+    (reduces to the textbook 12/(nk(k+1)) form when ties are absent).
+    Output: ONE row (n_blocks, k_treatments, q_stat) rounded to 6 dp;
+    q_stat is NULL when the denominator is 0 (every block ranks all
+    treatments identically — all ties). Compare to chi-square(k-1)
+    driver-side (the ks_test / kruskal_wallis CDF convention).
+
+    Scale shape: one map-side-combined collapse to (block, treatment)
+    count cells; complete blocks found by a |blocks|-row count filter;
+    mid-ranks ride a window PARTITIONED BY BLOCK (k rows per task, no
+    global funnel); the readout reduces |treatments| column sums and a
+    1-row rank-square total. Integer/dyadic-half arithmetic throughout.
+    """
+    b_in, t_in = F.col(block_col), F.col(treatment_col)
+    cells = (
+        df.where(b_in.isNotNull() & t_in.isNotNull())
+        .groupBy(b_in.alias("__b"), t_in.alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    cells = truncate_lineage(cells)
+    k_tab = cells.agg(F.count_distinct(F.col("__t")).alias("__k"))
+    complete = (
+        cells.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__nt"))
+        .crossJoin(F.broadcast(k_tab))
+        .where(F.col("__nt") == F.col("__k"))
+        .select("__b")
+    )
+    kept = cells.join(complete, "__b")
+    w = Window.partitionBy("__b").orderBy("__x")
+    ties = Window.partitionBy("__b", "__x")
+    # mid-rank = rank() + (|tie group| - 1)/2 — exact dyadic halves
+    ranked = kept.select(
+        "__b",
+        "__t",
+        (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(ties) - 1) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    col_sums = ranked.groupBy("__t").agg(F.sum("__r").alias("__rj"))
+    totals = ranked.agg(
+        F.count_distinct(F.col("__b")).alias("__n"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__ssr"),
+    )
+    red = (
+        col_sums.agg(F.sum(F.col("__rj") * F.col("__rj")).alias("__ssj"))
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(k_tab))
+    )
+    n, k = F.col("__n"), F.col("__k")
+    corr = k * (k + 1) * (k + 1) / F.lit(4.0)
+    num = F.col("__ssj") - n * n * corr
+    den = F.col("__ssr") - n * corr
+    return red.select(
+        n.alias("n_blocks"),
+        k.alias("k_treatments"),
+        F.round(F.when(den > 0, (k - 1) * num / den), 6).alias("q_stat"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test for k BINARY treatments on the same subjects —
+    the k-arm extension of `mcnemar` (which covers k = 2): do the k
+    classifiers / checks / variants differ in success rate on the same
+    evaluation rows? Input is one row per (subject, treatment) with a
+    0/1 success; subjects missing any treatment are dropped (complete
+    blocks, the mcnemar pairing discipline). With C_j the per-treatment
+    success totals, R_i the per-subject totals, and T = ΣR_i:
+
+        Q = k (k-1) * sum_j (C_j - T/k)^2 / (k T - sum_i R_i^2)
+
+    Output: ONE row (n_subjects, k_treatments, q_stat) rounded to 6 dp
+    (n_subjects = 0 with NULL q_stat when no subject is complete);
+    q_stat is NULL when the denominator is 0 (every subject succeeds on
+    all treatments or none — no discordance anywhere). Compare to
+    chi-square(k-1) driver-side.
+
+    Scale shape: one collapse to (subject, treatment) max-success cells,
+    a |subjects|-row completeness filter, then |subjects|- and
+    |treatments|-row marginal aggregates — integer arithmetic until the
+    final ratio.
+    """
+    s_in, t_in = F.col(subject_col), F.col(treatment_col)
+    ok = F.col(success_col).cast("boolean").cast("long")
+    cells = (
+        df.where(s_in.isNotNull() & t_in.isNotNull() & ok.isNotNull())
+        .groupBy(s_in.alias("__s"), t_in.alias("__t"))
+        .agg(F.max(ok).alias("__x"))
+    )
+    cells = truncate_lineage(cells)
+    k_tab = cells.agg(F.count_distinct(F.col("__t")).alias("__k"))
+    complete = (
+        cells.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__nt"))
+        .crossJoin(F.broadcast(k_tab))
+        .where(F.col("__nt") == F.col("__k"))
+        .select("__s")
+    )
+    kept = cells.join(complete, "__s")
+    rows = kept.groupBy("__s").agg(F.sum("__x").alias("__ri"))
+    row_red = rows.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ri").alias("__tt"),
+        F.sum(F.col("__ri") * F.col("__ri")).alias("__sr2"),
+    )
+    col_red = kept.groupBy("__t").agg(F.sum("__x").alias("__cj"))
+    # aggregate (not keyed-groupBy) readout so zero complete subjects
+    # still yields the contractual ONE row (n_subjects = 0, NULL stat)
+    # — matching the oracle's aggregate shape
+    ssc_tab = (
+        col_red.crossJoin(F.broadcast(row_red))
+        .crossJoin(F.broadcast(k_tab))
+        .agg(
+            F.sum(
+                (F.col("__cj") - F.col("__tt") / F.col("__k"))
+                * (F.col("__cj") - F.col("__tt") / F.col("__k"))
+            ).alias("__ssc")
+        )
+    )
+    red = row_red.crossJoin(F.broadcast(k_tab)).crossJoin(
+        F.broadcast(ssc_tab)
+    )
+    k, t = F.col("__k"), F.col("__tt")
+    den = (k * t - F.col("__sr2")).cast("double")
+    return red.select(
+        F.col("__n").alias("n_subjects"),
+        k.alias("k_treatments"),
+        F.round(
+            F.when(den > 0, k * (k - 1) * F.col("__ssc") / den), 6
+        ).alias("q_stat"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way intraclass correlation ICC(1,1) (Shrout & Fleiss 1979
+    case 1): how much of the total variance is BETWEEN groups — the
+    continuous-response twin of `fleiss_kappa` for annotation QA
+    (multiple scores per item, raters interchangeable), and the
+    clustering-strength readout that tells an experimenter whether
+    randomizing by cluster will deflate their effective sample size.
+    From the one-way ANOVA decomposition with unbalanced group sizes
+    (Searle's n0 correction):
+
+        MSB = SS_between/(k-1),  MSW = SS_within/(N-k),
+        n0 = (N - sum n_g^2 / N)/(k - 1),
+        ICC = (MSB - MSW) / (MSB + (n0 - 1) MSW)
+
+    Output: ONE row (n_groups, n, n0, msb, msw, icc) rounded to 6 dp;
+    icc is NULL when N = k (no within df), k = 1, or the denominator is
+    0. Groups with a single observation still contribute to MSB (the
+    one-way decomposition is defined for them). NULL values and NULL
+    group labels are excluded.
+
+    Scale shape: identical to anova_oneway — ONE map-side-combined
+    collapse to per-group (n, Σx, Σx²), then a 1-row reduce.
+    """
+    v = F.col(value_col).cast("double")
+    per_g = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    red = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__s").alias("__ts"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sn2"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__bg"),
+        F.sum(
+            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")
+        ).alias("__wg"),
+    )
+    k, n = F.col("__k"), F.col("__nn")
+    ssb = F.col("__bg") - F.col("__ts") * F.col("__ts") / n
+    msb = ssb / (k - 1)
+    msw = F.col("__wg") / (n - k)
+    n0 = (n - F.col("__sn2") / n) / (k - 1)
+    den = msb + (n0 - 1) * msw
+    return red.select(
+        k.alias("n_groups"),
+        n.alias("n"),
+        F.round(F.when(k > 1, n0), 6).alias("n0"),
+        F.round(F.when(k > 1, msb), 6).alias("msb"),
+        F.round(F.when(n > k, msw), 6).alias("msw"),
+        F.round(
+            F.when((k > 1) & (n > k) & (den != 0), (msb - msw) / den), 6
+        ).alias("icc"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration over the binned
+    reliability table — the non-parametric upgrade to reading
+    `calibration_bins` raw: fit the monotone step function closest (in
+    weighted least squares) to the per-bin positive rates, which is
+    exactly the pool-adjacent-violators solution, via the closed-form
+    minimax identity fitted(b) = max_{i<=b} min_{j>=b} posrate(i..j)
+    (Robertson, Wright & Dykstra 1988). The fitted column is what a
+    serving system looks up to turn a raw score into a calibrated
+    probability. Binning follows calibration_bins exactly (NULL scores
+    dropped, clamp to [0,1], floor(score*bins), top edge into the last
+    bin). Output per NON-EMPTY bin: (bin, lo, hi, n, n_pos, pos_rate,
+    fitted) rounded to 6 dp, ordered by bin; fitted is monotone
+    non-decreasing by construction.
+
+    Scale shape: ONE corpus-sized map-side-combined collapse to <=`bins`
+    cells; everything after is triangular equi-free joins over that
+    <=bins-row table (B^2 interval-average pairs, a <=B^3-row minimax
+    expansion — at the default B=20 that is 8000 rows, a driver-trivial
+    constant regardless of corpus size). Every interval average is a
+    ratio of exact integer prefix counts, so min/max comparisons are
+    bit-stable across engines; no global window, no collect.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lab.cast("boolean").cast("long")
+    s = F.least(
+        F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    cells = (
+        df.where(F.col(score_col).isNotNull())
+        .select(b.alias("__b"), pos.alias("__p"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__p").alias("__y"))
+    )
+    cells = truncate_lineage(cells)
+    # inclusive prefix sums via a triangular self-join (<= B^2 rows —
+    # no global window, no allowlist)
+    lo_side = cells.select(
+        F.col("__b").alias("__lb"),
+        F.col("__n").alias("__ln"),
+        F.col("__y").alias("__ly"),
+    )
+    cum = (
+        cells.join(lo_side, F.col("__lb") <= F.col("__b"))
+        .groupBy("__b", "__n", "__y")
+        .agg(F.sum("__ln").alias("__cn"), F.sum("__ly").alias("__cy"))
+    )
+    li = cum.select(
+        F.col("__b").alias("__i"),
+        (F.col("__cn") - F.col("__n")).alias("__pn"),
+        (F.col("__cy") - F.col("__y")).alias("__py"),
+    )
+    rj = cum.select(
+        F.col("__b").alias("__j"),
+        F.col("__cn").alias("__jn"),
+        F.col("__cy").alias("__jy"),
+    )
+    pairs = li.join(rj, F.col("__i") <= F.col("__j")).select(
+        "__i",
+        "__j",
+        (
+            (F.col("__jy") - F.col("__py")).cast("double")
+            / (F.col("__jn") - F.col("__pn"))
+        ).alias("__avg"),
+    )
+    bins_only = cells.select(F.col("__b").alias("__mid"))
+    expanded = pairs.join(
+        bins_only,
+        (F.col("__i") <= F.col("__mid")) & (F.col("__mid") <= F.col("__j")),
+    )
+    inner_min = expanded.groupBy("__mid", "__i").agg(
+        F.min("__avg").alias("__m")
+    )
+    fitted = inner_min.groupBy("__mid").agg(F.max("__m").alias("__fit"))
+    return (
+        cells.join(fitted, cells["__b"] == fitted["__mid"])
+        .select(
+            F.col("__b").alias("bin"),
+            F.round(F.col("__b") / bins, 6).alias("lo"),
+            F.round((F.col("__b") + 1) / bins, 6).alias("hi"),
+            F.col("__n").alias("n"),
+            F.col("__y").alias("n_pos"),
+            F.round(F.col("__y") / F.col("__n").cast("double"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(F.col("__fit"), 6).alias("fitted"),
+        )
+        .orderBy("bin")
     )

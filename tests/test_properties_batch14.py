@@ -53,7 +53,7 @@ def test_anova_matches_mean_decomposition(spark, rows):
     assert (r.n_groups, r.n) == (k, n)
     assert abs(r.ss_between - ssb) < 1e-4
     assert abs(r.ss_within - ssw) < 1e-4
-    if n > k and ssw > 0:
+    if k > 1 and n > k and ssw > 0:
         f = (ssb / (k - 1)) / (ssw / (n - k))
         assert abs(r.f_stat - f) < 1e-3
     else:

@@ -94,6 +94,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     "good_turing": "1-row corpus token total crossJoined onto the N_r table",
     "keyness_llr": "1-row per-corpus token totals crossJoined onto terms",
     "hits_scores": "1-row L1-norm totals crossJoined at the readout",
+    "friedman_test": "1-row k/treatment-count and rank-total aggs crossJoined",
+    "cochran_q": "1-row k and marginal-total aggs crossJoined",
+    "isotonic_calibration": "triangular self-joins over the <=bins-row "
+    "reliability table (B^2 pairs / B^3 minimax, B=20 constant)",
     "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
     "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
     "triangle_count": "1-row census totals (wedges/triangles) crossJoined",

@@ -125,6 +125,13 @@ STANDING_EXTRAS = [
     "good_turing",
     "keyness_llr",
     "hits_scores",
+    # r10 additions (thirteenth batch)
+    "levene_test",
+    "friedman_test",
+    "cochran_q",
+    "icc",
+    "runs_test",
+    "isotonic_calibration",
 ]
 
 
