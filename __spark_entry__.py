@@ -12088,6 +12088,244 @@ ORDER BY bin
 """
 
 
+
+
+def q_phash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs (extensions/
+    multimodal.py phash_near_dupes): synthesize REAL PNG payloads for
+    the first 96 doc ids with pixels seeded by doc_id %% 32 — PLANTING
+    byte-identical duplicate images under distinct ids — then aHash +
+    4x16-bit banding + popcount verify. The oracle enumerates exactly
+    the planted pairs (same seed => hamming 0), so the dedup CONTRACT
+    is value-checked end-to-end; the hash arithmetic itself is pinned
+    against a plain-Python decode+aHash reference in
+    tests/test_seventeenth_batch_ops.py (SQL cannot decode PNG)."""
+    from hdp_tez_spark.extensions.multimodal import (
+        phash_near_dupes,
+        synthesize_png_payloads,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(96)
+        .withColumn("seed", F.col("doc_id") % 32)
+    )
+    payloads = synthesize_png_payloads(
+        docs, "doc_id", size=(4, 4), seed_col="seed"
+    )
+    return phash_near_dupes(payloads, max_hamming=3)
+
+
+_SQL_PHASH_NEAR_DUPES = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 96)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming
+FROM ids a JOIN ids b
+  ON a.doc_id < b.doc_id AND a.doc_id % 32 = b.doc_id % 32
+ORDER BY id_a, id_b
+"""
+
+
+def q_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion of per-user event counts
+    (extensions/experiments.py dispersion_test): the burstiness /
+    Poisson-adequacy screen in front of poisson_rate_test. One
+    per-user count collapse + a 1-row integer sufficient-stat
+    reduce."""
+    from hdp_tez_spark.extensions.experiments import dispersion_test
+
+    return dispersion_test(_t(spark, sf_dir, "events"), "user_id")
+
+
+_SQL_DISPERSION_TEST = """
+WITH c AS (
+  SELECT user_id, count(*) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+r AS (SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM c)
+SELECT n::BIGINT AS n_units, s::BIGINT AS total,
+       round(s / CAST(n AS DOUBLE), 6) AS mean_count,
+       round(CASE WHEN n > 1 THEN
+         (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) END, 6) AS var_count,
+       round(CASE WHEN n > 1 AND s > 0 THEN
+         ((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+           / (s / CAST(n AS DOUBLE)) END, 6) AS dispersion
+FROM r
+"""
+
+
+def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson event-rate z between even/odd user cohorts
+    (extensions/experiments.py poisson_rate_test): per-entity exposure
+    from DISTINCT units per arm, pooled-rate score test. One
+    conditional-count pass; integer arithmetic until the ratios."""
+    from hdp_tez_spark.extensions.experiments import poisson_rate_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        "user_id",
+    )
+    return poisson_rate_test(ev, "arm", "user_id", "even", "odd")
+
+
+_SQL_POISSON_RATE = """
+WITH e AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT sum(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS xa,
+         sum(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS xb,
+         count(DISTINCT CASE WHEN arm = 'even' THEN user_id END) AS ta,
+         count(DISTINCT CASE WHEN arm = 'odd' THEN user_id END) AS tb
+  FROM e
+)
+SELECT xa::BIGINT AS x_a, ta::BIGINT AS t_a,
+       xb::BIGINT AS x_b, tb::BIGINT AS t_b,
+       round(CASE WHEN ta > 0 THEN xa / CAST(ta AS DOUBLE) END, 6)
+         AS rate_a,
+       round(CASE WHEN tb > 0 THEN xb / CAST(tb AS DOUBLE) END, 6)
+         AS rate_b,
+       round(CASE WHEN ta > 0 AND tb > 0 AND xa + xb > 0 THEN
+         (xa / CAST(ta AS DOUBLE) - xb / CAST(tb AS DOUBLE))
+           / sqrt((xa + xb) / CAST(ta + tb AS DOUBLE)
+                  * (1.0 / ta + 1.0 / tb)) END, 6) AS z_stat
+FROM r
+"""
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user population
+    from two sighting samples — users observed via even vs odd event
+    ids (extensions/analytics.py capture_recapture): the "how many
+    entities have we NOT seen" lower-bound sanity check. Two distinct
+    collapses + one id equi-join."""
+    from hdp_tez_spark.extensions.analytics import capture_recapture
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.where(F.col("event_id") % 2 == 1).select("user_id")
+    return capture_recapture(a, b, "user_id")
+
+
+_SQL_CAPTURE_RECAPTURE = """
+WITH a AS (
+  SELECT DISTINCT user_id AS id FROM events
+  WHERE event_id % 2 = 0 AND user_id IS NOT NULL
+),
+b AS (
+  SELECT DISTINCT user_id AS id FROM events
+  WHERE event_id % 2 = 1 AND user_id IS NOT NULL
+),
+r AS (
+  SELECT (SELECT count(*) FROM a) AS na,
+         (SELECT count(*) FROM b) AS nb,
+         (SELECT count(*) FROM a JOIN b USING (id)) AS m
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, m::BIGINT AS overlap,
+       round(CAST(na + 1 AS DOUBLE) * (nb + 1) / (m + 1) - 1, 6)
+         AS est_total,
+       round(sqrt(CAST(na + 1 AS DOUBLE) * (nb + 1) * (na - m) * (nb - m)
+                  / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))), 6)
+         AS se
+FROM r
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility over the document corpus
+    (extensions/textstats.py tokenizer_fertility): BPE-ish segments
+    per word and chars per segment — the training-token cost
+    forecaster per language slice. Pure column expressions + one
+    |languages|-row collapse."""
+    from hdp_tez_spark.extensions.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), "lang", "text"
+    )
+
+
+_SQL_TOKENIZER_FERTILITY = """
+WITH per AS (
+  SELECT lang AS g,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS w,
+         len(regexp_extract_all(text,
+                                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]+')) AS s,
+         length(text) AS c
+  FROM documents WHERE lang IS NOT NULL
+),
+red AS (
+  SELECT g, count(*) AS n_docs, sum(w) AS nw, sum(s) AS ns, sum(c) AS nc
+  FROM per GROUP BY g
+)
+SELECT g AS "group", n_docs, nw::BIGINT AS n_words,
+       ns::BIGINT AS n_segments, nc::BIGINT AS n_chars,
+       round(CASE WHEN nw > 0 THEN ns / CAST(nw AS DOUBLE) END, 6)
+         AS fertility,
+       round(CASE WHEN ns > 0 THEN nc / CAST(ns AS DOUBLE) END, 6)
+         AS chars_per_segment
+FROM red ORDER BY g
+"""
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds/risk ratio of high-value events producing errors
+    (extensions/experiments.py odds_ratio): exposure = value > 66,
+    outcome = event_type = 'error', Woolf/Katz log-normal 95%%
+    intervals — the directional effect size next to chi_square /
+    cramers_v. One conditional-count pass to four cells."""
+    from hdp_tez_spark.extensions.experiments import odds_ratio
+
+    ev = _t(spark, sf_dir, "events")
+    return odds_ratio(
+        ev, F.col("value") > 66, F.col("event_type") == "error"
+    )
+
+
+_SQL_ODDS_RATIO = """
+WITH f AS (
+  SELECT (value > 66) AS e, (event_type = 'error') AS o FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS d
+  FROM f
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b, c::BIGINT AS c, d::BIGINT AS d,
+       round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) END, 6)
+         AS odds_ratio,
+       round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+           * exp(-1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) END, 6)
+         AS or_lo,
+       round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+           * exp(1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) END, 6)
+         AS or_hi,
+       round(CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 AND a > 0 THEN
+         (a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE))
+         END, 6) AS risk_ratio,
+       round(CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 AND a > 0 THEN
+         (a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE))
+           * exp(-1.96 * sqrt(1.0/a - 1.0/(a + b)
+                              + 1.0/c - 1.0/(c + d))) END, 6) AS rr_lo,
+       round(CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 AND a > 0 THEN
+         (a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE))
+           * exp(1.96 * sqrt(1.0/a - 1.0/(a + b)
+                             + 1.0/c - 1.0/(c + d))) END, 6) AS rr_hi
+FROM r
+"""
+
+
 # ---- driver-checked prefix (first 50 entries of _REGISTRY) ----
 # r09 rotation (VERDICT r08 'Next round' #2): the 14 never-checked r09
 # queries lead (three batches: image_resize/seasonal_decompose/
@@ -12120,6 +12358,17 @@ _PREFIX_R10 = [
     # r04-refresh rows (stream_left_join/stream_tumbling/
     # transition_counts/triangle_count/weighted_sample/winsorize)
     # demote below the boundary; never-checked outranks refresh. ---
+    # --- never-checked (new this round, fourteenth batch) — six more
+    # r04-refresh rows (rollup_maintain/rrf_fusion/scalar_functions/
+    # schema_evolution/sorted_group_apply/stream_cdc_upsert) demote
+    # below the boundary; never-checked outranks refresh. ---
+    "phash_near_dupes",
+    "dispersion_test",
+    "poisson_rate",
+    "capture_recapture",
+    "tokenizer_fertility",
+    "odds_ratio",
+    # --- (thirteenth batch) ---
     "levene_test",
     "friedman_test",
     "cochran_q",
@@ -12183,19 +12432,24 @@ _PREFIX_R10 = [
     "python_udtf",
     "range_frame_window",
     "rolling_zscore",
-    "rollup_maintain",
-    "rrf_fusion",
-    "scalar_functions",
-    "schema_evolution",
-    "sorted_group_apply",
-    "stream_cdc_upsert",
-    # --- woe_iv + zorder_stats (r04) and the whole r05-refresh block
-    # (acf/ann_recall/apply_mixture/approx_distinct) demoted by the
-    # twelfth batch to keep len == 50 — never-checked outranks
-    # refresh; they stay first in line for the r11 rotation ---
+    # --- rollup_maintain..stream_cdc_upsert (r04), woe_iv +
+    # zorder_stats (r04), and the r05-refresh block (acf/ann_recall/
+    # apply_mixture/approx_distinct) all demoted (twelfth/fourteenth
+    # batches) to keep len == 50 — never-checked outranks refresh;
+    # first in line for the r11 rotation ---
 ]
 
 _REGISTRY_BODY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (fourteenth batch)
+    "phash_near_dupes": (q_phash_near_dupes, _SQL_PHASH_NEAR_DUPES),
+    "dispersion_test": (q_dispersion_test, _SQL_DISPERSION_TEST),
+    "poisson_rate": (q_poisson_rate, _SQL_POISSON_RATE),
+    "capture_recapture": (q_capture_recapture, _SQL_CAPTURE_RECAPTURE),
+    "tokenizer_fertility": (
+        q_tokenizer_fertility,
+        _SQL_TOKENIZER_FERTILITY,
+    ),
+    "odds_ratio": (q_odds_ratio, _SQL_ODDS_RATIO),
     # r10 additions (thirteenth batch)
     "levene_test": (q_levene_test, _SQL_LEVENE_TEST),
     "friedman_test": (q_friedman_test, _SQL_FRIEDMAN_TEST),

@@ -293,6 +293,13 @@ HEADLINE = [
     "icc",
     "runs_test",
     "isotonic_calibration",
+    # r10 additions (fourteenth batch)
+    "phash_near_dupes",
+    "dispersion_test",
+    "poisson_rate",
+    "capture_recapture",
+    "tokenizer_fertility",
+    "odds_ratio",
 ]
 
 # How many HEADLINE entries form the baseline-shared core whose timings are

@@ -2860,3 +2860,65 @@ def runs_test(
             6,
         ).alias("z_stat"),
     ).orderBy("group")
+
+
+def capture_recapture(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate from two sighting
+    samples — the "how many entities exist that we have NOT seen"
+    readout: estimate total population (users, distinct entities,
+    undetected duplicate pairs) from two independent samples and their
+    overlap. With n_a, n_b the per-sample distinct counts and m the
+    overlap:
+
+        N_hat = (n_a + 1)(n_b + 1) / (m + 1) - 1        (Chapman 1951)
+        var_hat = (n_a + 1)(n_b + 1)(n_a - m)(n_b - m)
+                  / ((m + 1)^2 (m + 2))
+
+    Output: ONE row (n_a, n_b, overlap, est_total, se) rounded to 6 dp
+    (est_total too: Chapman is not integer-valued). The estimate
+    assumes independent samples with homogeneous capture probability —
+    both violated in the direction of UNDER-estimating the population
+    when captures are positively correlated; treat it as a lower-bound
+    sanity check, not a census. NULL ids are excluded; duplicate ids
+    within a sample count once.
+
+    Scale shape: two distinct-collapses (|sample| rows, map-side
+    combined) + one id equi-join for the overlap + a 1-row readout.
+    Integer counts until the final ratios.
+    """
+    ai = (
+        sample_a.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__id"))
+        .distinct()
+    )
+    bi = (
+        sample_b.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__id"))
+        .distinct()
+    )
+    ai = truncate_lineage(ai)
+    bi = truncate_lineage(bi)
+    na = ai.agg(F.count(F.lit(1)).alias("__na"))
+    nb = bi.agg(F.count(F.lit(1)).alias("__nb"))
+    m = ai.join(bi, "__id").agg(F.count(F.lit(1)).alias("__m"))
+    red = na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(m))
+    a, b, mm = F.col("__na"), F.col("__nb"), F.col("__m")
+    est = (a + 1).cast("double") * (b + 1) / (mm + 1) - 1
+    var = (
+        (a + 1).cast("double")
+        * (b + 1)
+        * (a - mm)
+        * (b - mm)
+        / ((mm + 1).cast("double") * (mm + 1) * (mm + 2))
+    )
+    return red.select(
+        a.alias("n_a"),
+        b.alias("n_b"),
+        mm.alias("overlap"),
+        F.round(est, 6).alias("est_total"),
+        F.round(F.sqrt(var), 6).alias("se"),
+    )

@@ -2590,3 +2590,175 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def dispersion_test(
+    df: DataFrame,
+    unit_col: str,
+) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean) test on per-unit event
+    counts — the burstiness screen that tells a pipeline whether a
+    Poisson model of per-entity activity holds (D ≈ 1), or entities are
+    bursty/overdispersed (D >> 1, negative-binomial territory) — the
+    distributional prerequisite check for `poisson_rate_test`. With
+    c_u the per-unit counts over n units, sample variance s², mean m:
+    D = s²/m and chi2 = (n-1)·D is compared to chi-square(n-1)
+    driver-side. Output: ONE row (n_units, total, mean_count,
+    var_count, dispersion) rounded to 6 dp; dispersion is NULL when
+    m = 0 or n < 2. Units are rows present in `df` — zero-count
+    entities are invisible to a log-derived table and are the caller's
+    modeling decision to include (join a spine upstream if so).
+
+    Scale shape: ONE map-side-combined collapse to per-unit counts
+    (|units| rows), then a 1-row integer sufficient-stat reduce
+    (Σc, Σc² exact in long).
+    """
+    counts = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    red = counts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    )
+    n, sm, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    mean = sm / n.cast("double")
+    var = (ss - sm.cast("double") * sm / n) / (n - 1)
+    return red.select(
+        n.alias("n_units"),
+        sm.alias("total"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(F.when(n > 1, var), 6).alias("var_count"),
+        F.round(F.when((n > 1) & (sm > 0), var / mean), 6).alias(
+            "dispersion"
+        ),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    arm_col: str,
+    unit_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Poisson rate test with per-unit exposure — the event-
+    RATE comparison that `ab_ttest` (means) and `proportion_ci`
+    (binary shares) don't cover: did arm A generate events at a higher
+    per-entity rate than arm B? Exposure t = DISTINCT units per arm;
+    x = event count per arm; rates r = x/t; the score z uses the
+    pooled rate under H0:
+
+        z = (r_a - r_b) / sqrt(pooled * (1/t_a + 1/t_b)),
+        pooled = (x_a + x_b) / (t_a + t_b)
+
+    Output: ONE row (x_a, t_a, x_b, t_b, rate_a, rate_b, z_stat)
+    rounded to 6 dp; z_stat is NULL when either exposure is 0 or the
+    pooled rate is 0. Check `dispersion_test` first — overdispersion
+    inflates this z.
+
+    Scale shape: ONE conditional-count pass (counts + distinct units
+    per arm via two map-side-combined aggregates); integer arithmetic
+    until the final ratios.
+    """
+    arm = F.col(arm_col)
+    red = (
+        df.where(arm.isin([group_a, group_b]) & F.col(unit_col).isNotNull())
+        .agg(
+            F.sum((arm == F.lit(group_a)).cast("long")).alias("__xa"),
+            F.sum((arm == F.lit(group_b)).cast("long")).alias("__xb"),
+            F.count_distinct(
+                F.when(arm == F.lit(group_a), F.col(unit_col))
+            ).alias("__ta"),
+            F.count_distinct(
+                F.when(arm == F.lit(group_b), F.col(unit_col))
+            ).alias("__tb"),
+        )
+    )
+    xa, xb = F.col("__xa"), F.col("__xb")
+    ta, tb = F.col("__ta"), F.col("__tb")
+    ra = xa / ta.cast("double")
+    rb = xb / tb.cast("double")
+    pooled = (xa + xb) / (ta + tb).cast("double")
+    z = (ra - rb) / F.sqrt(pooled * (1.0 / ta + 1.0 / tb))
+    return red.select(
+        xa.alias("x_a"),
+        ta.alias("t_a"),
+        xb.alias("x_b"),
+        tb.alias("t_b"),
+        F.round(F.when(ta > 0, ra), 6).alias("rate_a"),
+        F.round(F.when(tb > 0, rb), 6).alias("rate_b"),
+        F.round(
+            F.when((ta > 0) & (tb > 0) & (xa + xb > 0), z), 6
+        ).alias("z_stat"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col,
+    outcome_col,
+) -> DataFrame:
+    """2x2 odds ratio and risk ratio with Woolf/Katz log-normal 95%
+    intervals — the effect-size readout `chi_square`/`cramers_v` don't
+    give (association strength says nothing about direction or
+    magnitude of risk). Cells: a = exposed+outcome, b = exposed only,
+    c = unexposed+outcome, d = neither;
+
+        OR = ad/bc,  se_log = sqrt(1/a + 1/b + 1/c + 1/d)
+        RR = (a/(a+b)) / (c/(c+d)),
+        se_log_rr = sqrt(1/a - 1/(a+b) + 1/c - 1/(c+d))
+
+    CI bounds = point * exp(±1.96 * se). Output: ONE row (a, b, c, d,
+    odds_ratio, or_lo, or_hi, risk_ratio, rr_lo, rr_hi) rounded to
+    6 dp; any zero cell makes OR and its CI NULL (no continuity
+    fudge — callers wanting Haldane correction add 0.5 upstream
+    explicitly); RR is NULL when a zero denominator or zero unexposed
+    risk makes it undefined. Rows with a NULL flag on either side are
+    excluded. Both flag arguments accept a column name or a boolean
+    Column.
+
+    Scale shape: ONE conditional-count pass to the four cells; integer
+    counts until the final ratios.
+    """
+    e = (
+        F.col(exposure_col) if isinstance(exposure_col, str) else exposure_col
+    ).cast("boolean")
+    o = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("boolean")
+    red = df.where(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("long")).alias("a"),
+        F.sum((e & ~o).cast("long")).alias("b"),
+        F.sum((~e & o).cast("long")).alias("c"),
+        F.sum((~e & ~o).cast("long")).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    all_pos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    orr = (a.cast("double") * d) / (b.cast("double") * c)
+    se_or = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    risk_ok = (a + b > 0) & (c + d > 0) & (c > 0) & (a > 0)
+    rr = (a / (a + b).cast("double")) / (c / (c + d).cast("double"))
+    se_rr = F.sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))
+    return red.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.when(all_pos, orr), 6).alias("odds_ratio"),
+        F.round(F.when(all_pos, orr * F.exp(-1.96 * se_or)), 6).alias(
+            "or_lo"
+        ),
+        F.round(F.when(all_pos, orr * F.exp(1.96 * se_or)), 6).alias(
+            "or_hi"
+        ),
+        F.round(F.when(risk_ok, rr), 6).alias("risk_ratio"),
+        F.round(F.when(risk_ok, rr * F.exp(-1.96 * se_rr)), 6).alias(
+            "rr_lo"
+        ),
+        F.round(F.when(risk_ok, rr * F.exp(1.96 * se_rr)), 6).alias(
+            "rr_hi"
+        ),
+    )

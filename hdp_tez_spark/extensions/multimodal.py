@@ -214,11 +214,13 @@ def synthesize_png_payloads(
     id_col: str = "doc_id",
     size: tuple[int, int] = (4, 4),
     payload_col: str = "payload",
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Deterministic REAL PNG payloads from an id column: each row gets
-    an 8-bit RGB PNG of `size` whose pixels are seeded by the id
-    (extensions/pngcodec.py encode — stdlib only, identical bytes for
-    identical ids on every executor/retry). This is the test-data twin
+    an 8-bit RGB PNG of `size` whose pixels are seeded by the id — or by
+    `seed_col` when given, so tests can PLANT byte-identical duplicate
+    images under distinct ids (extensions/pngcodec.py encode — stdlib
+    only, identical bytes for identical seeds on every executor/retry). This is the test-data twin
     of a binary ingest: everything downstream (schema, Arrow batches,
     decode/resize) handles genuine image bytes, not placeholder text.
 
@@ -226,6 +228,7 @@ def synthesize_png_payloads(
     is O(w*h*3) per row.
     """
     w, h = size
+    sc = seed_col or id_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -234,15 +237,16 @@ def synthesize_png_payloads(
 
         for pdf in batches:
             payloads = []
-            for doc_id in pdf[id_col]:
-                rng = np.random.default_rng(int(doc_id))
+            for seed in pdf[sc]:
+                rng = np.random.default_rng(int(seed))
                 arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payloads.append(pngcodec.encode(arr))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), payload_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(
+    cols = [id_col] if sc == id_col else [id_col, sc]
+    return df.select(*cols).mapInPandas(
         gen,
         StructType(
             [
@@ -377,3 +381,143 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit perceptual AVERAGE hash (aHash) of PNG payloads — the
+    image twin of the text `fingerprint` operator, and the signature
+    behind `phash_near_dupes`: decode (extensions/pngcodec.py, stdlib
+    only), nearest-resize to 8x8, integer grayscale (r+g+b)//3, then
+    one bit per pixel set iff gray*64 > sum(gray) (the strict integer
+    form of "above the mean" — no float threshold, so identical bytes
+    hash identically on every engine/executor/retry). Bits pack
+    row-major MSB-first into one signed 64-bit value (two's
+    complement). PIL is NOT consulted even when present: the stdlib
+    path is deterministic by construction, which is what a dedup
+    signature requires. Non-PNG payloads raise the honest codec error.
+
+    Scale shape: map-side only (Arrow-batched mapInPandas, no shuffle);
+    output is one (id, long) row per image.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from hdp_tez_spark.extensions import pngcodec
+
+        for pdf in batches:
+            hashes = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not pngcodec.is_png(data):
+                    _require_codec(f"{id_col}={doc_id}: non-PNG payload")
+                arr = pngcodec.decode(data)
+                small = pngcodec.resize_nearest(arr, 8, 8)
+                gray = small.astype(np.int64).sum(axis=2) // 3
+                total = int(gray.sum())
+                bits = 0
+                for v in gray.reshape(-1):
+                    bits = (bits << 1) | (1 if int(v) * 64 > total else 0)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batches, PHASH_SCHEMA
+    )
+
+
+def phash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash banding — the
+    multimodal member of the dedup family (exact_dedup / minhash_lsh /
+    simhash for text): aHash every payload (`phash_images`), band the
+    64-bit signature into four 16-bit quarters, bucket-join on (band,
+    value), verify candidates with an exact popcount. The pigeonhole
+    guarantee makes banding EXACT here, not probabilistic: a pair
+    within hamming distance 3 differs in at most 3 of the 4 bands, so
+    at least one band matches and the pair is always a candidate
+    (minhash banding only achieves this in probability). Output:
+    (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming
+    (which must be < 4 to keep the guarantee), ordered.
+
+    Scale shape: the hash table is one narrow (id, long) row per image
+    (map-side, no shuffle to build); the band explode is x4; the
+    candidate join is an EQUI-join on (band, 16-bit value) — never
+    all-pairs; verification is one integer xor+bit_count per candidate.
+    The 100 TB posture matches minhash_lsh: shuffle O(images x 4)
+    8-byte keys, and bucket skew only arises from genuinely identical
+    quarters (true near-dups).
+    """
+    if not 0 <= max_hamming < 4:
+        raise ValueError(
+            f"max_hamming must be in [0, 4) for the 4-band pigeonhole "
+            f"guarantee, got {max_hamming}"
+        )
+    hashes = phash_images(df, id_col, payload_col)
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    hashes = truncate_lineage(hashes)
+    bands = hashes.select(
+        F.col("doc_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("__bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__s"),
+    ).select("doc_id", "phash", "__s.__band", "__s.__bv")
+    left = bands.select(
+        F.col("__band"),
+        F.col("__bv"),
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("__ha"),
+    )
+    right = bands.select(
+        F.col("__band"),
+        F.col("__bv"),
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("__hb"),
+    )
+    cands = (
+        left.join(right, ["__band", "__bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

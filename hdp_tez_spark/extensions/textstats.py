@@ -952,3 +952,58 @@ def keyness_llr(
         .alias("direction"),
     )
     return scored.orderBy(F.col("g2").desc(), F.col("term").asc()).limit(k)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Tokenizer fertility per group (typically language): how many
+    BPE-ish segments the tokenizer spends per word, and how many
+    characters each segment carries — the corpus-level forecaster of
+    training-token cost per language/source (high fertility = the
+    tokenizer fragments this slice; chars/segment near 1 = byte-level
+    fallback territory). Per group over all documents: words = the
+    corpus-wide lower/[^a-z0-9]+ tokens, segments = BPE_ISH_REGEX
+    matches (the token_stats conventions); fertility =
+    segments/words, chars_per_segment = chars/segments. Output per
+    group: (group, n_docs, n_words, n_segments, n_chars, fertility,
+    chars_per_segment) rounded to 6 dp, ordered by group; ratios NULL
+    on a zero denominator. NULL group labels are excluded.
+
+    Scale shape: counting is pure per-row column expressions (size of
+    split/extract arrays — bodies never explode into token rows); ONE
+    map-side-combined |groups|-row collapse. Integer sums until the
+    final ratios.
+    """
+    toks = _tokens(F.col(text_col))
+    segs = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
+    per_row = _spread(
+        df.where(F.col(group_col).isNotNull()).select(
+            F.col(group_col).alias("__g"), F.col(text_col)
+        )
+    ).select(
+        "__g",
+        F.size(toks).alias("__w"),
+        F.size(segs).alias("__s"),
+        F.length(F.col(text_col)).alias("__c"),
+    )
+    red = per_row.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__s").alias("n_segments"),
+        F.sum("__c").alias("n_chars"),
+    )
+    w, sg, ch = F.col("n_words"), F.col("n_segments"), F.col("n_chars")
+    return red.select(
+        F.col("__g").alias("group"),
+        "n_docs",
+        "n_words",
+        "n_segments",
+        "n_chars",
+        F.round(F.when(w > 0, sg / w.cast("double")), 6).alias("fertility"),
+        F.round(
+            F.when(sg > 0, ch / sg.cast("double")), 6
+        ).alias("chars_per_segment"),
+    ).orderBy("group")

@@ -98,6 +98,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "cochran_q": "1-row k and marginal-total aggs crossJoined",
     "isotonic_calibration": "triangular self-joins over the <=bins-row "
     "reliability table (B^2 pairs / B^3 minimax, B=20 constant)",
+    "capture_recapture": "1-row per-sample count aggs crossJoined",
     "tpch_q11": "scalar subquery: 1-row group-free agg (the spec's HAVING)",
     "tpch_q22": "scalar subquery: 1-row avg(c_acctbal) agg (per spec)",
     "triangle_count": "1-row census totals (wedges/triangles) crossJoined",

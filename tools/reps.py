@@ -132,6 +132,13 @@ STANDING_EXTRAS = [
     "icc",
     "runs_test",
     "isotonic_calibration",
+    # r10 additions (fourteenth batch)
+    "phash_near_dupes",
+    "dispersion_test",
+    "poisson_rate",
+    "capture_recapture",
+    "tokenizer_fertility",
+    "odds_ratio",
 ]
 
 
