@@ -9961,15 +9961,23 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (finite-sample 90% radius), coverage audited on the ==2 third —
     the distribution-free uncertainty wrapper for any regressor. The
     k-th order statistic rides one keyed window sort; residual
-    compares share the same yhat subtraction on both sides, so
-    boundary ties agree cross-engine."""
+    compares run against a 6-dp-rounded yhat so both engines feed
+    bit-identical residuals into the quantile and coverage compare
+    (unrounded avg() ulp noise flipped 4 tied boundary rows at
+    sf1.0)."""
     from hdp_tez_spark.extensions.experiments import conformal_intervals
 
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # yhat rounded to 6 dp so BOTH engines feed bit-identical residuals
+    # into the quantile and the coverage compare: the unrounded avg()
+    # differs between Spark and the oracle at the last ulp (summation
+    # order), and with the 2-dp-quantized value grid ~56 test rows tie
+    # the quantile residual exactly — found as a 4-row covered-count
+    # flip in the r10 sf1.0 close sweep.
     means = (
         ev.where(F.col("event_id") % 3 == 0)
         .groupBy("event_type")
-        .agg(F.avg("value").alias("yhat"))
+        .agg(F.round(F.avg("value"), 6).alias("yhat"))
     )
     cal = ev.where(F.col("event_id") % 3 == 1).join(
         F.broadcast(means), "event_type"
@@ -9984,7 +9992,7 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CONFORMAL = """
 WITH means AS (
-  SELECT event_type, avg(value) AS yhat
+  SELECT event_type, round(avg(value), 6) AS yhat
   FROM events WHERE event_id % 3 = 0 AND value IS NOT NULL
   GROUP BY event_type
 ),

@@ -1413,8 +1413,10 @@ def conformal_intervals(
     over the calibration residuals (rank selection, not a global
     sort); the |groups|-row (qhat, n_cal) table broadcasts onto the
     test set; the audit is a conditional-count partial agg. Residual
-    compares are plain double subtraction both engines, exact at the
-    6-dp readout.
+    compares are plain double subtraction; for CROSS-ENGINE exactness
+    the caller must supply an engine-reproducible yhat (e.g. a rounded
+    model output) — an unrounded float aggregate carries last-ulp
+    summation noise into every tied boundary compare.
     """
     if not (0.0 < alpha < 1.0):
         raise ValueError("need 0 < alpha < 1")
