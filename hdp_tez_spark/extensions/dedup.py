@@ -614,9 +614,16 @@ def connected_components(
     the edge set converges to a star forest rooted at each component's
     minimum id in O(log^2 n) rounds worst-case, ~log n observed. The
     fixpoint test is exact and cheap: the edge set is a star forest iff
-    no parent also appears as a child (one edge-table semi-join per
-    round — edge-table sized, tiny next to the corpus scan that built
-    the pairs).
+    no parent also appears as a child AND no child carries two parents
+    (one edge-table join + single-row aggregate per round — edge-table
+    sized, tiny next to the corpus scan that built the pairs). Both
+    clauses are required: a depth-1 edge set where some child keeps two
+    distinct parents (e.g. {(3,0),(3,2)}) passes the parent-is-a-child
+    test alone, yet its components are not merged — stopping there
+    split a 6-node chain into two components AND emitted duplicate
+    label rows for the two-parent child (found by
+    tests/test_properties.py::test_connected_components_matches_union_find,
+    fixed r10).
 
     Why not min-label propagation: it converges in O(component diameter)
     rounds. r08 patched it with a "pointer jump" through the label map,
@@ -702,11 +709,26 @@ def connected_components(
         # chained Dataset checkpoints get geometrically slower with
         # chain depth (plans/checkpoints.py)
         e = lc.cut(small)
-        # exact fixpoint test: a star forest has no node that is both a
-        # parent and a child; both star ops preserve connectivity, so
-        # star forest == converged components
+        # exact fixpoint test: a star forest has (a) no node that is
+        # both a parent and a child and (b) exactly one parent per
+        # child; both star ops preserve connectivity and keep
+        # child > parent, so star forest == converged components with
+        # each star's root the component minimum. (b) is not implied by
+        # (a): a depth-1 edge set can still hold {(c,p1),(c,p2)} whose
+        # roots were never merged — see docstring. One job: left-join
+        # parents against the distinct child set, then a single-row
+        # aggregate counting both violation classes.
         kids = e.select(F.col("child").alias("__k")).distinct()
-        pending = e.join(kids, e.parent == F.col("__k"), "left_semi").count()
+        stats = (
+            e.join(kids, e.parent == F.col("__k"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("__total"),
+                F.count_distinct(F.col("child")).alias("__nchild"),
+                F.count(F.col("__k")).alias("__badp"),
+            )
+            .first()
+        )
+        pending = stats["__badp"] + (stats["__total"] - stats["__nchild"])
         if on_round is not None:
             on_round(i, pending)
         if pending == 0:
