@@ -421,10 +421,12 @@ def bootstrap_ci(
     repartitioning, and the SQL oracle reproduce every replica exactly.
     Each md5 is sliced into FOUR 32-bit uniforms (replica r uses hash
     block r//4, hex slice r%4), so b replicas cost ceil(b/4) md5s per
-    row, and there is NO row explosion: all b (Σwx, Σw) pairs ride one
-    aggregation as 2b conditional-sum expressions, collapsing map-side
-    to a single row. Weights are truncated at 8 (P(X>7) < 1.1e-5), a
-    negligible and deterministic bias.
+    row. All b (Σwx, Σw) pairs ride one explode(sequence) ->
+    groupBy(replica) aggregation whose map-side partial agg collapses
+    every partition to b rows before the shuffle (the b-row explosion
+    never crosses the exchange; see the in-body note on why the 2b-wide
+    single-group aggregate was replaced). Weights are truncated at 8
+    (P(X>7) < 1.1e-5), a negligible and deterministic bias.
 
     Output: ONE row (n, mean, ci_lo, ci_hi, b) — the observed mean and
     the empirical alpha/2 and 1-alpha/2 percentiles of the `b` replica
@@ -438,67 +440,114 @@ def bootstrap_ci(
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
 
+    from hdp_tez_spark.parallel import spread
+
     x = F.col(value_col).cast("double")
-    base = df.where(x.isNotNull()).select(
-        F.col(id_col).cast("string").alias("__id"), x.alias("__x")
+    # spread BEFORE the weight projection: the draw chain is the most
+    # expression-dense map stage in the registry (ceil(b/4) md5 + b conv
+    # per row), and a small single-file source arrives as one scan task —
+    # without the fan-out the entire corpus pays the chain on one core
+    # (measured 9.4s -> 2.3s at sf0.1; the 2.4 MB (id, x) reshuffle is
+    # noise). At real scale the source has many splits and spread is a
+    # guarded no-op.
+    base = spread(
+        df.where(x.isNotNull()).select(
+            F.col(id_col).cast("string").alias("__id"), x.alias("__x")
+        )
     )
     n_blocks = (b + 3) // 4
-    blocks = [
-        F.md5(F.concat_ws("-", F.lit(seed), F.lit(blk), F.col("__id")))
-        for blk in range(n_blocks)
-    ]
 
-    def weight(r: int):
-        h = blocks[r // 4]
-        u = F.conv(F.substring(h, 1 + 8 * (r % 4), 8), 16, 10).cast(
-            "double"
-        ) / F.lit(float(1 << 32))
-        # Branch-free inverse CDF: w = #{cdf entries <= u} — identical to
-        # the nested WHEN ladder (w is the first k with u < cdf[k], else
-        # 8) but flat. The 8-deep CASE chain, times b=32 replicas, blew
-        # the generated hashAgg method past janino's limits: whole-stage
-        # codegen hard-failed ("Failed to compile", ~16k-line class) and
-        # the entire corpus pass silently ran interpreted. The flat sum
-        # of comparisons compiles clean at the same measured speed.
-        w = F.lit(0)
-        for c in POISSON1_CDF:
-            w = w + (u >= c).cast("int")
-        return w.cast("double")
+    # Shape: explode a FOLDABLE sequence(0, b-1) into a replica-index
+    # column, then compute the weight as ONE scalar expression
+    # parameterized by (__hs, __r). Two codegen traps drove this design
+    # (both measured at r10, sf0.1):
+    #  * Unrolling the b replicas as separate column expressions —
+    #    inline or as staged projections — fuses into one whole-stage
+    #    processNext() whose ~16k-line body hard-fails janino's 64 KB
+    #    method limit; janino re-attempts the compile on EVERY execution
+    #    (~5 s/run) and the stage then runs interpreted (12.6s
+    #    single-shot / 21s+ steady-state).
+    #  * A higher-order transform(sequence, λ) keeps codegen small but
+    #    poisons the scan: InferFiltersFromGenerate derives
+    #    `size(__ws) > 0` from the explode, filter-pushdown substitutes
+    #    the whole transform through the projections and the exchange,
+    #    and the scan filter then re-evaluates the full b-replica draw
+    #    chain — with the md5 ARRAY inlined per lambda element, 8·b
+    #    md5/row — interpreted, per input row (measured 290s).
+    # Exploding the literal sequence instead makes the inferred filter
+    # `size(sequence(0, b-1)) > 0` constant-fold away, the md5 array
+    # materializes once per row in the projection BELOW the Generate
+    # (projections cannot collapse across it), and the per-replica
+    # weight is a single small expression (element_at + conv + 8
+    # comparisons) that whole-stage codegen compiles and the JVM JITs.
+    # Arithmetic is unchanged: replica r still reads hex slice r%4 of
+    # md5 block r//4 via the same conv -> /2^32 -> >=cdf chain, so every
+    # weight is bit-identical to the oracle's.
+    hashed = base.select(
+        "__x",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws("-", F.lit(seed), F.lit(blk), F.col("__id"))
+                )
+                for blk in range(n_blocks)
+            ]
+        ).alias("__hs"),
+    )
+    exploded = hashed.select(
+        "__x",
+        "__hs",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r"),
+    )
+    h = F.element_at(
+        F.col("__hs"), F.floor(F.col("__r") / 4).cast("int") + 1
+    )
+    u = F.conv(
+        h.substr((F.col("__r") % 4) * 8 + F.lit(1), F.lit(8)), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+    # Branch-free inverse CDF: w = #{cdf entries <= u} — identical to
+    # the nested WHEN ladder (w is the first k with u < cdf[k], else 8)
+    # but flat (r05 note: the 8-deep CASE chain codegens wide).
+    w = F.lit(0)
+    for c in POISSON1_CDF:
+        w = w + (u >= c).cast("int")
 
-    # Weights materialize in a PROJECTION before the aggregation: inside
-    # agg() every expression evaluates independently, so referencing the
-    # hash chain from 2b aggregates would recompute each md5 2b times per
-    # row; one project computes each block's md5 once (codegen CSE) and
-    # the aggregation sums plain columns.
-    weighted = base.select(
-        "__x", *[weight(r).alias(f"__w{r}") for r in range(b)]
+    # The b (Σwx, Σw) pairs ride this explode -> groupBy(replica)
+    # aggregation, NOT 2b single-group aggregate expressions. The wide
+    # form generated one 39 KB hashAgg update method — over the JVM's
+    # 8 KB JIT limit, so every row ran through the bytecode interpreter.
+    # The exploded form keeps rows (replica, w, x) through a 4-function
+    # hash aggregate with b groups: small JIT-able methods, millisecond
+    # compiles, and the map-side partial agg still collapses each
+    # partition to b rows before the one tiny shuffle. Per-replica
+    # arithmetic is unchanged: each group's Σwx/Σw accumulates the same
+    # values in the same within-partition row order, and cross-partition
+    # merge order was never deterministic in either shape — exactly the
+    # noise the 6-dp rounding of replica means has always absorbed.
+    pairs = exploded.select(
+        "__x", F.col("__r"), w.cast("double").alias("__w")
     )
-    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")]
-    for r in range(b):
-        aggs.append(
-            F.sum(F.col(f"__w{r}") * F.col("__x")).alias(f"__sx{r}")
-        )
-        aggs.append(F.sum(f"__w{r}").alias(f"__sw{r}"))
-    stats = weighted.agg(*aggs)
-    means = F.array(
-        *[
-            F.round(F.col(f"__sx{r}") / F.col(f"__sw{r}"), 6)
-            for r in range(b)
-        ]
+    rep_stats = pairs.groupBy("__r").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__x").alias("__tx"),
+        F.sum(F.col("__w") * F.col("__x")).alias("__sx"),
+        F.sum("__w").alias("__sw"),
     )
-    return (
-        stats.withColumn("__m", F.explode(means))
-        .groupBy("n", "mean")
-        .agg(
-            F.round(
-                F.percentile(F.col("__m"), F.lit(alpha / 2.0)), 6
-            ).alias("ci_lo"),
-            F.round(
-                F.percentile(F.col("__m"), F.lit(1.0 - alpha / 2.0)), 6
-            ).alias("ci_hi"),
-        )
-        .select("n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b"))
-    )
+    # n is exact (every row emits every replica, so any group's count is
+    # the row count); mean comes from replica 0's Σx — the same
+    # sum/count division F.avg performed, over the same rows. coalesce
+    # keeps the empty-input contract (one row: n=0, NULL stats).
+    m = F.round(F.col("__sx") / F.col("__sw"), 6)
+    return rep_stats.agg(
+        F.coalesce(F.max("__cnt"), F.lit(0).cast("long")).alias("n"),
+        F.round(
+            F.max(F.when(F.col("__r") == 0, F.col("__tx")))
+            / F.max("__cnt"),
+            6,
+        ).alias("mean"),
+        F.round(F.percentile(m, F.lit(alpha / 2.0)), 6).alias("ci_lo"),
+        F.round(F.percentile(m, F.lit(1.0 - alpha / 2.0)), 6).alias("ci_hi"),
+    ).select("n", "mean", "ci_lo", "ci_hi", F.lit(b).cast("int").alias("b"))
 
 
 def _two_group_value_cells(

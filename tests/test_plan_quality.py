@@ -649,21 +649,38 @@ def test_grouped_auc_reuses_group_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bootstrap_ci_no_row_explosion(spark):
-    """All b replica sums ride one aggregation: the only Generate
-    (explode) in the plan runs AFTER the aggregate, over the b-element
-    replica-means array — never over the data rows."""
+def test_bootstrap_ci_explosion_never_crosses_exchange(spark):
+    """The b-replica explode feeds a map-side partial aggregate: walking
+    from the Generate toward the root, a HashAggregate (partial, keyed
+    on the replica index) must appear BEFORE the first Exchange, so each
+    partition collapses to b rows before anything crosses the wire. The
+    draw chain must also stay out of the scan: the r10 transform-based
+    variant let InferFiltersFromGenerate push a size(transform(...))>0
+    predicate into the scan filter, re-evaluating 8*b md5 per input row
+    interpreted (measured 290s at sf0.1) — no Filter condition may
+    mention the hash chain."""
     from hdp_tez_spark.extensions.experiments import bootstrap_ci
 
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
     out = bootstrap_ci(df, "id", "v", b=8)
     plan = _plan(out)
-    gen_idx = plan.find("Generate explode")
-    agg_idx = plan.rfind("HashAggregate")
-    assert gen_idx != -1
-    # physical plans print top-down: the explode must appear ABOVE (before
-    # in the string) the final aggregates that consume raw rows
-    assert "Generate explode" not in plan[agg_idx:], plan
+    lines = plan.splitlines()
+    gen_line = next(
+        i for i, l in enumerate(lines) if "Generate" in l and "(" in l
+    )
+    # formatted plans print top-down, so walking to smaller indices walks
+    # toward the root; nearest HashAggregate must precede nearest Exchange
+    agg_up = exch_up = None
+    for off, l in enumerate(reversed(lines[:gen_line])):
+        if agg_up is None and "HashAggregate" in l:
+            agg_up = off
+        if exch_up is None and "Exchange" in l:
+            exch_up = off
+    assert agg_up is not None and exch_up is not None, plan
+    assert agg_up < exch_up, plan
+    for l in lines:
+        if "Condition" in l:
+            assert "md5" not in l and "conv(" not in l, l
 
 
 def test_bootstrap_ci_weight_ladder_is_branch_free(spark):
@@ -684,7 +701,7 @@ def test_bootstrap_ci_weight_ladder_is_branch_free(spark):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
     finally:
         spark.conf.set("spark.sql.debug.maxToStringFields", old)
-    start = plan.find("conv(substring")
+    start = plan.find("conv(")
     assert start != -1, plan[:2000]
     assert "CASE WHEN" not in plan[start:], plan[start : start + 2000]
 
