@@ -194,8 +194,9 @@ def prefix_filter_join(
       prefix join never touches a token outside the prefixes;
     - a length filter (ceil(t*|a|) <= |b|) prunes candidates whose size
       ratio already caps Jaccard below t, before verification;
-    - verification joins candidate pairs back to the (doc, token) lists
-      — intersection counts are computed ONLY for candidates.
+    - verification joins candidate pairs to per-doc sorted hash ARRAYS
+      and counts array_intersect sizes — intersection counts are
+      computed ONLY for candidates, with no row fan-out.
 
     Shuffles carry 8-byte token hashes, never text (same tradeoff note
     as ngram_jaccard_pairs).
@@ -209,8 +210,8 @@ def prefix_filter_join(
             ).alias("tok"),
         )
     )
-    # four consumers (frequency table, rank pass, both verification
-    # sides) — without this the corpus is re-tokenized once per use.
+    # two consumers (frequency table, rank pass) — without this the
+    # corpus is re-tokenized once per use.
     # Materializing the (doc, token-hash) table once is the standard
     # PPJoin layout; `checkpoint_dir` (or a SparkContext-configured
     # checkpoint dir) upgrades the cut to a reliable checkpoint on a
@@ -228,15 +229,17 @@ def prefix_filter_join(
             F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("__sz"),
         )
     )
+    # Cut RANKED (not the filtered prefix table): it feeds the candidate
+    # self-join twice AND the per-doc verification arrays below, so the
+    # join+window pass runs once. The cut preserves the window's
+    # hashpartitioning(doc), so the collect_list groupBy below needs no
+    # exchange of its own.
+    ranked = truncate_lineage(ranked, checkpoint_dir)
     # prefix length p = n - ceil(t*n) + 1
-    prefixes = truncate_lineage(
-        ranked.where(
-            F.col("__pos")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-        ),
-        checkpoint_dir,
-    )  # feeds the candidate self-join twice: compute the
-    # window pass once, not once per join side
+    prefixes = ranked.where(
+        F.col("__pos")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    )
     pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
     cand = (
         # merge hint: prefixes is also post-explode, so the candidate
@@ -260,26 +263,61 @@ def prefix_filter_join(
         )
         .distinct()
     )
-    ta = toks.select(F.col("doc").alias("id_a"), "tok")
-    tb = toks.select(F.col("doc").alias("id_b"), "tok")
-    # merge hint on the verification joins: every input here sits
-    # downstream of explode + distinct, where Catalyst's STATIC size
-    # estimate is garbage — at 10x data it picked a broadcast build of a
-    # data-sized side and OOMed the driver (sf1.0 probe, r07; the
-    # SCALE.md in-plan-explode trap). NOTE the trade is permanent: Spark
-    # honors SHUFFLE_MERGE hints during AQE replanning too, so these
-    # joins are pinned to sort-merge at EVERY scale — AQE will NOT
-    # convert them back to broadcast even when a side is tiny. That
-    # costs ~2x at toy scale (sf0.1: 4.2s -> 8.4s) and is accepted:
-    # two bounded shuffles can never OOM the driver, a mis-estimated
-    # broadcast build can.
+    # Verification via per-doc hash ARRAYS (the classic PPJoin verify),
+    # not a join back to the exploded (doc, token) rows. The row-join
+    # variant fanned every candidate pair out by |a|'s tokens and
+    # sort-merge-joined the fan-out on (id_b, tok) — measured r10 at
+    # sf0.1: 2.1 GB sort spill inside a 7.7s median, and the fan-out is
+    # O(Σ_cand |a|) 40-byte ROWS where the array carries the same
+    # information in 8-byte elements. collect_list over the ranked cut
+    # reuses its doc partitioning (no exchange); per-row memory is one
+    # doc's shingle set — bounded by document length, unlike the
+    # graph-hub adjacency arrays dedup deliberately avoids.
+    # array_intersect is set-semantics, identical to the row-join count
+    # because shingles are array_distinct per doc. Collisionless-md5
+    # caveat unchanged from the row-join shape (intra-doc 64-bit hash
+    # collisions would undercount where the join overcounted; neither
+    # occurs).
+    doc_sets = ranked.groupBy("doc").agg(
+        F.collect_list("tok").alias("__arr")
+    )
+    # shuffle_hash pins on the verification joins, BUILD = the per-doc
+    # array table (triangle_count fix #2 precedent). Why not the other
+    # strategies, all measured r10:
+    #  * broadcast: everything here is downstream of explode + distinct
+    #    where the static size estimate is garbage — at 10x data it
+    #    picked a broadcast build of a data-sized side and OOMed the
+    #    driver (sf1.0 probe, r07). The explicit build-side hint never
+    #    consults that estimate.
+    #  * sort-merge: the second join's streamed side is the candidate
+    #    pair table CARRYING the first join's arrays (310k pairs x
+    #    ~300-hash arrays at sf0.1 = ~750 MB through the sort) — 21s
+    #    median vs 7.7s for the row-join shape it replaced.
+    #  * hash build of doc_sets is per-task bounded: one row per doc,
+    #    partitioned by doc id, so build memory = |corpus hashes| /
+    #    shuffle partitions — scales with the partition conf exactly
+    #    like the pre-explode edge-list builds, unlike the post-explode
+    #    builds that force merge pins elsewhere in this module.
     inter = (
-        cand.hint("merge")
-        .join(ta, "id_a")
-        .hint("merge")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        cand.join(
+            doc_sets.select(
+                F.col("doc").alias("id_a"), F.col("__arr").alias("__aa")
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc").alias("id_b"), F.col("__arr").alias("__ab")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("__aa", "__ab")).alias("__inter"),
+        )
     )
     return (
         inter.withColumn(
