@@ -4459,24 +4459,13 @@ class _stream_state_partitions:
 
 
 def _stage_single_file_stream(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
-    """Stage `df` as a parquet directory and return a file-source stream
-    over it. The whole directory lands in ONE availableNow data batch —
-    the file source only splits availableNow runs into multiple batches
-    when `maxFilesPerTrigger`/`maxBytesPerTrigger` is set (never here),
-    so there are no cross-batch watermark drops regardless of file
-    count (r10: verified via recentProgress — 32 staged files, one
-    200k-row data batch + the no-data flush batch). The write therefore
-    fans out through `spread` instead of the r09 `coalesce(1)`: the
-    single-file variant serialized the entire stage (read + timestamp
-    normalization + encode on one core, 1.7s steady-state at sf0.1 vs
-    1.0s spread) for a guarantee the source option contract already
-    provides. Prune `df` to the needed columns first; in-batch row
-    order is not load-bearing anywhere (watermarks advance at batch
-    END, CDC orders by seq_col, stateful ops shuffle by key)."""
-    from hdp_tez_spark.parallel import spread
+    """Stage `df` as a one-file parquet directory and return a file-source
+    stream over it. One file -> one availableNow data batch, so no
+    cross-batch watermark drops; the serial coalesce(1) is the staging
+    cost, so prune `df` to the needed columns first."""
 
     src = _scratch_dir(prefix)
-    spread(df).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
     return spark.readStream.schema(df.schema).parquet(src)
 
 
