@@ -892,12 +892,18 @@ def mmr_select(
     Scale shape: k bounded driver round-trips, each a map-side scan +
     TakeOrdered(1) — no shuffle, no |corpus|^2 similarity matrix, state
     is k (id, vector) pairs on the driver (aggregate-sized, like the
-    k-means centroids). The marginal-penalty column is a greatest() over
-    <= k-1 cosine-vs-literal expressions, map-side per candidate; the
-    scan is cached so round r doesn't re-read the source. Cost is
-    O(k * |corpus| * d) compute — the same envelope as scoring the
-    corpus against k queries — with expression depth linear in k (keep
-    k <= ~64; larger k wants a checkpoint every ~32 rounds).
+    k-means centroids). The marginal penalty is maintained INCREMENTALLY
+    (r10, guide §1.3/§5): after pick r the running max-similarity column
+    folds in ONE new cosine-vs-literal and the updated frame replaces
+    the cached candidate table, so every round's plan is constant-size
+    (the r09 shape re-planned a greatest() over r-1 cosine expressions
+    per round — 1.3-2.8s/round of pure Catalyst analysis at bench scale
+    — and evaluated O(k^2/2) cosines per row overall vs O(k) now).
+    max() is associative, so greatest(pen, new) over rounds is
+    bit-identical to the flat greatest over all selected (Spark orders
+    NaN above any double in BOTH forms); the candidate's own norm is
+    projected once at cache time — same expression, same operand order,
+    same bits as recomputing it per round.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
@@ -907,21 +913,21 @@ def mmr_select(
     cand = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__rel", F.round(cosine(F.col("__v"), qlit), 6))
-    cand = cand.cache()
+    ).withColumn("__rel", F.round(cosine(F.col("__v"), qlit), 6)).withColumn(
+        "__nv", _norm(F.col("__v"))
+    )
+    cur = cand.cache()
+    retired: DataFrame | None = None  # previous generation, unpersist after successor materializes
     try:
         picked: list[tuple[int, int, float]] = []
-        sims: list[Column] = []  # cosine-vs-each-selected expressions
         for step in range(1, k + 1):
             # step 1 has no penalty term (argmax of lam * rel alone);
             # later steps take the TRUE max over selected — which can be
             # negative, so never clamp it at 0
-            max_sim = F.greatest(*sims) if len(sims) > 1 else (
-                sims[0] if sims else F.lit(0.0)
-            )
+            max_sim = F.col("__pen") if picked else F.lit(0.0)
             score = F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * max_sim
             top = (
-                cand.where(
+                cur.where(
                     ~F.col("__id").isin([i for _, i, _ in picked])
                     if picked
                     else F.lit(True)
@@ -931,14 +937,25 @@ def mmr_select(
                 .select("__id", "__v", "__rel")
                 .collect()
             )
+            # the collect materialized `cur`'s cache, so its parent
+            # generation can go without forcing a recompute
+            if retired is not None:
+                retired.unpersist()
+                retired = None
             if not top:
                 break  # corpus exhausted before k picks
             row = top[0]
             picked.append((step, row["__id"], row["__rel"]))
+            if step == k:
+                continue  # last pick needs no penalty update
             vlit = F.array(*[F.lit(float(x)) for x in row["__v"]]).cast(
                 "array<double>"
             )
-            sims.append(F.round(cosine(F.col("__v"), vlit), 6))
+            sim = F.round(
+                _dot(F.col("__v"), vlit) / (F.col("__nv") * _norm(vlit)), 6
+            )
+            pen = F.greatest(F.col("__pen"), sim) if len(picked) > 1 else sim
+            retired, cur = cur, cur.withColumn("__pen", pen).cache()
         spark = corpus.sparkSession
         # the operator is id-type-agnostic (string/UUID ids are as valid
         # as bigints), so the result schema inherits the corpus id type
@@ -954,7 +971,9 @@ def mmr_select(
         )
         return spark.createDataFrame(picked, schema=schema).orderBy("step")
     finally:
-        cand.unpersist()
+        cur.unpersist()
+        if retired is not None:
+            retired.unpersist()
 
 
 def embedding_outliers(
