@@ -692,13 +692,21 @@ def connected_components(
     (minhash/simhash/jaccard) become keep/drop decisions only after
     transitive closure groups them into clusters.
     """
-    # Materialize the canonical edge list ONCE: it seeds the loop, and
-    # without the cut round 1 would re-run the entire upstream pair
-    # pipeline (for near-dup graphs, the shingle join that dominates
-    # the whole job). The edge list itself is tiny relative to the
-    # corpus.
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col("u") != F.col("v")
+    # Materialize the RAW edge list ONCE: it seeds everything below, and
+    # without the cut every consumer would re-run the entire upstream
+    # pair pipeline (for near-dup graphs, the shingle join that dominates
+    # the whole job). r10: the cut used to sit on `nodes` AND `e`
+    # separately, which materialized that upstream pipeline TWICE —
+    # measured 2x the pair-join cost inside every CC call at sf0.1
+    # (dedup_clusters CC phase 5.7s with the star round itself <2s).
+    # Cutting `raw` first makes the nodes/e cuts cheap derivations of
+    # the checkpointed edge list. The edge list itself is tiny relative
+    # to the corpus.
+    raw = truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+            F.col("u") != F.col("v")
+        ),
+        checkpoint_dir,
     )
     nodes = truncate_lineage(
         raw.select(F.col("u").alias("node"))
