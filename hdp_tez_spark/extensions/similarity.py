@@ -20,6 +20,8 @@ ties broken by id so rankings are deterministic across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -506,26 +508,49 @@ def assign_cells(
 ) -> DataFrame:
     """Label every row with its nearest trained centroid (cosine, 6dp,
     cell-id tiebreak) — the map-side assignment used by both kmeans_fit
-    iterations and an IVF index build. Adds a `cell` int column."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    iterations and an IVF index build. Adds a `cell` int column.
+
+    Two r10 rewrites (guide §1.3/§4):
+    - the centroid matrix ships as ONE flat array literal sliced per
+      centroid instead of k CreateArray(d literals) structs, so every
+      Lloyd round analyzes a constant-size expression tree;
+    - the row norm is projected ONCE per row and the centroid norms are
+      pre-folded on the driver, so the per-row interpreted
+      higher-order-function work drops from 3k array folds to k dots
+      + 1 norm. The driver fold is the same left-to-right IEEE sum and
+      sqrt the engine's `_norm` performs, and the division keeps the
+      dot/(cnorm*rownorm) operand order — every cosine bit-identical."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    d = len(centroids[0][1])
+    flat = F.lit([float(x) for _, vec in centroids for x in vec])
+    cids = F.lit([int(cid) for cid, _ in centroids])
+
+    def _pynorm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cnorms = F.lit([_pynorm(vec) for _, vec in centroids])
     best = F.array_max(
         F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.round(cosine(c.cvec, F.col(vec_col)), 6).alias("cos"),
-                (-c.cid).alias("neg_cid"),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                F.round(
+                    _dot(F.slice(flat, i * d + 1, d), F.col(vec_col))
+                    / (F.element_at(cnorms, i + 1) * F.col("__rownorm")),
+                    6,
+                ).alias("cos"),
+                (-F.element_at(cids, i + 1)).alias("neg_cid"),
             ),
         )
     )
-    return df.withColumn("cell", (-best["neg_cid"]).cast("int"))
+    return (
+        df.withColumn("__rownorm", _norm(F.col(vec_col)))
+        .withColumn("cell", (-best["neg_cid"]).cast("int"))
+        .drop("__rownorm")
+    )
 
 
 def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -730,7 +755,7 @@ def pca_project(
     column expression — the component is baked in as an array literal,
     so projection of a 100 TB corpus is a zero-shuffle scan. Output:
     (id, pc1) rounded to 6 dp."""
-    varr = F.array(*[F.lit(float(x)) for x in component])
+    varr = F.lit([float(x) for x in component])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), varr, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
@@ -907,9 +932,7 @@ def mmr_select(
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec]).cast(
-        "array<double>"
-    )
+    qlit = F.lit([float(v) for v in query_vec])
     cand = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -948,9 +971,7 @@ def mmr_select(
             picked.append((step, row["__id"], row["__rel"]))
             if step == k:
                 continue  # last pick needs no penalty update
-            vlit = F.array(*[F.lit(float(x)) for x in row["__v"]]).cast(
-                "array<double>"
-            )
+            vlit = F.lit([float(x) for x in row["__v"]])
             sim = F.round(
                 _dot(F.col("__v"), vlit) / (F.col("__nv") * _norm(vlit)), 6
             )
