@@ -4176,6 +4176,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extensions/graph.py pagerank) — the second iterative operator next
     to dedup_clusters, oracle-checked against the 3x unrolled SQL."""
     from hdp_tez_spark.extensions.graph import pagerank
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
     ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -4186,6 +4187,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 200000).alias("b"),
         )
         .distinct()
+        # cut before symmetrizing: both union branches read `pairs`, so
+        # without this the orders x lineitem join runs twice inside
+        # pagerank's edge-list materialization (r10)
+        .transform(truncate_lineage)
     )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -5801,6 +5806,7 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extensions/graph.py bfs_distances); oracle = 3x unrolled min-union
     SQL, the pagerank pattern."""
     from hdp_tez_spark.extensions.graph import bfs_distances
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
     ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -5811,6 +5817,8 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 200000).alias("b"),
         )
         .distinct()
+        # cut before symmetrizing — see q_pagerank (r10)
+        .transform(truncate_lineage)
     )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")

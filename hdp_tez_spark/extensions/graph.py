@@ -60,7 +60,16 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # cut the edge projection FIRST: nodes and the degree-joined edge
+    # table below each materialize their input, and without this cut
+    # every one of those jobs re-runs the caller's upstream edge
+    # pipeline (for q_pagerank, an orders x lineitem join — measured
+    # running 3x per call at sf0.1 before r10; same fix as
+    # connected_components)
+    e = truncate_lineage(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        checkpoint_dir,
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -426,15 +435,19 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = (
+    e = truncate_lineage(
         edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
         .where(F.col("__u") != F.col("__v"))
         .select(
             F.least("__u", "__v").alias("__u"),
             F.greatest("__u", "__v").alias("__v"),
         )
-        .distinct()
+        .distinct(),
+        checkpoint_dir,
     )
+    # cut e BEFORE the symmetrizing union: both nb branches read e, so
+    # the nb cut would otherwise run the caller's upstream edge pipeline
+    # twice (r10, same fix as pagerank/connected_components)
     nb = e.select(F.col("__u").alias("__n"), F.col("__v").alias("__m")).union(
         e.select(F.col("__v").alias("__n"), F.col("__u").alias("__m"))
     )
@@ -796,14 +809,19 @@ def hits_scores(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # cut e FIRST so the nodes cut derives from the checkpointed edge
+    # list instead of re-running the caller's upstream edge pipeline
+    # (same fix as pagerank/connected_components, r10)
+    e = truncate_lineage(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        checkpoint_dir,
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
     )
     nodes = truncate_lineage(nodes, checkpoint_dir)
-    e = truncate_lineage(e, checkpoint_dir)
 
     # TWO checkpointers, one per score vector: LoopCheckpointer.cut
     # releases the PREVIOUS cut's blocks, so interleaving auth and hub
