@@ -131,18 +131,27 @@ def ngram_jaccard_pairs(
     # string — at 100 TB the shuffle carries (doc, long) pairs instead of
     # multi-word text keys. Hash collisions would overcount n_inter for
     # ~1e-18 of pairs (60-bit space); identical tradeoff to minhash.
-    sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
-        ).alias("sh_h"),
+    #
+    # Tokenize + md5 ONCE into a per-doc hash-array table and cut it
+    # (r10): the self-join's two sides and both size projections are
+    # separate subtrees in the final plan, so without the cut the
+    # corpus tokenize/md5 map work ran 4x per call (8x inside
+    # minhash_recall, whose plan held 16 corpus scans and zero reused
+    # exchanges). The checkpoint stores (doc, array<long>) — the same
+    # volume the join shuffle already carries.
+    base = truncate_lineage(
+        _spread(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                _shingles(F.col(text_col), k), lambda s: _md5_long(s)
+            ).alias("__hs"),
+        )
     )
-    # |distinct shingles| is the array length — a map-side projection, not
-    # a second explode + groupBy shuffle over the corpus
-    sizes = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.size(_shingles(F.col(text_col), k)).alias("n_shingles"),
-    )
+    sh = base.select("doc", F.explode("__hs").alias("sh_h"))
+    # |distinct shingles| is the array length — transform preserves
+    # length, so size(__hs) == size(shingles): a map-side projection off
+    # the checkpointed arrays
+    sizes = base.select("doc", F.size("__hs").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -501,7 +510,12 @@ def minhash_lsh_pairs(
     then verified with the exact shingle Jaccard, so the output is
     deterministic (no probabilistic false positives survive).
     """
-    bands = _band_frame(df, id_col, text_col, num_perms, band_rows, k)
+    # cut the band frame: the self-join's two sides are separate plan
+    # subtrees, so without this the whole minhash signature computation
+    # (tokenize + num_perms permutations over every doc) ran twice (r10)
+    bands = truncate_lineage(
+        _band_frame(df, id_col, text_col, num_perms, band_rows, k)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -522,8 +536,12 @@ def minhash_lsh_pairs(
     # is small (the usual case), and falls back to shuffle joins when a
     # pathological corpus makes it large — forcing broadcast by hand would
     # serialize the two corpus-side shingle scans behind each other.
-    shingle_sets = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+    # same double-subtree motif as the band frame: sa and sb would each
+    # re-tokenize the corpus without the cut (r10)
+    shingle_sets = truncate_lineage(
+        _spread(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+        )
     )
     sa = shingle_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -570,7 +588,13 @@ def incremental_near_dupes(
     batch self-join is |batch|-sized. No stage touches |corpus|^2, and
     exact-Jaccard verification reads text only for candidate ids.
     """
-    bn = _band_frame(new_docs, id_col, text_col, num_perms, band_rows, k)
+    # cut the BATCH band frame: it feeds the cross join and both sides
+    # of the within-batch self-join (3 plan subtrees = 3 signature
+    # computations without the cut, r10). The corpus frame is read once,
+    # so it stays lazy.
+    bn = truncate_lineage(
+        _band_frame(new_docs, id_col, text_col, num_perms, band_rows, k)
+    )
     bo = _band_frame(corpus, id_col, text_col, num_perms, band_rows, k)
     n, o = bn.alias("n"), bo.alias("o")
     cross = (
@@ -596,8 +620,11 @@ def incremental_near_dupes(
         .withColumn("pair_type", F.lit("new_new"))
     )
     candidates = cross.unionByName(within)
-    sh_new = _spread(new_docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+    # sh_new feeds sa AND the sh_all union branch — cut once (r10)
+    sh_new = truncate_lineage(
+        _spread(new_docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
+        )
     )
     sh_all = sh_new.unionByName(
         _spread(corpus.select(id_col, text_col)).select(
