@@ -1914,6 +1914,8 @@ def theil_sen_trend(
         .groupBy(*group_cols, x.alias("x"))
         .agg(F.avg(y).alias("y"))
     )
+    # cut: both pair-join sides would re-run the cell aggregation (r10)
+    cells = truncate_lineage(cells)
     a = cells.alias("a")
     b = cells.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]

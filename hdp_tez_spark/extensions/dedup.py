@@ -368,7 +368,10 @@ def edit_distance_pairs(
     vals = df.select(F.col(text_col).cast("string").alias("s")).where(
         F.col("s").isNotNull()
     ).distinct()
-    toks = vals.select("s", F.explode(_tokens(F.col("s"))).alias("tok")).distinct()
+    # cut: both self-join sides would re-run the explode + distinct (r10)
+    toks = truncate_lineage(
+        vals.select("s", F.explode(_tokens(F.col("s"))).alias("tok")).distinct()
+    )
     a, b = toks.alias("a"), toks.alias("b")
     cand = (
         a.join(
@@ -964,7 +967,11 @@ def simhash_near_pairs(
         raise ValueError(
             f"banding guarantees recall only for hamming < {SIMHASH_BANDS}"
         )
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # cut the fingerprint table: the band self-join's two sides are
+    # separate plan subtrees, so the tokenize + 60-vote aggregation ran
+    # twice per call without it (r10; the checkpoint is |docs| rows of
+    # (doc, long))
+    fp = truncate_lineage(simhash_fingerprints(df, id_col, text_col))
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
     banded = fp.withColumn(
@@ -1184,16 +1191,19 @@ def containment_pairs(
     size join back is id-keyed. The only delta is the join predicate
     (!= instead of <, doubling candidate rows) and the denominator.
     """
-    sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(_shingles(F.col(text_col), k), lambda s: _md5_long(s))
-        ).alias("sh_h"),
+    # tokenize + md5 once into per-doc hash arrays and cut (r10): the
+    # self-join sides and the size projection are separate plan
+    # subtrees — same fix as ngram_jaccard_pairs
+    base = truncate_lineage(
+        _spread(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                _shingles(F.col(text_col), k), lambda s: _md5_long(s)
+            ).alias("__hs"),
+        )
     )
-    sizes = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.size(_shingles(F.col(text_col), k)).alias("n_shingles"),
-    )
+    sh = base.select("doc", F.explode("__hs").alias("sh_h"))
+    sizes = base.select("doc", F.size("__hs").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     # merge-pin the self-join (prefix_filter_join / bloom_decontaminate

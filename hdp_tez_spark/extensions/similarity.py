@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hdp_tez_spark.extensions.dedup import _spread
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -378,14 +379,18 @@ def embedding_near_dupes(
             if n <= target_bucket_rows
             else min(24, math.ceil(math.log2(n / target_bucket_rows)))
         )
-    b = _spread(df.select(id_col, vec_col)).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        (
-            _sign_bucket(F.col(vec_col), n_planes)
-            if n_planes > 0
-            else F.lit(0)
-        ).alias("bucket"),
+    # cut: the bucket self-join's two sides are separate plan subtrees,
+    # so the corpus scan + sign-bucket projection ran twice per call (r10)
+    b = truncate_lineage(
+        _spread(df.select(id_col, vec_col)).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            (
+                _sign_bucket(F.col(vec_col), n_planes)
+                if n_planes > 0
+                else F.lit(0)
+            ).alias("bucket"),
+        )
     )
     l, r = b.alias("l"), b.alias("r")
     return (
