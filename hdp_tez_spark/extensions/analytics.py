@@ -23,6 +23,8 @@ quality thresholds and to flag anomalous groups, built to stay exact at
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -46,10 +48,14 @@ def exact_quantiles(
     (value, count) — one shuffle whose volume is the number of DISTINCT
     values (map-side partial agg does the heavy lifting). A distributed
     prefix sum over value order turns counts into position ranges
-    [hi-cnt+1, hi]; the target positions 1 + p*(n-1) (a probs-sized
-    one-row-per-p table, built in-plan from the total — never collected)
-    are then matched with a broadcast range join against the distinct
-    values. No global sort, no single-task window, no driver collect.
+    [hi-cnt+1, hi]; the total lands on the driver as ONE scalar (the
+    same bounded-aggregate class as k-means centroids), the 2|probs|
+    target positions 1 + p*(n-1) become a literal probe array, and the
+    hits are a pure map-side filter over the distinct values. No global
+    sort, no single-task window, no row-proportional driver state.
+    (r10: the probe used to be an in-plan broadcast-nested-loop range
+    join — 64 zero-byte tasks burning 16 exec-seconds at sf0.1 plus a
+    ~10-stage broadcast dance, all to avoid collecting one long.)
     """
     if not probs:
         raise ValueError("probs must be non-empty")
@@ -60,48 +66,54 @@ def exact_quantiles(
     v = F.col(value_col).cast("double").alias("__v")
     counts = df.select(v).groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
     # Materialize the cumulated distinct-value table once: it feeds the
-    # total AND both probe joins, and without truncation each consumer
+    # total AND the probe filter, and without truncation each consumer
     # would re-scan the fact table. |distinct| rows — bounded by the
     # value domain, not the corpus; truncate_lineage upgrades to a
     # reliable checkpoint when the SparkContext has a checkpoint dir
     # configured (plans/checkpoints.py).
     cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").transform(truncate_lineage)
-    total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
+    n = cum.groupBy().agg(F.sum("__cnt").alias("__n")).first()["__n"]
 
     spark = df.sparkSession
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    targets = (
-        F.broadcast(probs_df)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "p",
-            (F.lit(1) + F.col("p") * (F.col("__n") - 1)).alias("__t"),
+    if n is None:  # empty input: no order statistics to probe
+        return spark.createDataFrame([], "p double, q double")
+    # same arithmetic the in-plan targets computed: t = 1 + p*(n-1) in
+    # IEEE doubles, floor/ceil split, frac = t - floor(t)
+    entries = []
+    for p in probs:
+        t = 1.0 + float(p) * (n - 1)
+        frac = t - math.floor(t)
+        for pos, side in ((math.floor(t), "lo"), (math.ceil(t), "hi")):
+            entries.append(
+                F.struct(
+                    F.lit(float(p)).alias("p"),
+                    F.lit(frac).alias("__frac"),
+                    F.lit(int(pos)).cast("long").alias("__pos"),
+                    F.lit(side).alias("__side"),
+                )
+            )
+    probe = F.array(*entries)
+    # each distinct value covers global positions [hi-cnt+1, hi]; keep
+    # the probe entries that land inside — a map-side filter + explode
+    # of <= 2|probs| literal structs per row, no join
+    hits = (
+        cum.select(
+            "__v",
+            F.explode(
+                F.filter(
+                    probe,
+                    lambda e: (e["__pos"] >= F.col("__hi") - F.col("__cnt") + 1)
+                    & (e["__pos"] <= F.col("__hi")),
+                )
+            ).alias("__e"),
         )
         .select(
-            "p",
-            F.floor("__t").cast("long").alias("__lo_pos"),
-            F.ceil("__t").cast("long").alias("__hi_pos"),
-            (F.col("__t") - F.floor("__t")).alias("__frac"),
+            F.col("__e.p").alias("p"),
+            F.col("__e.__frac").alias("__frac"),
+            F.col("__e.__side").alias("__side"),
+            "__v",
         )
     )
-
-    # probe BOTH order statistics in one pass: tag each target position
-    # with its side (floor/ceil), broadcast the 2x|probs| probe rows, and
-    # pivot the hits back to (vlo, vhi) with a trivial |probs|-row agg —
-    # half the broadcast-nested-loop work of probing lo and hi separately
-    pos_probe = targets.select(
-        "p", "__frac", F.col("__lo_pos").alias("__pos"), F.lit("lo").alias("__side")
-    ).unionByName(
-        targets.select(
-            "p", "__frac", F.col("__hi_pos").alias("__pos"), F.lit("hi").alias("__side")
-        )
-    )
-    hits = cum.join(
-        F.broadcast(pos_probe),
-        # each distinct value covers global positions [hi-cnt+1, hi]
-        (F.col("__pos") >= F.col("__hi") - F.col("__cnt") + 1)
-        & (F.col("__pos") <= F.col("__hi")),
-    ).select("p", "__frac", "__side", "__v")
     return (
         hits.groupBy("p", "__frac")
         .agg(
@@ -138,24 +150,31 @@ def exact_quantiles_disc(
     v = F.col(value_col).cast("double").alias("__v")
     counts = df.select(v).groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
     cum = prefix_sum(counts, [F.col("__v")], "__cnt", "__hi").transform(truncate_lineage)
-    total = cum.groupBy().agg(F.sum("__cnt").alias("__n"))
+    n = cum.groupBy().agg(F.sum("__cnt").alias("__n")).first()["__n"]
     spark = df.sparkSession
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    targets = (
-        F.broadcast(probs_df)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "p",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("p") * F.col("__n")).cast("long")
-            ).alias("__pos"),
+    if n is None:  # empty input
+        return spark.createDataFrame([], "p double, q double")
+    # scalar-n probe, same rewrite as exact_quantiles (r10): rank
+    # ceil(p*n) clamped to >= 1 as literal positions, matched map-side
+    entries = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.lit(int(max(1, math.ceil(float(p) * n)))).cast("long").alias(
+                "__pos"
+            ),
         )
-    )
-    hits = cum.join(
-        F.broadcast(targets),
-        (F.col("__pos") >= F.col("__hi") - F.col("__cnt") + 1)
-        & (F.col("__pos") <= F.col("__hi")),
-    )
+        for p in probs
+    ]
+    hits = cum.select(
+        "__v",
+        F.explode(
+            F.filter(
+                F.array(*entries),
+                lambda e: (e["__pos"] >= F.col("__hi") - F.col("__cnt") + 1)
+                & (e["__pos"] <= F.col("__hi")),
+            )
+        ).alias("__e"),
+    ).select(F.col("__e.p").alias("p"), "__v")
     return hits.select("p", F.round("__v", 6).alias("q")).orderBy("p")
 
 

@@ -275,15 +275,20 @@ def test_heavy_hitters_candidates_broadcast(spark):
 
 
 def test_exact_quantiles_no_global_sort_no_funnel(spark):
-    """exact_quantiles must probe positions via broadcast joins over the
-    distinct-value table — never globally sort the input or funnel it
-    through a single-partition window."""
+    """exact_quantiles must probe positions with a map-side literal
+    filter over the distinct-value table (r10; previously a broadcast
+    range join) — never globally sort the input or funnel it through a
+    single-partition window, and never join at all in the probe."""
     from hdp_tez_spark.extensions.analytics import exact_quantiles
 
     li = load_table(spark, SF_SMOKE, "lineitem")
     df = exact_quantiles(li, "l_extendedprice", [0.5, 0.9])
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan  # the position probe
+    # the probe is a Generate(explode(filter(literal array))) — no join
+    # operator of any kind between the prefix-sum table and the hits
+    assert "Generate explode" in plan  # the position probe
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # no join operators anywhere post-checkpoint
     # the only Sort allowed is the final ORDER BY p over |probs| rows and
     # range-partition local sorts; no global Sort of the value column
     # feeding a single partition: the checkpointed prefix-sum plan never
