@@ -26,6 +26,8 @@ Scale shape per iteration:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,11 +298,20 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # otherwise size this stage by its COMPRESSED input bytes (~10x
     # under the deserialized volume for 8-byte long pairs) and hand
     # each of ~16 tasks a ~1 GB fan-out to emit (the second half of
-    # the r10 100 GB spill).
-    n_fanout = int(
-        edges.sparkSession.conf.get(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512"
-        )
+    # the r10 100 GB spill). The count is DERIVED from the wedge census
+    # (guide §2: scale-adaptive, not a constant): the degree aggregate
+    # already computes n_wedges for the output row, so collecting it is
+    # one scalar job over the |V|-row degree table, and the stage gets
+    # ~64 MB of deserialized wedge triples per task at any scale —
+    # a 200k-edge bench graph no longer schedules 512 near-empty tasks
+    # (the old conf-pinned count) and the x100 probe still gets the
+    # hundreds of partitions that kept it spill-free.
+    cstats = counts.first()
+    n_nodes_v = int(cstats["n_nodes"])
+    n_wedges_v = int(cstats["n_wedges"] or 0)
+    n_fanout = max(
+        e.sparkSession.sparkContext.defaultParallelism,
+        math.ceil(n_wedges_v * 24 / (64 << 20)),
     )
     w1 = oriented.repartition(n_fanout, "__s").select(
         F.col("__s").alias("__mid"), F.col("__t").alias("__x")
@@ -321,10 +332,15 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         closing.hint("shuffle_hash"), ["__x", "__y"]
     ).groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    # n_nodes/n_wedges were already materialized for the fan-out sizing;
+    # re-emitting them as literals avoids re-running the degree aggregate
     return (
-        counts.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        n_edges.crossJoin(F.broadcast(tri)).select(
+            F.lit(n_nodes_v).cast("long").alias("n_nodes"),
+            "n_edges",
+            F.lit(n_wedges_v).cast("long").alias("n_wedges"),
+            "n_triangles",
+        )
     )
 
 
