@@ -66,16 +66,29 @@ def cosine_topk_bruteforce(
     broadcast; ranking uses the per-group heap path (WindowGroupLimit),
     so no full sort of the |q|x|corpus| cross product materializes.
     """
+    # norms ride the inputs as per-row columns (r10, guide §4): the
+    # scorer evaluates |q| x |corpus| cosines, and hoisting both norms
+    # leaves one dot-product fold per pair instead of three. Operand
+    # order (dot / (norm_q * norm_c)) matches cosine(), bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__nq"),
     )
     c = _spread(corpus.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__nc"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -115,20 +128,30 @@ def cosine_topk_lsh(
     bucket id regardless of query count — the 100 TB-safe shape. Recall
     is traded for n_planes (more planes = smaller buckets).
     """
+    # hoisted norms — same rewrite as cosine_topk_bruteforce (r10)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__nq"),
         _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__nc"),
         _sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -199,17 +222,27 @@ def cosine_topk_ivf(
     c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__nc"),
         F.element_at(cells_of(F.col(vec_col), 1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__nq"),
         F.explode(cells_of(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         c.join(q, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        # hoisted norms — same rewrite as cosine_topk_bruteforce (r10)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -381,10 +414,16 @@ def embedding_near_dupes(
         )
     # cut: the bucket self-join's two sides are separate plan subtrees,
     # so the corpus scan + sign-bucket projection ran twice per call (r10)
+    # The norm rides the cut as a per-row column (r10, guide §4): the
+    # within-bucket verification evaluates O(|bucket|^2) cosines, and
+    # hoisting the two norms out of each pair leaves one dot-product
+    # fold per candidate instead of three. Same operand order
+    # (dot / (norm_l * norm_r)), so every cosine is bit-identical.
     b = truncate_lineage(
         _spread(df.select(id_col, vec_col)).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nv"),
             (
                 _sign_bucket(F.col(vec_col), n_planes)
                 if n_planes > 0
@@ -399,7 +438,14 @@ def embedding_near_dupes(
             (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .withColumn("cosine", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("l.vec"), F.col("r.vec"))
+                / (F.col("l.nv") * F.col("r.nv")),
+                6,
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select(
             F.col("l.id").alias("id_a"),
