@@ -391,8 +391,11 @@ def link_prediction(
     deg = nb.groupBy("__z").agg(F.count(F.lit(1)).alias("__d"))
     if max_degree is not None:
         deg = deg.where(F.col("__d") <= max_degree)
-    # wedge midpoints need deg >= 2, so ln(__d) > 0 — join also applies the cap
-    mid = nb.join(deg, "__z")
+    # wedge midpoints need deg >= 2, so ln(__d) > 0 — join also applies
+    # the cap. Cut: w1 and w2 are separate plan subtrees, so the
+    # adjacency x degree join (and the degree aggregation feeding it)
+    # ran twice per call without it (r10).
+    mid = truncate_lineage(nb.join(deg, "__z"))
     w1 = mid.select("__z", F.col("__x").alias("__a"), "__d")
     w2 = mid.select("__z", F.col("__x").alias("__b"))
     cand = (
@@ -625,7 +628,12 @@ def negative_sampling(
     from hdp_tez_spark.extensions.dedup import _md5_long
     from hdp_tez_spark.operators.sort import global_sort_ranked
 
-    e = (
+    # cut e and nodes (r10): e feeds the node set AND both branches of
+    # the symmetrized anti-join list; nodes feeds the global rank AND
+    # the draw explode — without the cuts the caller's upstream edge
+    # pipeline ran 4-5x per call. n_nodes counts the cut node set
+    # directly instead of re-running the ranked table a second time.
+    e = truncate_lineage(
         edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
         .where(F.col("__u") != F.col("__v"))
         .select(
@@ -634,13 +642,13 @@ def negative_sampling(
         )
         .distinct()
     )
-    nodes = (
+    nodes = truncate_lineage(
         e.select(F.col("__u").alias("node"))
         .union(e.select(F.col("__v").alias("node")))
         .distinct()
     )
     idx = global_sort_ranked(nodes, [F.col("node").asc()], "idx")
-    n_nodes = idx.agg(F.count(F.lit(1)).alias("__n"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
     m = k * oversample
     draws = (
         nodes.crossJoin(F.broadcast(n_nodes))
