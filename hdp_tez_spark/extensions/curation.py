@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from hdp_tez_spark.extensions.dedup import _md5_long, _shingles
 from hdp_tez_spark.extensions.splits import hash_bucket
 from hdp_tez_spark.parallel import spread as _spread
+from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
 
 def decontaminate(
@@ -340,7 +341,10 @@ def bloom_decontaminate(
     t_sh = _spread(train.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), k)).alias("__sh")
     )
-    e_sh = (
+    # cut: the distinct eval shingles feed the bitmap build AND the
+    # exact-verify hash set — two plan subtrees, so the test-corpus
+    # tokenize + distinct shuffle ran twice per call without it (r10)
+    e_sh = truncate_lineage(
         _spread(test.select(text_col))
         .select(F.explode(_shingles(F.col(text_col), k)).alias("__sh"))
         .distinct()
