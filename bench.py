@@ -337,6 +337,18 @@ def main() -> None:
 
     collector = TaskMetricsCollector(spark)
     timings: dict[str, float] = {}
+    # r11 (VERDICT r10 task #1): the single-shot wall-clock headline is
+    # hostage to the documented host throttle band (BENCH_NOTES r07-r10:
+    # swings 3x within minutes, 27 phantom "regressions" on untouched
+    # queries in PERF_r10). Two ADDITIONS make the line arbitrable without
+    # changing the existing methodology or removing/renaming anything:
+    #   - "queries_med": per-query median of 3 inline reps for the core-28
+    #     (rep0 IS the single-shot value kept in "queries"; reps 1-2 run
+    #     immediately after, outside every other query's timed window);
+    #   - "exec_ms_total": sum of per-query executor_run_ms (rep0 only)
+    #     from the status store — a load-independent total next to
+    #     wall-clock.
+    core_reps: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         # time the action alone — counter snapshots (status-store polling)
         # happen outside the measured window so they don't tax small queries
@@ -346,6 +358,18 @@ def main() -> None:
             timings[qname] = round(time.time() - t0, 3)
 
         collector.measure(name, act)
+        if name in HEADLINE[:_CORE_N]:
+            core_reps[name] = [timings[name]]
+            for r in (1, 2):
+
+                def rep(qname: str = name) -> None:
+                    t0 = time.time()
+                    qs[qname](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    core_reps[qname].append(round(time.time() - t0, 3))
+
+                collector.measure(f"{name}#rep{r}", rep)
         # Between queries (outside the timed window): drop Python-side
         # DataFrame/RDD references and force one JVM GC so ContextCleaner
         # releases localCheckpoint + broadcast blocks — without this, state
@@ -368,6 +392,7 @@ def main() -> None:
             "spilled_bytes": c["memory_spill_bytes"] + c["disk_spill_bytes"],
         }
         for name, c in collector.counters.items()
+        if "#rep" not in name  # keep the sidecar single-shot-shaped
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_COUNTERS.json"), "w") as f:
@@ -375,9 +400,22 @@ def main() -> None:
     # Full per-query timings live in a sidecar (same treatment as the
     # counters): the stdout line below must stay short enough to survive
     # the driver's stdout-tail capture intact.
+    exec_ms = {
+        name: c["executor_run_ms"]
+        for name, c in collector.counters.items()
+        if "#rep" not in name
+    }
     with open(os.path.join(here, "BENCH_TIMINGS.json"), "w") as f:
         json.dump(
-            {"sf": sf, "total_sec": total, "queries": timings}, f, indent=1
+            {
+                "sf": sf,
+                "total_sec": total,
+                "queries": timings,
+                "exec_ms": exec_ms,
+                "core28_reps": core_reps,
+            },
+            f,
+            indent=1,
         )
     # Per-query stage timeline (swimlane/ATS history parity): every
     # stage's submission/first-task/completion timestamps + byte
@@ -393,12 +431,28 @@ def main() -> None:
     )
 
     core = [n for n in HEADLINE[:_CORE_N] if n in timings]
+    # load-independent companion to the wall-clock total: executor task
+    # time summed over the first (single-shot) execution of every query —
+    # medians/extra reps excluded so the number covers exactly the same
+    # work as "value"
+    exec_ms_total = sum(
+        collector.counters[n]["executor_run_ms"]
+        for n in timings
+        if n in collector.counters
+    )
+    meds = {
+        n: round(sorted(rs)[len(rs) // 2], 3)
+        for n, rs in core_reps.items()
+        if rs
+    }
     line = json.dumps(
         {
             "metric": "headline_query_set_wall_clock",
             "value": total,
             "unit": "sec",
             "queries": {n: timings[n] for n in core},
+            "queries_med": {n: meds[n] for n in core if n in meds},
+            "exec_ms_total": exec_ms_total,
             "n_queries": len(timings),
             "sf": sf,
         },
