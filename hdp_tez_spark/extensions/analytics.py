@@ -56,6 +56,13 @@ def exact_quantiles(
     (r10: the probe used to be an in-plan broadcast-nested-loop range
     join — 64 zero-byte tasks burning 16 exec-seconds at sf0.1 plus a
     ~10-stage broadcast dance, all to avoid collecting one long.)
+
+    Eager-at-construction contract (ADVICE r10): CONSTRUCTING this
+    DataFrame runs blocking Spark jobs (the prefix-sum cut + the one-
+    scalar total) — the returned frame is no longer fully lazy, and the
+    localCheckpoint cut is not fault-tolerant without a configured
+    checkpoint dir. Same contract class as the k-means centroid
+    collect.
     """
     if not probs:
         raise ValueError("probs must be non-empty")

@@ -21,6 +21,19 @@ Scale design notes (100 TB):
 - simhash: one 64-bit fingerprint per doc; banding (4 × 15-bit bands)
   guarantees recall for hamming distance <= 3 by pigeonhole, again an
   equi-join instead of all-pairs.
+
+Eager-at-construction contract (r10 optimization, ADVICE r10): the
+pair-generating operators (minhash_lsh_pairs, minhash_recall,
+prefix_filter_join, simhash_near_pairs, containment_pairs,
+ngram_jaccard_pairs, edit_distance_pairs and their consumers) cut
+shared intermediate tables with EAGER `truncate_lineage` so the
+tokenize/signature pass runs once instead of once per downstream
+subtree. Consequences for callers: CONSTRUCTING one of these
+DataFrames runs Spark jobs and pins executor blocks even if the
+result is never acted on, and the default `localCheckpoint` cut is
+not fault-tolerant — configure `sc.setCheckpointDir` (or pass
+`checkpoint_dir` where exposed) on a real cluster to upgrade every
+cut to a reliable checkpoint (see plans/checkpoints.py).
 """
 
 from __future__ import annotations

@@ -812,34 +812,80 @@ def spearman_corr(
     EITHER value is NULL are excluded (pairwise-complete, the `acf`
     convention).
 
-    Scale shape: each column collapses to its DISTINCT value cells
-    (map-side combined, checkpointed), gets tie-averaged ranks from the
-    distributed `prefix_sum`, and the |distinct|-row rank tables join
-    back to the (x, y) pairs on the value keys — shuffles carry values
-    and 8-byte ranks, and the correlation itself is one partial-
-    aggregated pass over the ranked pairs. No single-task window.
+    Scale shape (single-cut, r11 — VERDICT r10 task #4): BOTH columns
+    collapse to distinct-value cells in ONE pass (explode to
+    (tag, value), map-side combined groupBy, checkpointed once), and
+    ONE distributed `prefix_sum` ordered by (tag, value) ranks both
+    columns in a single range-shuffle + window chain — the r10 shape
+    ran the cells aggregate and the whole prefix-sum machinery TWICE
+    (once per column). Because both tags cover the same n rows, the
+    y-column's cumulative positions are exactly n + (its own prefix),
+    so rank_y = cum - n with n read as ONE scalar off the checkpointed
+    cells table (bounded driver state, the exact_quantiles class; the
+    eager-at-construction contract of ADVICE r10 applies). All rank
+    arithmetic stays exact integer counts until the final /2.0 —
+    bit-identical to the two-chain shape. The |distinct|-row rank
+    tables then join back to the (x, y) pairs as before; the
+    correlation is one partial-aggregated pass over the ranked pairs.
+    No single-task window.
     """ + _RANK_EXACTNESS_NOTE
     from hdp_tez_spark.operators.sort import prefix_sum
 
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # lazy cut: materialized by the stacked-cells job below, cached for
+    # the final join — one fewer blocking construction job than an
+    # eager cut, same single-scan property (the plan is deterministic,
+    # so even a recompute would be value-identical)
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         x.alias("__x"), y.alias("__y")
-    ).transform(truncate_lineage)
+    ).transform(lambda d: truncate_lineage(d, eager=False))
 
-    def ranks(col: str) -> DataFrame:
-        cells = (
-            base.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("__t"))
-            .transform(truncate_lineage)
+    stacked = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("__tag"), F.col("__x").alias("__v")
+                    ),
+                    F.struct(
+                        F.lit(1).alias("__tag"), F.col("__y").alias("__v")
+                    ),
+                )
+            ).alias("__e")
         )
-        cum = prefix_sum(cells, [F.col(col)], "__t", "__hi")
-        return cum.select(
-            col,
-            (F.col("__hi") - (F.col("__t") - 1) / 2.0).alias(f"__r{col}"),
-        )
-
-    ranked = base.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+        .select("__e.__tag", "__e.__v")
+        .groupBy("__tag", "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .transform(truncate_lineage)
+    )
+    # n = non-null pair count = the per-tag total (identical for both
+    # tags by construction); one tiny job over the checkpointed cells
+    n = (
+        stacked.where(F.col("__tag") == 0)
+        .groupBy()
+        .agg(F.sum("__t").alias("__n"))
+        .first()["__n"]
+    )
+    cum = prefix_sum(stacked, [F.col("__tag"), F.col("__v")], "__t", "__hi")
+    # lazy cut: the x- and y-rank subtrees below share ONE
+    # materialization of the window chain instead of running it twice
+    ranks = cum.select(
+        "__tag",
+        "__v",
+        (
+            F.col("__hi")
+            - F.col("__tag") * F.lit(int(n or 0))
+            - (F.col("__t") - 1) / 2.0
+        ).alias("__r"),
+    ).localCheckpoint(eager=False)
+    rx = ranks.where(F.col("__tag") == 0).select(
+        F.col("__v").alias("__x"), F.col("__r").alias("__r__x")
+    )
+    ry = ranks.where(F.col("__tag") == 1).select(
+        F.col("__v").alias("__y"), F.col("__r").alias("__r__y")
+    )
+    ranked = base.join(rx, "__x").join(ry, "__y")
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("__r__x", "__r__y"), 6).alias("rho"),

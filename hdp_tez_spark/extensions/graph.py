@@ -244,6 +244,12 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     unbounded hot-vertex blowup of the naive a<b<c join), and both joins
     are plain hash equi-joins — no all-pairs stage, nothing collected.
     Wedge count uses sum(deg*(deg-1)/2), a |V|-row aggregate.
+
+    Eager-at-construction contract (ADVICE r10): CONSTRUCTING this
+    DataFrame runs blocking jobs (the edge-list cut + one scalar read
+    of the degree census that sizes the wedge fan-out) — the returned
+    frame is not fully lazy, and the localCheckpoint cut is not
+    fault-tolerant without a configured checkpoint dir.
     """
     e = (
         edges.select(F.col(a).alias("__u"), F.col(b).alias("__v"))
@@ -309,9 +315,14 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     cstats = counts.first()
     n_nodes_v = int(cstats["n_nodes"])
     n_wedges_v = int(cstats["n_wedges"] or 0)
+    # Upper clamp (ADVICE r10): a 1e12-wedge graph would otherwise ask
+    # for ~375k shuffle partitions — past practical scheduler/shuffle-
+    # tracker limits. Past 2048x the core count the right lever is task
+    # SIZE growing past 64 MB, not task count growing without bound.
+    dp = e.sparkSession.sparkContext.defaultParallelism
     n_fanout = max(
-        e.sparkSession.sparkContext.defaultParallelism,
-        math.ceil(n_wedges_v * 24 / (64 << 20)),
+        dp,
+        min(math.ceil(n_wedges_v * 24 / (64 << 20)), 2048 * dp),
     )
     w1 = oriented.repartition(n_fanout, "__s").select(
         F.col("__s").alias("__mid"), F.col("__t").alias("__x")

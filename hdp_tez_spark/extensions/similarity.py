@@ -971,10 +971,17 @@ def mmr_select(
     k-means centroids). The marginal penalty is maintained INCREMENTALLY
     (r10, guide §1.3/§5): after pick r the running max-similarity column
     folds in ONE new cosine-vs-literal and the updated frame replaces
-    the cached candidate table, so every round's plan is constant-size
-    (the r09 shape re-planned a greatest() over r-1 cosine expressions
-    per round — 1.3-2.8s/round of pure Catalyst analysis at bench scale
-    — and evaluated O(k^2/2) cosines per row overall vs O(k) now).
+    the cached candidate table, so each round adds O(1) NEW expressions
+    — analyzed-plan depth is linear in k (each generation layers a
+    withColumn over the previous cached frame and the isin() exclusion
+    list grows with picks), i.e. O(k) analysis per round / O(k^2)
+    total, vs the r09 shape that re-planned a greatest() over r-1
+    cosine EXPRESSION STACKS per round — 1.3-2.8s/round of pure
+    Catalyst analysis at bench scale — and evaluated O(k^2/2) cosines
+    per row overall vs O(k) now. At the registry's k=8 the linear
+    depth is noise; a caller pushing k into the hundreds should
+    periodically collapse the frame via a checkpoint (~every 32
+    rounds).
     max() is associative, so greatest(pen, new) over rounds is
     bit-identical to the flat greatest over all selected (Spark orders
     NaN above any double in BOTH forms); the candidate's own norm is

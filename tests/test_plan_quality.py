@@ -288,7 +288,16 @@ def test_exact_quantiles_no_global_sort_no_funnel(spark):
     # operator of any kind between the prefix-sum table and the hits
     assert "Generate explode" in plan  # the position probe
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" not in plan  # no join operators anywhere post-checkpoint
+    # no join OPERATOR anywhere post-checkpoint — anchored to the real
+    # physical operator names so an incidental "Join" substring in an
+    # expression or RDD name can never mask a regression (ADVICE r10)
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+    ):
+        assert op not in plan, (op, plan)
     # the only Sort allowed is the final ORDER BY p over |probs| rows and
     # range-partition local sorts; no global Sort of the value column
     # feeding a single partition: the checkpointed prefix-sum plan never
@@ -671,8 +680,10 @@ def test_bootstrap_ci_explosion_never_crosses_exchange(spark):
     plan = _plan(out)
     lines = plan.splitlines()
     gen_line = next(
-        i for i, l in enumerate(lines) if "Generate" in l and "(" in l
+        (i for i, l in enumerate(lines) if "Generate" in l and "(" in l),
+        None,
     )
+    assert gen_line is not None, f"no Generate node in plan:\n{plan}"
     # formatted plans print top-down, so walking to smaller indices walks
     # toward the root; nearest HashAggregate must precede nearest Exchange
     agg_up = exch_up = None
