@@ -649,13 +649,29 @@ def distinct_ngrams(
     construction + flatten per gram and a wider shuffle row. The
     per-order union stays; its scans are embarrassingly parallel and
     each prunes to the single text column.
+
+    r11 (guide §1.3/§2.2): the regex tokenizer split itself ran once
+    PER ORDER (the dominant map cost — an md5-vs-xxhash64 A/B moved
+    nothing, so the gram hash is not where the time goes). The token
+    ARRAYS are now cut once (localCheckpoint; the dedup-module
+    eager-at-construction contract applies) and every per-order scan
+    derives its grams from the cut — measured 4.15s -> 2.1-2.8s per
+    3-order pass at sf0.1 (same-session A/B). The rejected single-scan
+    struct variant above is a different shape: it kept 3 tokenizer
+    runs while paying extra struct/flatten work; this one removes the
+    re-tokenize without touching the per-order plans.
     """
     from hdp_tez_spark.extensions.dedup import _md5_long
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
 
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ns must be non-empty positive orders")
-    toks = _tokens(F.col(text_col))
-    spread = _spread(df.select(id_col, text_col))
+    tk = truncate_lineage(
+        _spread(df.select(id_col, text_col)).select(
+            _tokens(F.col(text_col)).alias("__tk")
+        )
+    )
+    toks = F.col("__tk")
     parts = []
     for n in ns:
         grams = F.when(
@@ -666,7 +682,7 @@ def distinct_ngrams(
             ),
         ).otherwise(F.array())
         cells = (
-            spread.select(F.explode(grams).alias("__g"))
+            tk.select(F.explode(grams).alias("__g"))
             .groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__c"))
         )

@@ -116,8 +116,20 @@ def test_hill_matches_sorted_reference(spark, vals, k):
         assert r.alpha is None and r.x_k1 is None
         return
     xk1 = xs[k]
-    # operator rounds x_k1 to 6 dp; compare against the rounded value
-    assert r.x_k1 == pytest.approx(round(xk1, 6), abs=1e-9)
+    # operator rounds x_k1 to 6 dp with Spark round() = BigDecimal
+    # HALF_UP on the shortest decimal repr. Python's round() is
+    # half-EVEN, so it disagrees at exact .5 boundaries (hypothesis
+    # falsified the old reference with 1.5078125 -> Spark 1.507813 vs
+    # Python 1.507812; the DuckDB oracle sides with Spark). Mirror
+    # HALF_UP exactly.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    xk1_r = float(
+        Decimal(repr(xk1)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert r.x_k1 == pytest.approx(xk1_r, abs=1e-9)
     denom = sum(math.log(xs[i] / xk1) for i in range(k))
     if denom == 0:
         # constant tail: estimator undefined, operator emits NULL
