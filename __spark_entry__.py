@@ -1256,8 +1256,17 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdp_tez_spark.extensions.similarity import ann_recall
 
     docs = _t(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.1)
-    approx = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.1)
+    # ONE corpus tokenize+shingle cut shared by both sub-operators (r11):
+    # the exact side's self-join, its size projections, the LSH band
+    # frame and the LSH verification arrays all derive from this frame —
+    # previously each sub-operator built its own cut (3 tokenize passes).
+    base = D._hash_arrays(docs, "doc_id", "text", k=3)
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.1, _base=base
+    )
+    approx = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.1, _base=base
+    )
     return ann_recall(exact, approx, query_col="id_a", neighbor_col="id_b")
 
 

@@ -127,18 +127,49 @@ def exact_dedup_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hash_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc, __hs: array<long>) — per-doc DISTINCT shingle md5-hashes,
+    tokenized once and cut (eager-at-construction, like every
+    localCheckpoint cut in this module). This is the shared corpus
+    representation of the whole shingle-pair family: exact-Jaccard
+    counting, prefix filters, MinHash signatures (derive their
+    mod-P domain map-side) and intersect verification all read it, so
+    composed operators (minhash_recall) pass one cut through instead of
+    re-tokenizing per sub-operator (r11)."""
+    return truncate_lineage(
+        _spread(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                _shingles(F.col(text_col), k), lambda s: _md5_long(s)
+            ).alias("__hs"),
+        ),
+        checkpoint_dir,
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-k-gram Jaccard >= threshold.
 
     Candidate generation is the shingle equi-join (pairs must share at
     least one shingle) — never an all-pairs cross join. Output:
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+
+    `_base` (private): a precomputed `_hash_arrays` cut to share with
+    sibling operators over the same corpus — skips this call's own
+    tokenize+cut.
     """
     # The self-join shuffles an 8-byte shingle hash, not the shingle
     # string — at 100 TB the shuffle carries (doc, long) pairs instead of
@@ -152,14 +183,7 @@ def ngram_jaccard_pairs(
     # minhash_recall, whose plan held 16 corpus scans and zero reused
     # exchanges). The checkpoint stores (doc, array<long>) — the same
     # volume the join shuffle already carries.
-    base = truncate_lineage(
-        _spread(df.select(id_col, text_col)).select(
-            F.col(id_col).alias("doc"),
-            F.transform(
-                _shingles(F.col(text_col), k), lambda s: _md5_long(s)
-            ).alias("__hs"),
-        )
-    )
+    base = _base if _base is not None else _hash_arrays(df, id_col, text_col, k)
     sh = base.select("doc", F.explode("__hs").alias("sh_h"))
     # |distinct shingles| is the array length — transform preserves
     # length, so size(__hs) == size(shingles): a map-side projection off
@@ -480,6 +504,18 @@ def _band_frame(
     """(doc, band, band_h): one row per document per LSH band, where
     band_h is an 8-byte hash of the band's minhash signature. Entirely
     map-side — the consumer's band equi-join is the first shuffle."""
+    return _band_frame_from(
+        _shingle_hashes(df, id_col, text_col, k), num_perms, band_rows
+    )
+
+
+def _band_frame_from(
+    xs_frame: DataFrame, num_perms: int, band_rows: int
+) -> DataFrame:
+    """Band frame derived from a (doc, xs: array<long>) frame whose xs
+    already lives in the mod-MINHASH_P hash domain. Callers holding the
+    raw `_hash_arrays` cut derive xs map-side (x % P) — identical values
+    to `_shingle_hashes`, with no second tokenize pass (r11)."""
     mh = _minhash_cols(num_perms)
     band_entries = []
     for band in range(num_perms // band_rows):
@@ -494,7 +530,7 @@ def _band_frame(
             )
         )
     return (
-        _shingle_hashes(df, id_col, text_col, k)
+        xs_frame
         .select("doc", F.explode(F.array(*band_entries)).alias("bs"))
         # join on an 8-byte hash of the band signature, not the signature
         # string: the band self-join is the pipeline's only big shuffle and
@@ -516,6 +552,7 @@ def minhash_lsh_pairs(
     band_rows: int = DEFAULT_BAND_ROWS,
     k: int = 3,
     threshold: float = 0.5,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard on the candidate set.
@@ -525,12 +562,35 @@ def minhash_lsh_pairs(
     equi-join on (band, band-signature), never all-pairs. Candidates are
     then verified with the exact shingle Jaccard, so the output is
     deterministic (no probabilistic false positives survive).
+
+    `_base` (private): a precomputed `_hash_arrays` cut shared with
+    sibling operators (see minhash_recall).
     """
-    # cut the band frame: the self-join's two sides are separate plan
-    # subtrees, so without this the whole minhash signature computation
-    # (tokenize + num_perms permutations over every doc) ran twice (r10)
+    # ONE tokenize pass (r11): the corpus is cut once as per-doc shingle
+    # HASH arrays; the band frame derives its mod-P domain map-side from
+    # that cut ((md5 % P) == the _shingle_hashes values bit-for-bit), and
+    # exact-Jaccard verification intersects the same 8-byte hash arrays
+    # instead of re-tokenized shingle STRING arrays — r10's shape cut the
+    # band frame and the string sets separately, so tokenize+shingle ran
+    # twice per call and verification shuffled multi-word text arrays.
+    # n_inter over hashes equals n_inter over strings absent intra-pair
+    # md5 collisions — the module-wide 60-bit caveat (ngram_jaccard_pairs
+    # counts the SAME hashes), and sizes are length-preserved.
+    base = _base if _base is not None else _hash_arrays(df, id_col, text_col, k)
+    # cut the band frame too: the self-join's two sides are separate plan
+    # subtrees, so without this the signature fold (num_perms permutation
+    # min-folds over every doc) ran twice (r10)
     bands = truncate_lineage(
-        _band_frame(df, id_col, text_col, num_perms, band_rows, k)
+        _band_frame_from(
+            base.select(
+                "doc",
+                F.transform(
+                    "__hs", lambda x: x % F.lit(MINHASH_P)
+                ).alias("xs"),
+            ),
+            num_perms,
+            band_rows,
+        )
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -545,22 +605,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact-Jaccard verification restricted to the candidate set: join the
-    # per-doc shingle arrays onto each pair and intersect in-place. Cost is
+    # per-doc hash arrays onto each pair and intersect in-place. Cost is
     # O(|candidates| * shingles-per-doc) — never the all-pairs shingle join
     # (candidates are the whole point of LSH). Joins are left declarative:
     # AQE converts them to broadcast-hash at runtime when the candidate set
     # is small (the usual case), and falls back to shuffle joins when a
     # pathological corpus makes it large — forcing broadcast by hand would
-    # serialize the two corpus-side shingle scans behind each other.
-    # same double-subtree motif as the band frame: sa and sb would each
-    # re-tokenize the corpus without the cut (r10)
-    shingle_sets = truncate_lineage(
-        _spread(df.select(id_col, text_col)).select(
-            F.col(id_col).alias("doc"), _shingles(F.col(text_col), k).alias("sh")
-        )
-    )
-    sa = shingle_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingle_sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    # serialize the two corpus-side scans behind each other.
+    sa = base.select(F.col("doc").alias("id_a"), F.col("__hs").alias("sh_a"))
+    sb = base.select(F.col("doc").alias("id_b"), F.col("__hs").alias("sh_b"))
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
