@@ -154,8 +154,19 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def coalesce_floor(spark: SparkSession, n: int = 128):
+def coalesce_floor(spark: SparkSession, n: int | None = None):
     """Scoped AQE coalesce floor for narrow-row fan-out plans.
+
+    The floor DERIVES from the session: 4 x defaultParallelism (the
+    r10 measurement below was exactly 4 x the 32 sandbox cores, and its
+    own rationale was cores-proportional). A pinned 128 made every
+    eager lineage cut — including 3-row test graphs and sf0.001 sweep
+    rounds — materialize through >= 128 tasks (and, in reliable
+    checkpoint mode, write 128 files PER ROUND: measured r11, the
+    8-core test-suite bfs reliable path alone took 40s). At 32 cores
+    the derived floor is 128, bit-identical to the measured x100
+    configuration; larger clusters now scale the floor up instead of
+    capping at 128.
 
     AQE's parallelism-first coalescing sizes post-shuffle stages by
     COMPRESSED map-output bytes with a floor of defaultParallelism.
@@ -174,6 +185,8 @@ def coalesce_floor(spark: SparkSession, n: int = 128):
     session's initialPartitionNum=512 so AQE still coalesces the
     512-partition start, just not past the floor.
     """
+    if n is None:
+        n = 4 * spark.sparkContext.defaultParallelism
     key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
     try:
         old = spark.conf.get(key)
