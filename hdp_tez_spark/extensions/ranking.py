@@ -238,10 +238,21 @@ def heavy_hitters(
     pure integer arithmetic (cnt * denom >= total) — no float
     boundary, bit-stable in any engine.
     """
-    toks = (
-        _spread(df.select(text_col))
-        .select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    # r11: the regex tokenizer ran once per consumer (Misra-Gries pass,
+    # candidate recount, total count — 3 corpus tokenizations). Cut the
+    # per-row token ARRAYS once (text-sized, not exploded; same
+    # eager-at-construction contract as the dedup cuts) and derive all
+    # three consumers from the cut: explodes are cheap, the regex split
+    # is the map cost, and the total is a map-side sum of array sizes
+    # (equal to the exploded row count — tokenize already drops empties).
+    from hdp_tez_spark.plans.checkpoints import truncate_lineage
+
+    arr = truncate_lineage(
+        _spread(df.select(text_col)).select(
+            tokenize(F.col(text_col)).alias("__tk")
+        )
     )
+    toks = arr.select(F.explode("__tk").alias("term"))
     cand = (
         toks.mapInPandas(
             lambda it: _misra_gries_partition(it, denom), schema=_MG_SCHEMA
@@ -254,7 +265,9 @@ def heavy_hitters(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = toks.select(F.count(F.lit(1)).alias("__total"))
+    total = arr.select(
+        F.coalesce(F.sum(F.size("__tk")), F.lit(0)).alias("__total")
+    )
     return (
         counted.crossJoin(F.broadcast(total))
         .where(F.col("cnt") * denom >= F.col("__total"))
