@@ -5943,20 +5943,22 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/windows.py interval_join how='left_outer'). Sentinels
     carry user_id -1 and are filtered from the result, so the table
     equals the batch LEFT JOIN the oracle computes."""
-    import datetime
-
     from hdp_tez_spark.streaming import windows as WIN
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    far = datetime.datetime(2030, 1, 1)
-    sentinels = spark.createDataFrame(
-        [
-            (-98, -1, far, "click", 0.0),
-            (-99, -1, far, "purchase", 0.0),
-        ],
-        ev.schema,
+    # Pure-literal sentinels (r11, guide §4): see q_stream_session — a
+    # createDataFrame sentinel is a Python-serialized relation that drags
+    # the single-task staging write onto the slow row path (13x measured).
+    sentinels = spark.range(2).select(
+        (F.lit(-98) - F.col("id")).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.when(F.col("id") == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.lit(0.0).alias("value"),
     )
     sdf = _stage_single_file_stream(
         spark, ev.unionByName(sentinels), "hdp_tez_stream_loj_"
@@ -7018,13 +7020,19 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed below the watermark operator and stall it — same hazard
     pinned by stream_left_join). Result equals the batch twin
     `session_window`, which is exactly what the oracle computes."""
-    import datetime
-
     from hdp_tez_spark.streaming import windows as WIN
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    sentinel = spark.createDataFrame(
-        [(-1, datetime.datetime(2030, 1, 1), 0.0)], ev.schema
+    # Pure-literal sentinel (r11, guide §4): a createDataFrame sentinel
+    # is a Python-serialized relation, and coalescing it into the staging
+    # write's single task dragged the WHOLE serial stage onto the slow
+    # row path — measured 4.6s vs 0.36s for the identical one-file write
+    # with an in-plan literal row. Same far-future instant under any
+    # session zone (both forms resolve in session time).
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
     )
     sdf = _stage_single_file_stream(
         spark, ev.unionByName(sentinel), "hdp_tez_stream_sess_"
