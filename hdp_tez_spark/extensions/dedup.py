@@ -1192,7 +1192,10 @@ def duplicated_spans(
     md5 over the full corpus (the dominant map cost, doubled — the
     tokenize-once precedent from ngram_novelty).
     """
-    toks = _tokens(F.col(text_col))
+    # token array projected once (r11, same bug class as _shingles):
+    # referencing the tokenizer inside the per-position lambda re-ran
+    # the regex split once per window position — O(|tokens|^2)
+    toks = F.col("__toks")
     win_hashes = F.when(
         F.size(toks) >= window,
         F.transform(
@@ -1202,6 +1205,7 @@ def duplicated_spans(
     ).otherwise(F.array().cast("array<long>"))
     wins = (
         _spread(df.select(id_col, text_col).where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.explode(win_hashes).alias("__h"))
     )
     wins = truncate_lineage(wins, checkpoint_dir)

@@ -56,7 +56,10 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     [0, 1]. All components are exposed so downstream filters can pick
     their own thresholds.
     """
-    toks = _tokens(F.col(text_col))
+    # project the token array ONCE: the score formula references it many
+    # times and Catalyst's per-projection CSE only partially merges the
+    # duplicated regex splits (measured r11: ~2x tokenizer cost inline)
+    toks = F.col("__toks")
     n_chars = F.length(text_col)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
@@ -82,14 +85,18 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
         + 0.2 * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
     )
-    return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality"),
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.col(text_col), _tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(digit_ratio, 6).alias("digit_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_tok_len, 6).alias("mean_token_len"),
+            F.round(score, 6).alias("quality"),
+        )
     )
 
 
@@ -101,7 +108,9 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     swaps the lists for n-gram profiles; the operator shape (explode ->
     broadcast-join wordlist -> pivot-free argmax) is the scalable part.
     """
-    toks = _tokens(F.col(text_col))
+    # one token projection feeds every language's fraction: inline, the
+    # regex split would re-evaluate ~3x per language (r11 CSE measurement)
+    toks = F.col("__toks")
     scores = []
     for lang in sorted(LANG_STOPWORDS):
         wl = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
@@ -115,6 +124,8 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # deterministic; mirror the same tiebreak in the oracle.
     best = F.array_max(F.array(*scores))
     return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         best["score"].alias("pred_score"),
@@ -169,10 +180,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     only, no explode, no shuffle; memory per row is bounded by the
     document's own token array.
     """
-    toks = _tokens(F.col(text_col))
+    # token array projected once (r11): n_tokens/n_unique repeat it 4x
+    # inline and per-projection CSE only partially merges the splits
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
     return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique"),
@@ -225,13 +240,18 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-document average is a keyed agg. Nothing is quadratic and no
     stage holds more than the bigram vocabulary.
     """
-    toks = _tokens(F.col(text_col))
+    # token array projected once: `pairs` references it 4x (two slices +
+    # two sizes) and the inline splits only partially CSE (r11)
+    toks = F.col("__toks")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
     )
     big = (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        df.select(
+            F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+        )
+        .select("id", F.explode(pairs).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     # c1 and the vocabulary both derive from the already-collapsed c2
@@ -291,18 +311,21 @@ def collocations(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    toks = _tokens(F.col(text_col))
+    # token array projected once per consumer (r11): `pairs` references
+    # it 4x inline and the splits only partially CSE
+    toks = F.col("__toks")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
     )
-    exploded = df.select(
+    tokenized = df.select(_tokens(F.col(text_col)).alias("__toks"))
+    exploded = tokenized.select(
         F.explode(toks).alias("w"),
     )
     uni = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
     nu = uni.agg(F.sum("u").alias("Nu"))
     big = (
-        df.select(F.explode(pairs).alias("p"))
+        tokenized.select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
@@ -493,13 +516,25 @@ def bpe_encode(
             s = _apply_merge(s, left, right)
         return F.split(s, " ")
 
-    words = _tokens(F.col(text_col))
-    toks = F.flatten(F.transform(words, _encode_word))
-    return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.size(words).alias("n_words"),
-        F.size(toks).alias("n_tokens"),
-        toks.alias("tokens"),
+    # two-stage projection (r11): `toks` is the full |merges|-deep
+    # replace chain over every word — referencing it twice inline
+    # (n_tokens + tokens) ran the whole encoder twice per row
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("__words"))
+        .select(
+            F.col(id_col),
+            F.col("__words"),
+            F.flatten(F.transform(F.col("__words"), _encode_word)).alias(
+                "__tokens"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__words").alias("n_words"),
+            F.size("__tokens").alias("n_tokens"),
+            F.col("__tokens").alias("tokens"),
+        )
     )
 
 
@@ -722,10 +757,9 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token array — no shuffle at all except the output ordering; exactly
     the token_stats/quality_score class.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX),
-        lambda t: t != F.lit(""),
-    )
+    # token array projected once (r11): syl + n_words referenced it
+    # twice inline and the regex split only partially CSEs
+    toks = F.col("__toks")
     syl = F.aggregate(
         F.transform(
             toks,
@@ -746,6 +780,13 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     spw = F.col("n_syllables").cast("double") / F.col("n_words")
     base = df.select(
         F.col(id_col).alias("id"),
+        F.col(text_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX),
+            lambda t: t != F.lit(""),
+        ).alias("__toks"),
+    ).select(
+        F.col("id"),
         words.alias("n_words"),
         sents.alias("n_sentences"),
         syl.alias("n_syllables"),
