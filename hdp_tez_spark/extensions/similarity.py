@@ -776,7 +776,13 @@ def pca_top_component(
         vdf = spark.createDataFrame([(v,)], "varr array<double>")
         rows = (
             base.crossJoin(F.broadcast(vdf))
-            .select(dot.alias("dot"), F.posexplode("v").alias("pos", "x"))
+            # dot is PROJECTED BELOW the explode (r11): Catalyst places
+            # non-generator expressions of a generate-select in a Project
+            # ABOVE the Generate, re-evaluating the interpreted d-element
+            # aggregate once per exploded cell (d times per vector) —
+            # measured 2.2x on the per-round stage at sf0.1
+            .select(F.col("v"), dot.alias("dot"))
+            .select(F.col("dot"), F.posexplode("v").alias("pos", "x"))
             .groupBy("pos")
             .agg(F.sum(F.col("x").cast("double") * F.col("dot")).alias("s"))
             .collect()
